@@ -1,0 +1,76 @@
+"""Aggregate function builders.
+
+Analogue of the reference's ``AggrOperator`` implementations
+(``src/physical_plan/aggr/{sum,min,max,avg,count}.rs``). Each is a thin
+builder over Spark's built-in aggregate expressions, which execute as
+partial (map-side combine) + final hash aggregation — the distributed,
+spill-aware version of the reference's single-phase in-memory hash agg
+(``src/physical_plan/aggr/mod.rs:56-100``).
+
+Semantic deltas (SQL-correct on purpose, per SURVEY §2.4):
+- MIN/MAX on empty/all-null input yield NULL, not the reference's
+  type::MAX/MIN sentinels (``src/physical_plan/aggr/min.rs:20-25``).
+- AVG on empty input yields NULL, not NaN
+  (``src/physical_plan/aggr/avg.rs:15-133``).
+- COUNT returns LongType (the reference's UInt64 has no Spark type;
+  values agree within int64 range).
+
+All are null-skipping, matching the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["sum_", "min_", "max_", "avg", "count", "count_star", "count_distinct"]
+
+
+def _c(expr: Column | str) -> Column:
+    return F.col(expr) if isinstance(expr, str) else expr
+
+
+def sum_(expr: Column | str, name: str | None = None) -> Column:
+    """Null-skipping SUM (``src/physical_plan/aggr/sum.rs:12-113``).
+    Beyond-reference: the argument may be any expression, not only a
+    bare column (the reference planner panics otherwise,
+    ``src/planner/mod.rs:59-71``)."""
+    out = F.sum(_c(expr))
+    return out.alias(name) if name else out
+
+
+def min_(expr: Column | str, name: str | None = None) -> Column:
+    """Null-skipping MIN (``src/physical_plan/aggr/min.rs:13-116``)."""
+    out = F.min(_c(expr))
+    return out.alias(name) if name else out
+
+
+def max_(expr: Column | str, name: str | None = None) -> Column:
+    """Null-skipping MAX (``src/physical_plan/aggr/max.rs:50-113``)."""
+    out = F.max(_c(expr))
+    return out.alias(name) if name else out
+
+
+def avg(expr: Column | str, name: str | None = None) -> Column:
+    """Null-skipping AVG → Double (``src/physical_plan/aggr/avg.rs``)."""
+    out = F.avg(_c(expr))
+    return out.alias(name) if name else out
+
+
+def count(expr: Column | str, name: str | None = None) -> Column:
+    """COUNT(col): non-null values only
+    (``src/physical_plan/aggr/count.rs:10-53``)."""
+    out = F.count(_c(expr))
+    return out.alias(name) if name else out
+
+
+def count_star(name: str | None = None) -> Column:
+    """COUNT(*) — beyond-reference (the reference only has COUNT(col))."""
+    out = F.count(F.lit(1))
+    return out.alias(name) if name else out
+
+
+def count_distinct(expr: Column | str, name: str | None = None) -> Column:
+    """COUNT(DISTINCT col) — beyond-reference (SURVEY §2.6)."""
+    out = F.count_distinct(_c(expr))
+    return out.alias(name) if name else out

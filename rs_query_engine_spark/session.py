@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+The reference engine is single-threaded and in-process (no session
+concept beyond ``Catalog``, ``src/catalog.rs:11``); here the session is
+the unit of execution and carries the scale-oriented defaults:
+
+- AQE on (runtime re-planning, partition coalescing, skew-join
+  handling) so plans adapt when data sizes at 100 TB differ from
+  compile-time estimates.
+- ``spark.sql.shuffle.partitions`` sized to the local harness (32
+  threads); on a real cluster this is overridden per deployment (or
+  left to AQE's coalescing with a high initial value).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow-backed Python interop so any Pandas-UDF path is vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rs_query_engine_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    32) for the harness; on a cluster, pass ``None`` and set master via
+    spark-submit — the conf here is master-agnostic.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

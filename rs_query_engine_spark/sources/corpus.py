@@ -1,0 +1,44 @@
+"""Test-corpus loaders for the driver's TPC-H-ish parquet tables.
+
+The tables mirror `TESTDATA.md`: one parquet per table under
+``{sf_dir}/{name}.parquet``. Loading is lazy (``spark.read.parquet``) —
+at 100 TB these would be partitioned directories and the same call
+works unchanged; Catalyst prunes columns and pushes filters into the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region=5 rows, nation=25 rows always; supplier/part/customer scale
+# slowly vs lineitem). Used by queries to pick broadcast joins.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every corpus table lazily; returns name → DataFrame."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+
+
+def register_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register each table as a temp view (for the SQL entry
+    point and ad-hoc ``spark.sql``)."""
+    dfs = load_corpus(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
