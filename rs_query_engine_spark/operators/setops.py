@@ -1,0 +1,40 @@
+"""Set operations (beyond-reference: SURVEY §2.6 / §7 M2.1).
+
+SQL bag/set semantics mapping:
+- ``union``        → SQL UNION (distinct) = ``unionByName`` + ``distinct``
+- ``union_all``    → SQL UNION ALL = ``unionByName``
+- ``intersect``    → SQL INTERSECT (distinct), Spark ``intersect``
+- ``except_``      → SQL EXCEPT (distinct), Spark ``exceptAll`` minus
+  duplicates → use ``subtract`` (distinct semantics)
+
+All are shuffles on the full row; at scale prefer semi/anti joins on a
+key when the intent is key membership (Catalyst can't infer that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def union(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b).distinct()
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b)
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersectAll(b)
+
+
+def except_(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.subtract(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)

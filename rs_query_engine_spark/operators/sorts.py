@@ -1,0 +1,49 @@
+"""Sorts / limits / top-k (beyond-reference: SURVEY §2.6 — the
+reference has no ORDER BY/LIMIT anywhere; SURVEY §7 M2.1).
+
+Scale notes:
+- ``order_by`` is a full range-partitioned sort (one shuffle with
+  range partitioning + sampled boundaries) — correct but expensive at
+  100 TB; prefer :func:`top_k` when only the head is needed.
+- ``top_k`` uses Spark's ``TakeOrderedAndProject`` physical operator
+  (per-partition heap + driver merge) — no full sort, no full shuffle.
+- ``top_k_per_group`` composes window rank + filter; the shuffle is on
+  the group key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def order_by(df: DataFrame, *exprs: Column | str) -> DataFrame:
+    """Global sort (range partition + local sort)."""
+    return df.orderBy(*exprs)
+
+
+def limit(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+def top_k(df: DataFrame, k: int, *order_exprs: Column | str) -> DataFrame:
+    """ORDER BY ... LIMIT k — Catalyst rewrites to
+    TakeOrderedAndProject (heap-based, no global sort). Include a
+    unique tiebreaker in ``order_exprs`` for deterministic results."""
+    return df.orderBy(*order_exprs).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via ROW_NUMBER window + filter. One shuffle
+    on the group key; rank computed within partitions."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -68,7 +68,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def _dsum(expr: Column | str, name: str) -> Column:
@@ -399,4 +401,318 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         abs_("c_acctbal").alias("abs_bal"),
         sqrt(abs_("c_acctbal")).alias("sqrt_bal"),
         power((F.col("c_custkey") % 7).cast("double"), 3).alias("key_cubed"),
+    )
+
+
+# =====================================================================
+# Extensions — sorts / limits / distinct / set ops (SURVEY §7 M2.1)
+# =====================================================================
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → Catalyst's TakeOrderedAndProject: a
+    per-partition heap + driver merge, NOT a full sort-shuffle — the
+    scale-correct top-k. Unique (orderkey, linenumber) tiebreak keeps
+    the result deterministic under ties."""
+    from rs_query_engine_spark.operators.sorts import top_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    return top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        100,
+        F.col("l_extendedprice").desc(),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT → partial+final hash aggregate on the pair (map-side
+    dedup before the shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "setop_union",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNION (distinct) via union_all + distinct."""
+    from rs_query_engine_spark.operators.setops import union
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("custkey"))
+    return union(a, b)
+
+
+@register(
+    "setop_intersect_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT then EXCEPT (distinct set semantics). SQL leaves
+    INTERSECT binding tighter than EXCEPT; the builder chain mirrors
+    that explicitly."""
+    from rs_query_engine_spark.operators.setops import except_, intersect
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    ordered = o.select(F.col("o_custkey").alias("custkey"))
+    big = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+    return except_(intersect(pos, ordered), big)
+
+
+# =====================================================================
+# Extensions — window functions (SURVEY §7 M2.2)
+# =====================================================================
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn <= 5
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 per group via ROW_NUMBER — one shuffle on the group key.
+    (At scale, pre-filtering with an approximate per-group threshold
+    cuts the sort input; not needed at these SFs.)"""
+    from rs_query_engine_spark.operators.sorts import top_k_per_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    return top_k_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        5,
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running SUM per customer — decimal-exact accumulation (window
+    sum association differs between engines on doubles; decimal is
+    association-independent)."""
+    from rs_query_engine_spark.operators.windows import running_sum, spec
+
+    o = _t(spark, sf_dir, "orders")
+    w = spec(["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return o.select("o_custkey", "o_orderkey", running_sum("o_totalprice", w, "running_spend"))
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + arithmetic on the lagged value over the event stream
+    (batch view). Raw doubles: subtraction of identical operands is
+    bit-identical across engines."""
+    from rs_query_engine_spark.operators.windows import lag, spec
+
+    e = _t(spark, sf_dir, "events")
+    w = spec(["user_id"], ["ts", "event_id"])
+    prev = F.lag(F.col("value")).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+    )
+
+
+# =====================================================================
+# Extensions — date/time, strings, JSON (SURVEY §7 M2.3)
+# =====================================================================
+
+
+@register(
+    "date_trunc_month_agg",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monthly_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def date_trunc_month_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup via date_trunc (date output type keeps
+    the oracle comparison timezone-free)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _dsum("o_totalprice", "monthly_revenue"),
+        )
+    )
+
+
+@register(
+    "events_hourly_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(event_id) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (batch semantics
+    of the streaming query in :mod:`rs_query_engine_spark.streaming`).
+    ``F.window(ts, '1 hour')`` start == date_trunc('hour') for aligned
+    tumbling windows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast(D_PRICE)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                          AS brand_upper,
+           LOWER(p_type)                           AS type_lower,
+           LENGTH(p_name)                          AS name_len,
+           TRIM(CONCAT('  ', p_brand, '  '))       AS brand_trim,
+           REPLACE(p_type, ' ', '_')               AS type_snake
+    FROM part
+    WHERE p_name LIKE '%gold%' OR p_size BETWEEN 40 AND 45
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface + LIKE/BETWEEN predicates (absent from
+    the reference — SURVEY §2.6)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%gold%") | F.col("p_size").between(40, 45)
+    ).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column (JSON
+    functions absent from the reference — SURVEY §2.6)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+# =====================================================================
+# Extensions — CASE/WHEN, IN, IS NULL, CAST (SURVEY §2.6 gap-fill)
+# =====================================================================
+
+
+@register(
+    "case_when_in_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                  AS price_band,
+           o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent,
+           CAST(TRUNC(o_totalprice) AS BIGINT)  AS price_int,
+           o_orderstatus IS NOT NULL            AS has_status
+    FROM orders
+    """,
+)
+def case_when_in_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN, IN-list, CAST, IS NULL — the expression surface the
+    reference lacks entirely (SURVEY §2.6). Note: Spark CAST
+    double→bigint truncates toward zero while DuckDB's rounds, so the
+    oracle spells Spark's semantics as CAST(TRUNC(x) AS BIGINT)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderstatus").isNotNull().alias("has_status"),
     )

@@ -10,6 +10,7 @@ parquet scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,9 +31,25 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table lazily.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default (`Illegal Parquet type`). We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a proper
+    microsecond timestamp column — a metadata-only fix that keeps the
+    scan vectorized; sub-microsecond precision (zero in this corpus)
+    is floor-truncated, matching DuckDB's ns→us cast."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def load_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every corpus table lazily; returns name → DataFrame."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
 def register_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

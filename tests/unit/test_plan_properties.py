@@ -1,0 +1,66 @@
+"""Plan-property tests — assert the *physical plan shape*, not just
+results (SURVEY §4: Catalyst's optimizations are the engine's
+optimizer; these tests pin them down so a regression in plan quality
+fails CI, which is the 100-TB-scale guarantee the harness can check at
+sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rs_query_engine_spark import queries as registry
+from rs_query_engine_spark.plans.explain import explain_str
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = registry.filter_project_arith(spark, SF_DIR)
+    plan = explain_str(df)
+    # both predicates reach the parquet reader
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    assert "LessThanOrEqual(l_discount,0.05)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = registry.filter_project_arith(spark, SF_DIR)
+    plan = explain_str(df)
+    # ReadSchema must contain only the 6 referenced columns — a scan
+    # reading all 11 lineitem columns for this projection is wrong
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read_schema
+    assert "l_shipdate" not in read_schema
+    assert "l_quantity" in read_schema and "l_tax" in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark):
+    df = registry.join_inner_star(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan  # nation/region hops shuffle-free
+
+
+def test_aggregation_is_partial_final(spark):
+    df = registry.agg_groupby_returnflag(spark, SF_DIR)
+    plan = explain_str(df)
+    # map-side combine: partial_ functions before the exchange
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = registry.agg_groupby_returnflag(spark, SF_DIR)
+    df.collect()  # AQE finalizes stages only on execution
+    plan = explain_str(df, mode="simple")
+    # '*(n)' marks WholeStageCodegen stages in the final adaptive plan;
+    # the final HashAggregate must be inside one
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan and "HashAggregate" in plan
+
+
+def test_join_filter_pushed_below_join(spark):
+    # join_right filters the preserved side; Catalyst must push the
+    # o_totalprice predicate into the orders scan
+    df = registry.join_right(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "GreaterThan(o_totalprice,100000.0)" in plan
