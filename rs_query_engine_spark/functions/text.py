@@ -1,0 +1,144 @@
+"""Text-analysis functions for LLM-data-pipeline workloads
+(beyond-reference north-star ops: language ID, quality scoring, token
+counting, document fingerprinting — over the ``documents`` table).
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+(split/array/regexp/hash) — no Python UDFs — so the hot path stays in
+whole-stage codegen and scales linearly with executors. Each builder
+returns a ``Column`` usable in any query.
+
+Determinism: token splitting uses an explicit regex shared with the
+DuckDB oracle; fingerprints use md5 (identical hex in every engine)
+rather than engine-specific hash functions (Spark xxhash64 and DuckDB
+hash() differ by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# whitespace tokenizer pattern shared with oracle SQL
+TOKEN_SPLIT = r"\s+"
+
+# small deterministic stopword set (quality scoring)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# marker vocabularies for the n-gram/marker language-ID heuristic.
+# Deterministic and SQL-expressible; tie-break = first in LANGS order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est", "que"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+LANGS = tuple(LANG_MARKERS)
+
+
+def _c(expr: Column | str) -> Column:
+    return F.col(expr) if isinstance(expr, str) else expr
+
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens (array<string>)."""
+    return F.split(F.lower(_c(text)), TOKEN_SPLIT)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BPE-ish subword estimate is
+    ``token_count_bpe_estimate``)."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe_estimate(text: Column | str) -> Column:
+    """Deterministic BPE-ish token estimate: word-piece count from a
+    regex over word chars / digits / punctuation runs, plus a 4-chars-
+    per-piece length correction for long words — a standard proxy when
+    a real tokenizer isn't available cluster-side."""
+    t = _c(text)
+    pieces = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    long_word_extra = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z]{5,8}|[A-Za-z]{9,12}|[A-Za-z]{13,16}"), 0)
+    )
+    return (pieces + long_word_extra).alias("bpe_tokens")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords (0 for empty docs)."""
+    toks = tokens(text)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    # note: array_intersect would dedup — count matching tokens instead
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty docs)."""
+    t = _c(text)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return F.when(F.length(t) > 0, n_punct / F.length(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards mid-length docs and a
+    natural stopword ratio, penalizes punctuation soup. The formula is
+    simple integer/double arithmetic on counts → bit-identical vs the
+    oracle."""
+    t = _c(text)
+    n_chars = F.length(t)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop = stopword_ratio(t)
+    stop_score = F.least(stop * F.lit(4.0), F.lit(1.0))
+    punct_pen = punct_ratio(t)
+    return (
+        F.lit(0.5) * len_score + F.lit(0.5) * stop_score - punct_pen
+    )
+
+
+def lang_marker_score(text: Column | str, lang: str) -> Column:
+    """Number of tokens that are markers of ``lang`` (with repeats)."""
+    toks = tokens(text)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax marker score over LANGS, tie-broken
+    by LANGS order (deterministic; the same argmax is expressible in
+    the DuckDB oracle)."""
+    t = _c(text)
+    scores = [lang_marker_score(t, lg) for lg in LANGS]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    expr = F.lit(LANGS[-1])
+    for lg, sc in reversed(list(zip(LANGS[:-1], scores[:-1]))):
+        expr = F.when(sc == best, F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lower-case, collapse whitespace,
+    strip."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 hex of the normalized
+    text (md5 produces identical hex in Spark/DuckDB/everywhere, unlike
+    engine-native hash functions)."""
+    return F.md5(normalize_text(_c(text)))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) — input to MinHash/Jaccard
+    dedup. Pure array ops: sequence + transform + slice + array_join,
+    all codegen'd."""
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (north-star ops): exact
+brute-force cosine top-k, and an IVF-style partition-pruned variant as
+the scale path.
+
+Design for 100 TB:
+- **Brute force** is a broadcast of the (small) query set against the
+  (huge) corpus — a map-only cross join, no corpus shuffle; per-row
+  work is a codegen'd array fold. Correct baseline, O(corpus ×
+  queries).
+- **IVF**: corpus vectors are assigned once to their nearest centroid
+  (a broadcastable centroid table) — at scale this becomes the
+  *partitioning/bucketing column* of the stored table; a query then
+  probes only its own centroid's bucket (``nprobe=1`` here), turning
+  top-k into a partition-pruned scan of ~1/n_centroids of the data.
+- All vector math uses ``zip_with``/``transform``/``aggregate`` on
+  ``array<double>`` — JVM-side, no Python. A Pandas-UDF/BLAS path is
+  the next speed tier when matrices get wide (see operators/multimodal
+  for the Arrow plumbing pattern).
+
+Determinism: the cosine formula is spelled identically in the DuckDB
+oracle (sequential fold, ``dot / (sqrt(na) * sqrt(nb))``) — verified
+bit-exact on the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL-safe on zero vectors is the caller's
+    concern (corpus embeddings are non-zero)."""
+    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × corpus,
+    cosine, window rank. Returns (query_id, vec_id, cos, rnk≤k)."""
+    c = corpus.select(F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v"))
+    q = queries.select(F.col(query_id), _as_double(F.col(query_vec)).alias("_qv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        cosine(F.col("_v"), F.col("_qv")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """IVF build step: nearest centroid per corpus vector (argmax
+    cosine, deterministic centroid-id tiebreak). Centroids are
+    broadcast; at scale the result is *written bucketed by
+    centroid_id* so probes prune partitions."""
+    c = corpus.select(F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v"))
+    cent = centroids.select(
+        F.col(centroid_id), _as_double(F.col(centroid_vec)).alias("_cv")
+    )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        corpus_id,
+        "_v",
+        centroid_id,
+        cosine(F.col("_v"), F.col("_cv")).alias("_cc"),
+    )
+    w = Window.partitionBy(corpus_id).orderBy(F.col("_cc").desc(), F.col(centroid_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(corpus_id, "_v", centroid_id)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF top-k with nprobe=1: assign corpus and queries to nearest
+    centroid, then rank only within the query's bucket — the searched
+    fraction is ~1/n_centroids (approximate by construction)."""
+    assigned = assign_centroids(
+        corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec
+    )
+    q_assigned = assign_centroids(
+        queries, centroids, query_id, query_vec, centroid_id, centroid_vec
+    ).select(F.col(query_id), F.col("_v").alias("_qv"), F.col(centroid_id))
+    scored = assigned.join(F.broadcast(q_assigned), centroid_id).select(
+        query_id,
+        corpus_id,
+        cosine(F.col("_v"), F.col("_qv")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

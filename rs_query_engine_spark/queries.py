@@ -716,3 +716,459 @@ def case_when_in_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("bigint").alias("price_int"),
         F.col("o_orderstatus").isNotNull().alias("has_status"),
     )
+
+
+# =====================================================================
+# Extensions — text analysis over `documents` (north-star M2.4)
+# =====================================================================
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           n_chars,
+           len(regexp_split_to_array(lower(text), '\s+'))  AS n_tokens,
+           length(text) AS measured_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting over documents — all JVM-side
+    (split/size), no Python in the loop."""
+    from rs_query_engine_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("measured_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               regexp_split_to_array(lower(text), '\s+') AS t
+        FROM documents
+    ), counted AS (
+        SELECT doc_id, n_chars_m,
+               len(t) AS n_tokens,
+               len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop
+        FROM toks
+    )
+    SELECT doc_id,
+           n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens                         AS stop_ratio,
+           0.5 * LEAST(n_chars_m / 500.0, 1.0)
+             + 0.5 * LEAST((CAST(n_stop AS DOUBLE) / n_tokens) * 4.0, 1.0) AS quality
+    FROM counted
+    WHERE n_tokens > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length + stopword-ratio components
+    (punctuation term omitted here because the corpus has none — the
+    full composite is unit-tested). Pure arithmetic on counts →
+    bit-identical vs the oracle."""
+    from rs_query_engine_spark.functions.text import STOPWORDS, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_tokens = F.size(toks)
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = F.lit(0.5) * F.least(F.length("text") / F.lit(500.0), F.lit(1.0)) + F.lit(
+        0.5
+    ) * F.least(stop_ratio * 4.0, F.lit(1.0))
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            stop_ratio.alias("stop_ratio"),
+            quality.alias("quality"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, lang,
+               len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it')))  AS s_en,
+               len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS s_de,
+               len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','por')))     AS s_es,
+               len(list_filter(t, x -> x IN ('le','la','et','les','des','une','est','que'))) AS s_fr,
+               len(list_filter(t, x -> x IN ('的','是','在','了','和','有','我','不')))        AS s_zh
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic): argmax of per-
+    language marker-token counts, tie-broken in fixed language order —
+    deterministic and SQL-expressible on both sides."""
+    from rs_query_engine_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 fingerprint of normalized text — the exact-
+    dedup key (md5 hex is engine-independent; Spark xxhash64/DuckDB
+    hash() are not)."""
+    from rs_query_engine_spark.functions.text import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5("text").alias("fp"))
+
+
+@register(
+    "text_token_freq",
+    oracle=r"""
+    SELECT token, COUNT(*) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    HAVING COUNT(*) >= 50
+    """,
+)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: explode tokens → hash-agg count →
+    frequency floor. The explode happens before the shuffle but the
+    partial aggregation collapses each partition's counts first, so
+    shuffle volume is vocabulary-sized, not token-sized."""
+    from rs_query_engine_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 50)
+    )
+
+
+# =====================================================================
+# Extensions — deduplication over `documents` (north-star M2.4/dedup)
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*)    AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-text md5, keep smallest id.
+    One shuffle on the fingerprint; partial agg collapses per-partition
+    dups first."""
+    from rs_query_engine_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+def _minhash_sql_parts(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
+    """Generate the DuckDB minhash signature + band-key SQL (mirrors
+    operators/dedup.py exactly: hash_i(s) = first-8-hex(md5('i|'||s)))."""
+    sig_cols = ",\n               ".join(
+        f"COALESCE(list_min(list_transform(sh, s -> "
+        f"('0x' || substr(md5(CONCAT('{i}|', s)), 1, 8))::BIGINT)), 8589934592) AS h{i}"
+        for i in range(num_hashes)
+    )
+    rows = num_hashes // bands
+    band_rows = ", ".join(
+        "({b}, CONCAT_WS('-', {ks}))".format(
+            b=b, ks=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return sig_cols, band_rows
+
+
+_MH_SIG, _MH_BANDS = _minhash_sql_parts()
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, len(regexp_split_to_array(lower(text), '\s+')) - 2),
+                       i -> array_to_string(regexp_split_to_array(lower(text), '\s+')[i:i+2], ' ')
+                   )
+               ) AS sh
+        FROM documents
+    ), sig AS (
+        SELECT doc_id, sh,
+               {_MH_SIG}
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, sh, b.* FROM sig,
+        LATERAL (VALUES {_MH_BANDS}) AS b(band, key)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sh AS sh_a, b.sh AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + banded LSH (4 bands × 4 rows) + exact-
+    Jaccard verification at θ=0.5 over 3-gram shingles. Candidate
+    generation is an equi-join on band keys — never an all-pairs
+    join — so cost tracks the number of true near-dup clusters."""
+    from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = "\n             + ".join(
+        f"CASE WHEN 2 * len(list_filter(h, x -> ((x >> {j}) & 1) = 1)) > n "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return terms
+
+
+@register(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(lower(text), '\s+'),
+                              s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h,
+               len(regexp_split_to_array(lower(text), '\s+')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           {_simhash_sql()} AS simhash
+    FROM t
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (bit j set when the
+    majority of token hashes have bit j set). Near-dups then hamming-
+    match on signature blocks; the signature projection itself is the
+    scale-relevant pass (one scan, no shuffle)."""
+    from rs_query_engine_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string(regexp_split_to_array(lower(text), '\s+')[1:8], ' ') AS blk,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, len(regexp_split_to_array(lower(text), '\s+')) - 2),
+                       i -> array_to_string(regexp_split_to_array(lower(text), '\s+')[i:i+2], ' ')
+                   )
+               ) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs with 8-token-prefix blocking (equi-
+    join on the blocking key replaces the cross join — the planted
+    near-dup clusters share prefixes)."""
+    from rs_query_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sampled 1-in-10 blocking for
+    the oracle's O(n²) side; at scale the same check runs behind LSH/
+    IVF candidate generation instead of all-pairs). Cosine is spelled
+    as the same sequential fold on both sides — bit-identical."""
+    from rs_query_engine_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    s = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )
+
+
+# =====================================================================
+# Extensions — similarity search over `embeddings` (north-star M2.5)
+# =====================================================================
+
+_COS_SQL = """list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform({a}, x -> x*x)))
+                * sqrt(list_sum(list_transform({b}, x -> x*x))))"""
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, corpus.vec_id,
+               {_COS_SQL.format(a="corpus.v", b="q.qv")} AS cos
+        FROM corpus, q
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-10 for each query
+    vector (every 100th corpus vector). The query set is broadcast —
+    a map-only pass over the corpus, no corpus shuffle; only the
+    per-query top-k survive to the (tiny) rank shuffle."""
+    from rs_query_engine_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(e, q, 10)
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT corpus.vec_id, corpus.v, cent.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY corpus.vec_id
+                       ORDER BY {_COS_SQL.format(a="corpus.v", b="cent.cv")} DESC, cent.centroid_id
+                   ) AS rn
+            FROM corpus, cent
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id
+        FROM assigned WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, a.vec_id,
+               {_COS_SQL.format(a="a.v", b="q.qv")} AS cos
+        FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (nprobe=1): corpus assigned to 8 fixed seed
+    centroids (deterministic stand-in for trained k-means — same
+    plumbing), queries probe only their own bucket → ~1/8 of the
+    corpus scanned per query. At scale the assignment becomes the
+    table's bucketing column and the probe is partition-pruned."""
+    from rs_query_engine_spark.operators.similarity import assign_centroids, cosine, ivf_topk
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = assign_centroids(e, cent)
+    q = (
+        assigned.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("_v").alias("_qv"), F.col("centroid_id"))
+    )
+    scored = assigned.join(F.broadcast(q), "centroid_id").select(
+        "query_id", "vec_id", cosine(F.col("_v"), F.col("_qv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
