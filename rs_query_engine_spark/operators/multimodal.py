@@ -1,0 +1,125 @@
+"""Multimodal column plumbing (north-star ops): treat image/audio/
+video payloads as opaque ``binary`` columns with typed metadata, and
+run decode / feature-extraction / frame-sampling as Arrow-batched
+Pandas operations over ``mapInPandas``.
+
+What is REAL here (and tested): the Spark-side plumbing — schemas,
+binary columns, Arrow batch shapes, ``mapInPandas`` iterator contract,
+partition preservation, deterministic pure-Python feature math on raw
+bytes. What is STUBBED: actual media codecs (PIL/librosa/ffmpeg are
+not in this container) — ``decode_image`` raises ``NotImplementedError``
+unless given the deterministic fake header format documented below,
+which the tests use.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches through one
+Python worker per core with no shuffle — the right shape for per-row
+media work at 100 TB (CPU-bound, embarrassingly parallel). Keep batch
+sizes bounded via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+when payloads are large; push *metadata-only* filters (modality,
+size) BEFORE the Python stage so pruned rows never cross the
+JVM→Python boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic fake media header: b"FAKE" + 1-byte modality tag +
+# 2-byte big-endian width + 2-byte big-endian height, then raw payload
+FAKE_MAGIC = b"FAKE"
+
+BYTE_STATS_SCHEMA = "id bigint, n_bytes bigint, byte_sum bigint, byte_max int, mean_byte double"
+DECODE_SCHEMA = "id bigint, width int, height int, n_pixels bigint"
+FRAME_SCHEMA = "id bigint, frame_idx int, frame_bytes binary"
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a fake image header → (width, height, pixel bytes).
+
+    A real deployment swaps this one function for PIL/turbojpeg; the
+    surrounding Spark plumbing is unchanged. Anything without the FAKE
+    magic raises — the real-codec path is intentionally not available
+    in this container."""
+    if payload[:4] != FAKE_MAGIC:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg (not in this container); "
+            "payload must use the deterministic FAKE header"
+        )
+    width = int.from_bytes(payload[5:7], "big")
+    height = int.from_bytes(payload[7:9], "big")
+    return width, height, payload[9:]
+
+
+def byte_stats(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """Feature extraction over a binary column via ``mapInPandas``:
+    per-payload byte count / sum / max / mean. Deterministic pure-
+    Python byte math standing in for a real feature extractor; the
+    Arrow plumbing (binary in, typed row out) is the product."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            n = payloads.map(len)
+            s = payloads.map(lambda b: sum(b))
+            mx = payloads.map(lambda b: max(b) if len(b) else 0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": n.astype("int64"),
+                    "byte_sum": s.astype("int64"),
+                    "byte_max": mx.astype("int32"),
+                    "mean_byte": s / n,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, schema=BYTE_STATS_SCHEMA
+    )
+
+
+def decode_images(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """Decode fake-header images → (width, height, n_pixels) rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = decode_image(bytes(payload))
+                rows.append((i, w, h, len(px)))
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "n_pixels"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        decode, schema=DECODE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int,
+    frame_bytes: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per
+    sampled frame (1→N flatMap via the mapInPandas iterator — output
+    batches need not align with input rows)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for fi, off in enumerate(range(0, len(b), every_n_bytes)):
+                    ids.append(i)
+                    idxs.append(fi)
+                    frames.append(b[off : off + frame_bytes])
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_bytes": frames})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )

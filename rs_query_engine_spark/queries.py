@@ -1172,3 +1172,87 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+# =====================================================================
+# Extensions — sessionization + multimodal plumbing (M2.6 / north-star)
+# =====================================================================
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS sess_id
+        FROM o
+    )
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           user_id,
+           COUNT(event_id) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM s
+    GROUP BY user_id, sess_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-minute inactivity gap) via Spark's
+    ``session_window`` in batch mode — the same expression runs as a
+    stateful streaming query (``streaming.events.sessionize_stream``).
+    The oracle derives identical sessions from first principles
+    (lag-gap → cumulative session id → group), pinning the window's
+    half-open [start, last+gap) semantics."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast(D_PRICE)).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "multimodal_byte_stats",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, list_transform(split(text, ''), x -> ord(x)) AS bytes
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id AS id,
+           len(bytes)                               AS n_bytes,
+           CAST(list_sum(bytes) AS BIGINT)          AS byte_sum,
+           CAST(list_max(bytes) AS INT)             AS byte_max,
+           CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS mean_byte
+    FROM b
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the real multimodal
+    plumbing: text → utf-8 ``binary`` payload → Arrow-batched
+    ``mapInPandas`` byte statistics (operators/multimodal.byte_stats).
+    The corpus is ASCII, so the DuckDB oracle reproduces the byte math
+    from codepoints. This is the one deliberately-Python query — it
+    exists to pin the JVM→Arrow→pandas→JVM round trip, not for speed."""
+    from rs_query_engine_spark.operators.multimodal import byte_stats
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return byte_stats(payloads)

@@ -1,0 +1,123 @@
+"""Structured Streaming operators over the events stream (SURVEY §7
+M2.6). The reference has no streaming concept (SURVEY §2.6); these are
+the Spark-native stream versions of the batch queries in
+``rs_query_engine_spark.queries`` — same logical plan, incremental
+execution.
+
+Batch/stream parity: ``hourly_agg_stream`` computes exactly
+``queries.events_hourly_window``; the batch query is the oracle-checked
+truth, and ``run_stream_to_memory`` lets tests drive the streaming
+version over the same parquet and compare results (the classic
+kappa-architecture check).
+
+Scale notes: watermarks bound the window state store (without one, an
+event-time grouped stream grows state forever); ``session_window``
+state merges adjacent sessions per key. Shuffle partitioning of a
+streaming agg is the same hash partitioning as batch — state lives
+with the partition.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+D_PRICE = "decimal(12,2)"
+
+# explicit schema: streaming readers cannot infer; ts is long because
+# the corpus parquet stores TIMESTAMP(NANOS) (see sources/corpus.py)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events parquet as a (bounded) stream — the same call
+    shape works on an unbounded directory/Kafka source in production.
+
+    The file-stream source requires a *directory* (it tails new files);
+    the corpus ships a single file, so we expose it through a symlink
+    directory — which is exactly the production layout (a drop
+    directory of parquet files)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        shim = os.path.join(
+            tempfile.gettempdir(), f"rsqes_stream_{abs(hash(os.path.abspath(src)))}"
+        )
+        os.makedirs(shim, exist_ok=True)
+        link = os.path.join(shim, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(src), link)
+        src = shim
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with a late-data watermark
+    — the streaming twin of ``queries.events_hourly_window``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast(D_PRICE)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "5 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based) — stateful streaming via
+    ``session_window``; state for a user's open session merges as
+    events arrive and closes ``gap`` after the last event."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast(D_PRICE)).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) streaming query to completion into an
+    in-memory sink and return the result table — the test harness for
+    batch/stream parity."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
