@@ -1,0 +1,146 @@
+"""Join operators beyond the reference's inner/left/right equi-join
+(``src/logical_plan/logical_plan.rs:97-110`` declares those three; the
+single physical implementation is a nested-loop kernel,
+``src/physical_plan/nested_loop_join.rs:62-191``). Spark provides
+semi/anti/full/cross natively; this module adds the two join shapes
+Spark has no single operator for — **as-of join** and **range join** —
+re-expressed as compositions of DataFrame ops that scale.
+
+Scale design:
+- ``asof_join``: the naive formulation (non-equi join + pick latest)
+  explodes to all key-matched pairs before aggregating. Instead we
+  union both sides tagged, sort within each key partition, and carry
+  the last-seen right row forward with a window — ONE shuffle on the
+  key, no pair explosion, same cost class as a sort-merge join. Skewed
+  keys respond to the same salting as any window/groupBy.
+- ``range_join_bands``: Spark plans a plain non-equi range condition
+  as BroadcastNestedLoopJoin (fine only when one side is tiny). The
+  bucketed form maps each value to a bucket and explodes each band
+  into the buckets it covers, turning the range predicate into an
+  equi-join on bucket + residual filter — shuffle-partitionable on
+  both sides at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Left-semi join: left rows with ≥1 match (SQL EXISTS)."""
+    return left.join(right, list(on), "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Left-anti join: left rows with no match (SQL NOT EXISTS)."""
+    return left.join(right, list(on), "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single nearest right row per
+    key — at-or-before ``left_ts`` (backward, the default) or at-or-
+    after (forward).
+
+    Output: all left columns plus every non-key right column (the
+    right timestamp included), NULL where no right row qualifies —
+    i.e. LEFT OUTER as-of semantics, matching DuckDB's
+    ``ASOF LEFT JOIN`` and pandas ``merge_asof``.
+
+    Ties on ``right_ts`` within a key are resolved by whichever tied
+    row sorts last in the union — pre-dedup the right side (e.g. keep
+    max id per (key, ts)) for a deterministic result.
+
+    Implementation: tag and union both sides, then one window pass per
+    key partition ordered by (ts, side) carrying the last non-null
+    right payload forward. The side tag orders right rows before left
+    rows at equal timestamps, making the match inclusive.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    right_payload = [c for c in right.columns if c not in by]
+    l_tagged = left.select(
+        *by,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).alias("_r_placeholder"),
+    )
+    r_struct = F.struct(*right_payload).alias("_r")
+    r_tagged = right.select(
+        *by,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).alias("_l_placeholder"),
+        r_struct,
+    )
+    # align the null placeholder types with the real struct types
+    l_tagged = l_tagged.withColumnRenamed("_r_placeholder", "_r").withColumn(
+        "_r", F.lit(None).cast(r_tagged.schema["_r"].dataType)
+    )
+    r_tagged = r_tagged.withColumnRenamed("_l_placeholder", "_l").withColumn(
+        "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
+    )
+    u = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(c) for c in right_payload],
+    )
+
+
+def range_join_bands(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: each fact row matched to the band rows whose
+    half-open interval [lo, hi) contains ``value_col``.
+
+    ``bucket_width`` discretizes the value domain: facts get one
+    bucket (floor(value/width)); each band explodes into every bucket
+    its interval covers. The join becomes bucket-equi + residual
+    range filter. Pick a width comparable to typical band length so
+    each band covers O(1) buckets.
+    """
+    wlit = F.lit(bucket_width)
+    f = fact.withColumn("_bucket", F.floor(F.col(value_col) / wlit))
+    b = bands.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / wlit), F.floor(F.col(hi_col) / wlit)
+            )
+        ),
+    )
+    joined = f.join(
+        b,
+        (f["_bucket"] == b["_bucket"])
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col)),
+        how,
+    )
+    return joined.drop(f["_bucket"]).drop(b["_bucket"])

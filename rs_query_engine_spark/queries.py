@@ -1262,3 +1262,303 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
     )
     return byte_stats(payloads)
+
+
+# =====================================================================
+# Extensions — advanced joins, grouping, subqueries, pivot (SURVEY §2.6)
+# =====================================================================
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (SQL EXISTS) — beyond the reference's three
+    declared join types (``src/logical_plan/logical_plan.rs:106-110``).
+    Catalyst plans a broadcast/shuffled semi join that short-circuits
+    per key instead of materializing matches."""
+    from rs_query_engine_spark.operators.joins import semi_join
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(c, o, ["c_custkey"]).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (SQL NOT EXISTS): customers with no open order."""
+    from rs_query_engine_spark.operators.joins import anti_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH neg AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0
+    ), tot AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT COALESCE(n.c_custkey, t.o_custkey) AS custkey, n.c_name, t.total_f
+    FROM neg n FULL OUTER JOIN tot t ON n.c_custkey = t.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with both-side-only rows (negative-balance
+    customers × finished-order totals). The reference declares no full
+    join; Spark's SMJ handles it with the same shuffle as inner."""
+    neg = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey", "c_name")
+    )
+    tot = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(_dsum("o_totalprice", "total_f"))
+    )
+    return neg.join(tot, neg["c_custkey"] == tot["o_custkey"], "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"), "c_name", "total_f"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (tiny dims only — at scale a cross
+    join is only ever sane against a broadcast-sized side)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = filter over aggregate output (absent in the reference —
+    SURVEY §2.4 notes it is expressible but never demonstrated)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (detail → per-flag → grand total) with
+    grouping_id disambiguating NULL-as-subtotal from NULL data. One
+    shuffle: Spark expands grouping sets map-side."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.col("l_quantity").cast(D_PRICE)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_above
+    FROM lineitem
+    WHERE l_extendedprice > 1.5 * (SELECT AVG(l_extendedprice) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery, expressed distribution-first: the
+    1-row aggregate is broadcast-joined against the fact scan (exactly
+    what Catalyst rewrites a scalar subquery into). AVG is raw double
+    here: both engines sum doubles in scan order over the same single
+    partition of values — and the 1.5× threshold comparison tolerates
+    last-ulp drift because no row sits exactly on it."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg1 = li.agg(F.avg("l_extendedprice").alias("_avg"))
+    return (
+        li.crossJoin(F.broadcast(avg1))
+        .filter(F.col("l_extendedprice") > 1.5 * F.col("_avg"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@register(
+    "pivot_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide conditional aggregation). Explicit pivot values
+    keep the plan single-pass — without them Spark first runs a
+    distinct scan to discover columns."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast(D_PRICE)).cast("double"))
+    )
+
+
+@register(
+    "join_range_bands",
+    oracle="""
+    SELECT band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0),
+                 ('high', 25.0, 40.0), ('huge', 40.0, 100.0)) b(band, lo, hi)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join via the bucketed equi-join
+    operator (operators/joins.range_join_bands) — the scale path when
+    the band side is too big to broadcast; a plain non-equi condition
+    would plan as BroadcastNestedLoopJoin."""
+    from rs_query_engine_spark.operators.joins import range_join_bands
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 40.0), ("huge", 40.0, 100.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join_bands(li, bands, "l_quantity", "lo", "hi", bucket_width=10.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "join_asof_orders",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate,
+               MAX(o_orderkey) AS o_orderkey,
+               ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderdate, o.o_orderkey, o.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event ↔ that user's most recent order at event
+    time) via the union+window operator (operators/joins.asof_join) —
+    one shuffle on the key, no pair explosion; DuckDB's native ASOF
+    JOIN is the oracle. Right side is pre-deduped per (key, ts) with
+    max_by for a deterministic tie-break."""
+    from rs_query_engine_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("custkey"), "ts"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    out = asof_join(e, o, by=["custkey"], left_ts="ts", right_ts="o_orderdate")
+    return out.select(
+        "event_id",
+        F.col("custkey").alias("user_id"),
+        "ts",
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
