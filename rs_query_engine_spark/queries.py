@@ -1562,3 +1562,26 @@ def join_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+
+
+@register(
+    "stream_stateful_user_counts",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState
+    per-user running counts, streaming/stateful.py) driven to a memory
+    sink. The count is monotone per user, so max() over the update-mode
+    emissions is the final state — batch-checkable against a plain
+    GROUP BY count, closing the loop on stream/batch parity for
+    user-defined state machines."""
+    from rs_query_engine_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from rs_query_engine_spark.streaming.stateful import running_user_counts
+
+    ev = read_events_stream(spark, sf_dir)
+    out = running_user_counts(ev)
+    res = run_stream_to_memory(out, "stream_stateful_user_counts", output_mode="update")
+    return res.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -1,0 +1,69 @@
+"""Output sinks. The reference has none — results live and die as
+in-memory batches (SURVEY §2.1: tests pretty-print
+``Vec<RecordBatch>``, ``src/physical_plan/aggr/mod.rs:293``). A real
+engine needs durable outputs, so these are first-class here.
+
+Scale design:
+- **Parquet + partitionBy** is the default: columnar, predicate/column
+  pushdown on re-read, and hive-style partition directories give
+  partition PRUNING — a reader filtering on a partition key touches
+  only matching directories, the single biggest scan saver at 100 TB.
+- Choose partition columns with bounded cardinality (date, flag, …):
+  each distinct value is a directory; a high-cardinality partition key
+  produces millions of tiny files.
+- ``coalesce_files`` bounds output file count (writers emit one file
+  per task — a 32-partition shuffle writing a 6-row dimension should
+  not produce 32 files). It coalesces, never repartitions: no extra
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    coalesce_files: int | None = None,
+) -> None:
+    """Write parquet, optionally hive-partitioned by ``partition_by``."""
+    if coalesce_files:
+        df = df.coalesce(coalesce_files)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    coalesce_files: int | None = None,
+) -> None:
+    """Write CSV (the reference's only *input* format, round-tripped
+    as an output)."""
+    if coalesce_files:
+        df = df.coalesce(coalesce_files)
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(
+    df: DataFrame, path: str, mode: str = "overwrite", coalesce_files: int | None = None
+) -> None:
+    """Write newline-delimited JSON."""
+    if coalesce_files:
+        df = df.coalesce(coalesce_files)
+    df.write.mode(mode).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Re-open a written dataset (partition columns come back as
+    regular columns; filters on them prune directories)."""
+    return spark.read.parquet(path)

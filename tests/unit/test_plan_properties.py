@@ -64,3 +64,36 @@ def test_join_filter_pushed_below_join(spark):
     df = registry.join_right(spark, SF_DIR)
     plan = explain_str(df)
     assert "GreaterThan(o_totalprice,100000.0)" in plan
+
+
+def test_minhash_single_scan(spark):
+    # bucket-pair candidate generation must scan documents ONCE; the
+    # old self-join shape scanned (and recomputed signatures) twice
+    df = registry.dedup_minhash_lsh(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # scan + reuse marker
+    assert "documents.parquet" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # the bucketed rewrite must produce a hash join on _bucket, never
+    # a BroadcastNestedLoopJoin over the raw range predicate
+    df = registry.join_range_bands(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_no_pair_explosion(spark):
+    # as-of = union + one window pass: no join operator at all, and a
+    # single hash-partitioning exchange for the per-key window
+    df = registry.join_asof_orders(spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "Join" not in plan.replace("joinOutputRows", "")
+    assert "Window" in plan
+
+
+def test_semi_join_broadcasts_small_side(spark):
+    df = registry.join_left_semi(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -1,0 +1,62 @@
+"""Sink round-trip tests: parquet (partitioned; pruning on re-read),
+CSV (reference's format, written then re-registered through the
+catalog), JSON."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.catalog import Catalog
+from rs_query_engine_spark.plans.explain import explain_str
+from rs_query_engine_spark.sources.sinks import (
+    read_parquet,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+@pytest.fixture
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0), (4, "B", 40.0)],
+        "id bigint, flag string, val double",
+    )
+
+
+def test_parquet_partitioned_roundtrip_and_pruning(spark, small_df, tmp_path):
+    path = str(tmp_path / "part_out")
+    write_parquet(small_df, path, partition_by=["flag"], coalesce_files=1)
+    back = read_parquet(spark, path)
+    assert back.count() == 4
+    assert {r["flag"] for r in back.select("flag").distinct().collect()} == {"A", "B"}
+    # filter on the partition key must prune directories, not scan+filter
+    pruned = back.filter(F.col("flag") == "A")
+    plan = explain_str(pruned)
+    assert "PartitionFilters: [isnotnull(flag" in plan
+    assert pruned.count() == 2
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 2]
+
+
+def test_csv_roundtrip_through_catalog(spark, small_df, tmp_path):
+    path = str(tmp_path / "csv_out")
+    write_csv(small_df, path, coalesce_files=1)
+    cat = Catalog(spark)
+    back = cat.register_csv("csv_back", path)  # header + inferred schema
+    assert back.count() == 4
+    row = {r["id"]: r["val"] for r in back.collect()}
+    assert row[3] == 30.0
+    # schema inference recovers numeric types (reference infers from
+    # 3 rows, src/datasource/csv_table.rs:48; Spark scans the file)
+    dtypes = dict(back.dtypes)
+    assert dtypes["val"] == "double"
+
+
+def test_json_roundtrip(spark, small_df, tmp_path):
+    path = str(tmp_path / "json_out")
+    write_json(small_df, path, coalesce_files=1)
+    back = spark.read.json(path)
+    assert back.count() == 4
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3, 4]
