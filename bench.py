@@ -28,8 +28,13 @@ def main() -> None:
 
     qs = registry.queries()
     timings: dict[str, float] = {}
-    # warm the JVM + file listing with one tiny action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM, codegen, and every table's file listing/footer with
+    # one metadata-only count each, so one-time session costs don't
+    # land on whichever query happens to run first
+    from rs_query_engine_spark.sources.corpus import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()

@@ -1508,9 +1508,13 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.operators.joins import range_join_bands
 
     li = _t(spark, sf_dir, "lineitem").select("l_quantity")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 40.0), ("huge", 40.0, 100.0)],
-        "band string, lo double, hi double",
+    # VALUES → LocalRelation with accurate (tiny) stats, so Catalyst
+    # builds the hash table on the bands side; createDataFrame would
+    # go through an RDD with unknown stats and flip the build side to
+    # the 600k-row fact table
+    bands = spark.sql(
+        "SELECT * FROM VALUES ('low', 0.0D, 10.0D), ('mid', 10.0D, 25.0D), "
+        "('high', 25.0D, 40.0D), ('huge', 40.0D, 100.0D) AS b(band, lo, hi)"
     )
     joined = range_join_bands(li, bands, "l_quantity", "lo", "hi", bucket_width=10.0)
     return joined.groupBy("band").agg(
