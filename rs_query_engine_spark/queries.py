@@ -1589,3 +1589,79 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = running_user_counts(ev)
     res = run_stream_to_memory(out, "stream_stateful_user_counts", output_mode="update")
     return res.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "agg_percentiles_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           MIN(l_extendedprice) AS min_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + COUNT(DISTINCT) per group —
+    beyond-reference aggregates (SURVEY §2.6 lists DISTINCT aggregates
+    as absent). Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the same linear-interpolation definition, and the corpus
+    prices are exact 2-decimal doubles, so values hash-match. At scale
+    exact percentiles shuffle per-group value lists; swap to
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) when
+    the value-list-per-group no longer fits an executor."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(l_quantity) AS n,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.salted_aggregate)
+    over a deliberately low-cardinality key — the rewrite for hot keys
+    that would otherwise pin one reducer. The oracle is the PLAIN
+    group-by: salting must be invisible in the result."""
+    from rs_query_engine_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_qty_dec", F.col("l_quantity").cast(D_PRICE)
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty_dec": ("sum", "_qty_dec"),
+            "n": ("count", "l_quantity"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        uniquifier=["l_orderkey", "l_linenumber"],
+        num_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "n",
+        "min_qty",
+        "max_qty",
+    )
