@@ -20,9 +20,9 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rs_query_engine_spark.errors import NoSuchTableError
 
-class NoSuchTableError(KeyError):
-    """Raised on lookup of an unregistered table (``src/error.rs:9``)."""
+__all__ = ["Catalog", "NoSuchTableError"]
 
 
 class Catalog:

@@ -34,6 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from rs_query_engine_spark.catalog import Catalog
+from rs_query_engine_spark.errors import raising_engine_errors
 from rs_query_engine_spark.session import get_spark
 
 
@@ -45,12 +46,15 @@ class Frame:
 
     # -- reference-parity builders ------------------------------------
 
+    @raising_engine_errors
     def project(self, *exprs: Column | str) -> "Frame":
         """Projection (``LogicalPlan::Projection``,
         ``src/logical_plan/logical_plan.rs:76-80``). Catalyst prunes the
-        scan to exactly these columns."""
+        scan to exactly these columns. Unknown columns raise
+        ``NoSuchColumnError`` (≙ ``src/planner/mod.rs:152-162``)."""
         return Frame(self.df.select(*exprs))
 
+    @raising_engine_errors
     def filter(self, predicate: Column) -> "Frame":
         """Selection / WHERE (``LogicalPlan::Selection``,
         ``src/logical_plan/logical_plan.rs:83-86``). NULL-predicate rows
@@ -61,6 +65,7 @@ class Frame:
     # the reference calls its filter `select` (data_frame.rs:41) — alias
     select_where = filter
 
+    @raising_engine_errors
     def aggregate(
         self,
         group_exprs: Column | str | Sequence[Column | str],
@@ -80,11 +85,13 @@ class Frame:
             group_exprs = [group_exprs]
         return Frame(self.df.groupBy(*group_exprs).agg(*aggr_exprs))
 
+    @raising_engine_errors
     def agg_global(self, aggr_exprs: Sequence[Column]) -> "Frame":
         """Ungrouped aggregation → one row
         (``src/physical_plan/aggr/mod.rs:125-144``)."""
         return Frame(self.df.agg(*aggr_exprs))
 
+    @raising_engine_errors
     def join(
         self,
         right: "Frame | DataFrame",
@@ -145,6 +152,24 @@ class Frame:
 
     def with_column(self, name: str, expr: Column) -> "Frame":
         return Frame(self.df.withColumn(name, expr))
+
+    # -- sinks (beyond-reference: the reference returns in-memory
+    # batches only, SURVEY §2.1) ---------------------------------------
+
+    def write_parquet(self, path: str, **kwargs) -> None:
+        from rs_query_engine_spark.sources.sinks import write_parquet
+
+        write_parquet(self.df, path, **kwargs)
+
+    def write_csv(self, path: str, **kwargs) -> None:
+        from rs_query_engine_spark.sources.sinks import write_csv
+
+        write_csv(self.df, path, **kwargs)
+
+    def write_json(self, path: str, **kwargs) -> None:
+        from rs_query_engine_spark.sources.sinks import write_json
+
+        write_json(self.df, path, **kwargs)
 
     # -- execution ----------------------------------------------------
 
