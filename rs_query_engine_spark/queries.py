@@ -1665,3 +1665,91 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_qty",
         "max_qty",
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (view→purchase attribution
+    within 10 minutes, streaming/events.view_purchase_attribution_
+    stream) driven to completion on the bounded corpus; the oracle is
+    the equivalent batch interval join — stream/batch parity for
+    two-sided state."""
+    from rs_query_engine_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        view_purchase_attribution_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = view_purchase_attribution_stream(ev)
+    return run_stream_to_memory(out, "stream_stream_join_out", output_mode="append")
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (30-day trailing spend per customer) —
+    value-based frames complement the ROWS frames in the other window
+    queries; peers (same orderdate) aggregate identically in both
+    engines, so the result is deterministic despite date ties."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(D_PRICE)).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "agg_array_collect",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregation (collect_set + sort for a
+    deterministic result — raw collect order is partition-dependent,
+    never comparable)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

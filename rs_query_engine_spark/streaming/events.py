@@ -121,3 +121,32 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def view_purchase_attribution_stream(
+    events: DataFrame, attribution_window: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to the same
+    user's views in the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions — the two requirements that let Spark
+    evict join state (otherwise a stream-stream join buffers forever).
+    State is hash-partitioned by user_id, same as the batch join's
+    shuffle."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")),
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")

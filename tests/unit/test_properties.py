@@ -1,0 +1,103 @@
+"""Property-based cross-validation (hypothesis): operators must agree
+with independent reference implementations on randomized inputs —
+pandas ``merge_asof`` for the as-of join, plain groupBy for the salted
+aggregate. Bounded example counts keep Spark round-trips cheap."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.operators.joins import asof_join
+from rs_query_engine_spark.operators.skew import salted_aggregate
+
+KEYS = ("a", "b", "c")
+
+# (key, ts) pairs with unique ts per key on the right side — ties on
+# right_ts are documented as caller-resolved, so the property holds on
+# tie-free right inputs
+left_rows = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 50)), min_size=0, max_size=25
+)
+right_rows = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 50)),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(lrows=left_rows, rrows=right_rows, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_matches_pandas_merge_asof(sp, lrows, rrows, direction):
+    ldf = sp.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)] or [("zz", 0, -1)],
+        "k string, lts long, lid long",
+    )
+    rdf = sp.createDataFrame(
+        [(k, t, float(t) * 2) for (k, t) in rrows] or [("zz", 99, 0.0)],
+        "k string, rts long, rv double",
+    )
+    got = {
+        r["lid"]: (r["rts"], r["rv"])
+        for r in asof_join(
+            ldf, rdf, by=["k"], left_ts="lts", right_ts="rts", direction=direction
+        ).collect()
+    }
+
+    lp = ldf.toPandas().sort_values("lts").reset_index(drop=True)
+    rp = rdf.toPandas().sort_values("rts").reset_index(drop=True)
+    want_df = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k", direction=direction
+    )
+    want = {
+        int(r.lid): (
+            None if pd.isna(r.rts) else int(r.rts),
+            None if pd.isna(r.rv) else float(r.rv),
+        )
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    num_salts=st.sampled_from([1, 3, 8]),
+)
+def test_salted_aggregate_is_invisible(sp, rows, num_salts):
+    df = sp.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(rows)],
+        "uid long, k string, v double",
+    )
+    got = salted_aggregate(
+        df,
+        keys=["k"],
+        aggs={"s": ("sum", "v"), "n": ("count", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+        uniquifier=["uid"],
+        num_salts=num_salts,
+    )
+    want = df.groupBy("k").agg(
+        F.sum("v").alias("s"),
+        F.count("v").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
