@@ -105,22 +105,37 @@ def sessionize_stream(events: DataFrame, gap: str = "5 minutes", watermark: str 
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive a (bounded) streaming query to completion into an
     in-memory sink and return the result table — the test harness for
-    batch/stream parity."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    batch/stream parity.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` for
+    the stream's lifetime: a streaming query pins its state-store
+    partition count at first start, and every partition costs a state
+    store instance per stateful operator — size it to key cardinality
+    (150 users here), not to the batch shuffle default."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def view_purchase_attribution_stream(
