@@ -131,14 +131,25 @@ def fingerprint_md5(text: Column | str) -> Column:
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>) — input to MinHash/Jaccard
-    dedup. Pure array ops: sequence + transform + slice + array_join,
-    all codegen'd."""
+    dedup.
+
+    Built by zipping the token array with its shifted selves
+    (``zip_with(toks, toks[j+1:], concat_ws)`` for j=1..n-1) and
+    slicing to the count of complete n-grams — O(n) whole-array passes
+    instead of a per-shingle ``slice``+``array_join`` (which allocates
+    a subarray per output element; measured 6.5× slower at sf0.1).
+    ``zip_with`` pads the shorter side with NULLs and ``concat_ws``
+    skips them, so tail partials exist before the final slice but
+    never survive it."""
     toks = tokens(text)
     k = F.size(toks) - F.lit(n - 1)
-    return F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = toks
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(k > 0, F.slice(sh, 1, k)).otherwise(
+        F.array().cast("array<string>")
+    )

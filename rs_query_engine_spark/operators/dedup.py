@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rs_query_engine_spark.functions.text import normalize_text, shingles, tokens
+from rs_query_engine_spark.sources.corpus import spread
 
 
 def _hash_hex8(expr: Column) -> Column:
@@ -42,6 +43,7 @@ def _hash_hex8(expr: Column) -> Column:
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on normalized text: keep the smallest id per
     fingerprint, report cluster size."""
+    df = spread(df)
     return (
         df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
         .groupBy("fp")
@@ -160,18 +162,19 @@ def minhash_lsh_pairs(
     # stage shingles in their own projection so the expensive shingle
     # construction runs once per row (CollapseProject keeps expensive
     # multi-referenced producer expressions un-inlined)
-    sh_df = df.select(
+    # NOT persisted: sh_df is consumed three times (signature + the two
+    # verification joins) but recomputing the projection in parallel is
+    # far cheaper than building/reading an in-memory columnar cache of
+    # array<string> (measured: persist() cost 4× the whole query)
+    sh_df = spread(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
     sig = sh_df.select(
-        "_id",
-        "_sh",
-        _minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig"),
+        "_id", _minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig")
     )
     banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -185,22 +188,50 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     # candidate generation: bucket by (band, key) and pair WITHIN each
-    # bucket, instead of a banded self-join. One signature pass and one
-    # shuffle (the self-join computes the signature pipeline once per
-    # side and shuffles it twice); bucket sizes track true near-dup
-    # cluster sizes, so the per-bucket pair expansion stays tiny. At
-    # 100 TB, guard against degenerate buckets (e.g. empty-text docs
-    # sharing a key) with a bucket-size cap before the expansion.
+    # bucket, instead of a banded self-join. Only (id, band, key) rides
+    # the shuffle — shingle sets would multiply shuffle bytes by the
+    # document size and dominated the wall clock when carried here.
+    # Bucket sizes track true near-dup cluster sizes, so the per-bucket
+    # pair expansion stays tiny; at 100 TB, cap bucket size before the
+    # expansion to guard against degenerate keys (e.g. empty docs).
     buckets = (
         banded.groupBy("band", "key")
-        .agg(F.collect_list(F.struct("_id", "_sh")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    pairs = buckets.select(F.explode(_pairs_within(F.col("docs"))).alias("p"))
-    cand = pairs.select("p.*").dropDuplicates(["id_a", "id_b"])
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda d1, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda d2: F.struct(
+                                F.least(d1, d2).alias("id_a"),
+                                F.greatest(d1, d2).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verification: fetch shingle sets for the (tiny) candidate set —
+    # exact Jaccard runs only on candidates; AQE turns both joins into
+    # broadcasts once it sees the candidate-set size at runtime
+    a = sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    cand = b.join(a.join(pairs, "id_a"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
@@ -249,7 +280,7 @@ def ngram_jaccard_pairs(
     doc pairs sharing their first ``prefix_tokens`` tokens are
     compared — an equi-join on the blocking key instead of a cross
     join (the blocking key can be swapped for any cheap canopy)."""
-    t = df.select(
+    t = spread(df).select(
         F.col(id_col).alias("_id"),
         F.array_join(F.slice(tokens(F.col(text_col)), 1, prefix_tokens), " ").alias("_blk"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),

@@ -17,7 +17,10 @@ media work at 100 TB (CPU-bound, embarrassingly parallel). Keep batch
 sizes bounded via ``spark.sql.execution.arrow.maxRecordsPerBatch``
 when payloads are large; push *metadata-only* filters (modality,
 size) BEFORE the Python stage so pruned rows never cross the
-JVM→Python boundary.
+JVM→Python boundary. Inputs are spread to ≥8 partitions (a Python
+worker pool sized for the local harness: each partition spawns a
+worker, and startup dominates below ~1k rows/partition; production
+inputs with ≥8 files keep their natural parallelism).
 """
 
 from __future__ import annotations
@@ -28,6 +31,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from rs_query_engine_spark.sources.corpus import spread
 
 # deterministic fake media header: b"FAKE" + 1-byte modality tag +
 # 2-byte big-endian width + 2-byte big-endian height, then raw payload
@@ -84,7 +89,7 @@ def byte_stats(df: DataFrame, id_col: str = "id", payload_col: str = "payload") 
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return spread(df.select(F.col(id_col), F.col(payload_col)), min_partitions=8).mapInPandas(
         extract, schema=BYTE_STATS_SCHEMA
     )
 
@@ -100,7 +105,7 @@ def decode_images(df: DataFrame, id_col: str = "id", payload_col: str = "payload
                 rows.append((i, w, h, len(px)))
             yield pd.DataFrame(rows, columns=["id", "width", "height", "n_pixels"])
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return spread(df.select(F.col(id_col), F.col(payload_col)), min_partitions=8).mapInPandas(
         decode, schema=DECODE_SCHEMA
     )
 
@@ -127,6 +132,6 @@ def sample_frames(
                     frames.append(b[off : off + frame_bytes])
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_bytes": frames})
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return spread(df.select(F.col(id_col), F.col(payload_col)), min_partitions=8).mapInPandas(
         sample, schema=FRAME_SCHEMA
     )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rs_query_engine_spark.sources.corpus import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<double> columns."""
@@ -62,7 +64,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast queries × corpus,
     cosine, window rank. Returns (query_id, vec_id, cos, rnk≤k)."""
-    c = corpus.select(F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v"))
+    c = spread(corpus).select(F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v"))
     q = queries.select(F.col(query_id), _as_double(F.col(query_vec)).alias("_qv"))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id,
@@ -88,7 +90,7 @@ def assign_centroids(
     cosine, deterministic centroid-id tiebreak). Centroids are
     broadcast; at scale the result is *written bucketed by
     centroid_id* so probes prune partitions."""
-    c = corpus.select(F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v"))
+    c = spread(corpus).select(F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v"))
     cent = centroids.select(
         F.col(centroid_id), _as_double(F.col(centroid_vec)).alias("_cv")
     )

@@ -1002,8 +1002,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     match on signature blocks; the signature projection itself is the
     scale-relevant pass (one scan, no shuffle)."""
     from rs_query_engine_spark.operators.dedup import simhash
+    from rs_query_engine_spark.sources.corpus import spread
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 

@@ -59,3 +59,29 @@ def register_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a DataFrame has at least core-count partitions before
+    CPU-heavy per-row work.
+
+    The test corpus ships one parquet file with ONE row group per
+    table, and a row group is indivisible to Spark's reader — so every
+    map-side stage over it runs as a single task regardless of
+    cluster size. A cheap round-robin shuffle of the (small) input
+    buys full parallelism for expensive projections (md5 hashing,
+    vector math, Python stages). At 100 TB inputs arrive as thousands
+    of files and this is a no-op, costing nothing in production plans.
+
+    The parallelism probe is ``df.inputFiles()`` (reads the already-
+    built file index): file count lower-bounds scan partitions. Do NOT
+    probe via ``df.rdd.getNumPartitions()`` — the Python RDD
+    conversion costs seconds per call."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
+    return df.repartition(target)

@@ -66,12 +66,15 @@ def test_join_filter_pushed_below_join(spark):
     assert "GreaterThan(o_totalprice,100000.0)" in plan
 
 
-def test_minhash_single_scan(spark):
-    # bucket-pair candidate generation must scan documents ONCE; the
-    # old self-join shape scanned (and recomputed signatures) twice
+def test_minhash_shuffle_carries_ids_only(spark):
+    # LSH candidate generation buckets on (band, key) carrying ONLY doc
+    # ids — shingle arrays must never ride the bucket shuffle (they
+    # multiply shuffle bytes by document size), and the signature
+    # pipeline must run exactly once (one aggregate over the band keys)
     df = registry.dedup_minhash_lsh(spark, SF_DIR)
     plan = explain_str(df)
-    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # scan + reuse marker
+    assert "collect_list(_id" in plan
+    assert "collect_list(docs" not in plan and "collect_list(struct" not in plan
     assert "documents.parquet" in plan
 
 
