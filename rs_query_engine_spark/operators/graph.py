@@ -1,0 +1,96 @@
+"""Iterative graph operators. Dedup pipelines end with *cluster
+consolidation*: near-dup PAIRS (from MinHash/SimHash/Jaccard) must
+become connected components so each duplicate cluster keeps one
+canonical document. No single SQL query expresses transitive closure,
+so this is a driver-coordinated iteration over DataFrames — the one
+place the engine loops (cf. SURVEY §2.6: the reference has no
+iteration either; this is a beyond-reference north-star operator).
+
+Algorithm: alternating min-label propagation ("small-star/large-star"
+simplified): every node starts labeled with its own id; each round
+joins labels across edges in both directions and takes the min; stop
+when no label changes. Rounds are O(diameter) — near-dup clusters are
+small and dense, so 2-4 rounds in practice.
+
+Scale notes:
+- each round is one shuffle join on node id (edges and labels hash-
+  partitioned identically; no growth in state);
+- convergence check is an aggregate (count of changed labels), cheap
+  relative to the join;
+- iterative lineage grows per round — ``localCheckpoint`` every round
+  truncates it, keeping plans small and preventing recompute blowup
+  (standard Spark iterative-algorithm hygiene);
+- for trillion-edge graphs swap in the full large-star/small-star
+  (alternating asymmetric propagation) which provably converges in
+  O(log n) rounds; the per-round plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected edge list.
+
+    Returns (node, component) where component = min node id reachable.
+    Nodes appearing only in edges are covered; isolated nodes are the
+    caller's union (they are their own component by definition).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # undirected: propagate both ways each round
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        # candidate label for each node: min over neighbors' labels
+        neighbor_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["s"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("n_comp") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Consolidate near-dup pairs into clusters: (doc_id, cluster_id,
+    cluster_size) with cluster_id = min doc id in the component —
+    the keep-candidate under a keep-smallest policy."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )

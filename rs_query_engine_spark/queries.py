@@ -924,10 +924,11 @@ def _minhash_sql_parts(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
 
 _MH_SIG, _MH_BANDS = _minhash_sql_parts()
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=rf"""
-    WITH sh AS (
+# shared CTE chain: documents → shingles → minhash sig → LSH bands →
+# verified near-dup pairs (used by the pairs query AND the clusters
+# query's recursive-CTE oracle)
+_MH_PAIRS_CTES = rf"""
+    sh AS (
         SELECT doc_id,
                list_distinct(
                    list_transform(
@@ -952,13 +953,22 @@ _MH_SIG, _MH_BANDS = _minhash_sql_parts()
                a.sh AS sh_a, b.sh AS sh_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+        FROM cand
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
     )
-    SELECT id_a, id_b,
-           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
-    FROM cand
-    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH {_MH_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,6 +980,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text")
+
+
+@register(
+    "dedup_connected_clusters",
+    oracle=rf"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, d AS r FROM sym
+        UNION
+        SELECT reach.node, sym.d AS r FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    comp AS (
+        SELECT node, LEAST(node, MIN(r)) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster consolidation: near-dup pairs (MinHash LSH) →
+    connected components (iterative min-label propagation,
+    operators/graph.py) → (doc_id, cluster_id, cluster_size). The
+    oracle computes the same components via DuckDB's recursive CTE
+    (transitive closure + min), pinning the iteration's fixpoint."""
+    from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
+    from rs_query_engine_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    return dedup_clusters(pairs)
 
 
 def _simhash_sql(bits: int = 32) -> str:
