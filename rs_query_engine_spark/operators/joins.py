@@ -144,3 +144,60 @@ def range_join_bands(
         how,
     )
     return joined.drop(f["_bucket"]).drop(b["_bucket"])
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` — the Python escape
+    hatch shape (SURVEY §7: custom operators fall back to Pandas-UDF
+    cogroups when DataFrame ops can't express the semantics; this one
+    CAN be expressed JVM-side — see :func:`asof_join` — so the
+    cogrouped variant exists as the reference implementation pattern
+    and is cross-checked against the JVM one in tests).
+
+    Each key's rows from both sides arrive as one pandas pair —
+    ``pd.merge_asof`` does per-key work. Scale shape: one shuffle on
+    the key for each side, Arrow-batched transfer, per-group memory =
+    that key's rows (bounded for time-series keys; salt first for
+    pathological keys)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    by = list(by)
+    r_payload = [c for c in right.columns if c not in by]
+    out_fields = list(left.schema.fields) + [
+        right.schema[c] for c in r_payload
+    ]
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in out_fields]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf.drop(columns=[c for c in by if c in rpdf.columns]).sort_values(
+            right_ts, kind="mergesort"
+        )
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in r_payload:
+                out[c] = None
+            return out[[f.name for f in out_fields]]
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on=right_ts, direction=direction
+        )
+        return merged[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right.groupBy(*by))
+        .applyInPandas(merge, schema=out_schema)
+    )

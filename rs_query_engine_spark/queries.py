@@ -1801,3 +1801,43 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register("agg_approx_distinct")  # no oracle: sketch values are
+# engine-specific by design; the driver records the rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts — the mergeable-
+    sketch aggregate that replaces exact COUNT(DISTINCT) at 100 TB
+    (exact needs a full shuffle of the distinct values; the sketch is
+    a fixed-size register set merged map-side). DuckDB's approx HLL
+    differs numerically, so the exact count rides along for a local
+    sanity bound instead of an oracle hash."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@register(
+    "text_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           + len(regexp_extract_all(text, '[A-Za-z]{5,8}|[A-Za-z]{9,12}|[A-Za-z]{13,16}'))
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE-ish subword-count estimate
+    (functions/text.token_count_bpe_estimate): regex word-piece count
+    plus a long-word correction — the tokenizer-free token budget used
+    by data pipelines when the real tokenizer can't ship cluster-side."""
+    from rs_query_engine_spark.functions.text import token_count_bpe_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_bpe_estimate(F.col("text")).alias("bpe_tokens"))

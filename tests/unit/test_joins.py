@@ -114,3 +114,20 @@ def test_semi_anti(spark):
     assert [r["v"] for r in anti_join(left, right, ["k"]).collect()] == ["y"]
     # semi never duplicates left rows on multi-match
     assert semi_join(left, right, ["k"]).count() == 2
+
+
+def test_asof_cogrouped_matches_jvm(spark):
+    from rs_query_engine_spark.operators.joins import asof_join_cogrouped
+
+    for direction in ("backward", "forward"):
+        jvm = asof_join(
+            _trades(spark), _quotes(spark), by=["sym"], left_ts="tts",
+            right_ts="qts", direction=direction,
+        )
+        py = asof_join_cogrouped(
+            _trades(spark), _quotes(spark), by=["sym"], left_ts="tts",
+            right_ts="qts", direction=direction,
+        )
+        def norm(df):
+            return sorted((r["tid"], r["qts"], r["px"]) for r in df.collect())
+        assert norm(py) == norm(jvm), direction
