@@ -100,3 +100,16 @@ def test_semi_join_broadcasts_small_side(spark):
     df = registry.join_left_semi(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q3_shape_plan_quality(spark):
+    df = registry.tpch_q3_shape(spark, SF_DIR)
+    plan = explain_str(df)
+    # top-10 must not be a global sort
+    assert "TakeOrderedAndProject" in plan
+    # every scan gets its filter pushed
+    assert "IsNotNull(c_mktsegment)" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # the filtered customer dim broadcasts
+    assert "BroadcastHashJoin" in plan
