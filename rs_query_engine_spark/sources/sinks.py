@@ -67,3 +67,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Re-open a written dataset (partition columns come back as
     regular columns; filters on them prune directories)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a BUCKETED managed table (``bucketBy`` + ``sortBy``).
+
+    Bucketing is the 100-TB co-location tool: two tables bucketed on
+    the same key into the same bucket count join WITHOUT a shuffle —
+    the scan's output partitioning already satisfies the join's
+    distribution requirement. Use for fact tables repeatedly joined on
+    the same key; bucket count should be a multiple of cluster
+    parallelism and sized so each bucket file is 100 MB - 1 GB."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -60,3 +60,19 @@ def test_json_roundtrip(spark, small_df, tmp_path):
     back = spark.read.json(path)
     assert back.count() == 4
     assert sorted(r["id"] for r in back.collect()) == [1, 2, 3, 4]
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    from rs_query_engine_spark.sources.sinks import write_bucketed_table
+
+    left = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") % 5)
+    write_bucketed_table(left, "bkt_left", ["id"], 4, sort_cols=["id"])
+    write_bucketed_table(right, "bkt_right", ["id"], 4, sort_cols=["id"])
+    joined = spark.table("bkt_left").join(spark.table("bkt_right"), "id")
+    plan = explain_str(joined)
+    # co-located buckets: the join needs NO exchange on either side
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE bkt_left")
+    spark.sql("DROP TABLE bkt_right")
