@@ -165,3 +165,49 @@ def view_purchase_attribution_stream(
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")),
     ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    state_partitions: int = 8,
+) -> None:
+    """Drive a (bounded) stream into parquet via ``foreachBatch`` —
+    the production sink pattern.
+
+    ``foreachBatch`` hands each micro-batch to ordinary batch-writer
+    code, which is what enables exactly-once file output: the batch id
+    is recorded in the checkpoint, so a retried batch overwrites its
+    own ``_batch_id=N`` partition instead of appending duplicates
+    (idempotent-by-partition). The checkpoint directory is the
+    source-of-truth for restart offsets — at 100 TB it lives on the
+    shared object store next to the output."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

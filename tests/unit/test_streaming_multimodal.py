@@ -95,3 +95,23 @@ def test_sample_frames_flatmap(spark, media_df):
     assert len(by_id[2]) == 3
     assert [r.frame_idx for r in sorted(by_id[2], key=lambda r: r.frame_idx)] == [0, 1, 2]
     assert all(len(r.frame_bytes) <= 8 for r in out)
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = streaming_events.read_events_stream(spark, SF_DIR)
+    counts = stream.groupBy("event_type").count()
+    streaming_events.run_stream_to_parquet(
+        counts, out, ckpt, output_mode="complete"
+    )
+    back = spark.read.parquet(out)
+    # batch truth from the static table
+    from rs_query_engine_spark.sources.corpus import load_table
+    truth = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, SF_DIR, "events").groupBy("event_type").count().collect()
+    }
+    got = {r["event_type"]: r["count"] for r in back.select("event_type", "count").collect()}
+    assert got == truth
+    assert "_batch_id" in back.columns
