@@ -170,7 +170,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    sig = sh_df.select(
+    # docs with no complete shingle share the sentinel signature and
+    # would all collide into one degenerate bucket (and 0/0 Jaccard);
+    # they can never clear a positive threshold, so drop them here
+    sig = sh_df.filter(F.size("_sh") > 0).select(
         "_id", _minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig")
     )
     banded = sig.select(
@@ -234,7 +237,9 @@ def minhash_lsh_pairs(
     cand = b.join(a.join(pairs, "id_a"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
+    # try_divide: defensive against 0/0 if a caller lowers the
+    # threshold to 0 and empty sets reach verification
+    jac = F.try_divide(inter.cast("double"), union)
     return (
         cand.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -284,7 +289,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.array_join(F.slice(tokens(F.col(text_col)), 1, prefix_tokens), " ").alias("_blk"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    )
+    ).filter(F.size("_sh") > 0)  # empty docs all share block "" → degenerate bucket + 0/0 Jaccard
     # bucket by blocking key and pair within buckets (same shape as
     # minhash_lsh_pairs): one shingle pass + one shuffle instead of a
     # self-join that recomputes and reshuffles the shingle projection
@@ -301,7 +306,7 @@ def ngram_jaccard_pairs(
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         pairs.select(
-            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+            "id_a", "id_b", F.try_divide(inter.cast("double"), union).alias("jaccard")
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )

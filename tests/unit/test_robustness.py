@@ -1,0 +1,87 @@
+"""Edge-input hardening: every operator must behave on empty inputs,
+single rows, and degenerate text — the failure modes that surface at
+100 TB as one poisoned partition, not in happy-path demos. Plus the
+pandas-UDF registration surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.engine import Engine
+from rs_query_engine_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash,
+)
+from rs_query_engine_spark.operators.graph import connected_components
+from rs_query_engine_spark.operators.joins import asof_join, range_join_bands
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_empty_and_degenerate_text(spark):
+    d = _docs(
+        spark,
+        [(1, ""), (2, "one two"), (3, "a b c d e f"), (4, "a b c d e f")],
+    )
+    pairs = minhash_lsh_pairs(d, "doc_id", "text").collect()
+    # docs 3/4 identical → one pair at jaccard 1.0; empty/short docs
+    # (no complete 3-gram) must neither crash nor pair with each other
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
+
+
+def test_minhash_signature_empty_text_is_sentinel(spark):
+    d = _docs(spark, [(1, "")])
+    sig = d.select(minhash_signature(F.col("text")).alias("s")).collect()[0]["s"]
+    assert sig == [2**33] * 16
+
+
+def test_minhash_empty_frame(spark):
+    d = _docs(spark, []).filter(F.lit(False))
+    assert minhash_lsh_pairs(d, "doc_id", "text").count() == 0
+
+
+def test_exact_dedup_empty(spark):
+    d = _docs(spark, []).filter(F.lit(False))
+    assert exact_dedup(d, "doc_id", "text").count() == 0
+
+
+def test_simhash_empty_text(spark):
+    d = _docs(spark, [(1, "")])
+    out = d.select(simhash(F.col("text")).alias("h")).collect()
+    assert out[0]["h"] is not None  # defined (split('') → [''], hashable)
+
+
+def test_asof_empty_right(spark):
+    left = spark.createDataFrame([("a", 1, 10)], "k string, ts int, v int")
+    right = spark.createDataFrame([], "k string, rts int, rv int")
+    rows = asof_join(left, right, by=["k"], left_ts="ts", right_ts="rts").collect()
+    assert len(rows) == 1 and rows[0]["rv"] is None
+
+
+def test_range_join_empty_bands(spark):
+    facts = spark.createDataFrame([(1.0,)], "v double")
+    bands = spark.createDataFrame([], "band string, lo double, hi double")
+    assert range_join_bands(facts, bands, "v", "lo", "hi", 10.0).count() == 0
+
+
+def test_connected_components_empty(spark):
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(e).count() == 0
+
+
+def test_register_pandas_udf_sql_and_builder(spark):
+    eng = Engine(spark)
+    eng.register_pandas_udf("double_it", lambda s: s * 2, "double")
+    eng.catalog.register_memory("nums", [(1.0,), (2.5,)], "x double")
+    via_sql = eng.sql("SELECT double_it(x) AS y FROM nums ORDER BY y").collect()
+    assert [r["y"] for r in via_sql] == [2.0, 5.0]
+    via_builder = (
+        eng.table("nums").project(F.expr("double_it(x)").alias("y")).collect()
+    )
+    assert sorted(r["y"] for r in via_builder) == [2.0, 5.0]
