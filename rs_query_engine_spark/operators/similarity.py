@@ -44,9 +44,11 @@ def norm_sq(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL-safe on zero vectors is the caller's
-    concern (corpus embeddings are non-zero)."""
-    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+    """Cosine similarity. Zero vectors yield NULL (``try_divide``)
+    rather than an ANSI divide-by-zero error — NULL similarity sorts
+    last under ``desc`` ranking, so degenerate vectors drop out of
+    top-k naturally (DuckDB division-by-zero likewise yields NULL)."""
+    return F.try_divide(dot(a, b), F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
 
 
 def _as_double(c: Column) -> Column:

@@ -85,3 +85,21 @@ def test_register_pandas_udf_sql_and_builder(spark):
         eng.table("nums").project(F.expr("double_it(x)").alias("y")).collect()
     )
     assert sorted(r["y"] for r in via_builder) == [2.0, 5.0]
+
+
+def test_cosine_zero_vector_is_null_not_error(spark):
+    from rs_query_engine_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    rows = brute_force_topk(corpus, queries, k=3).collect()
+    by_vec = {r["vec_id"]: r["cos"] for r in rows}
+    assert by_vec[2] is None  # zero vector → NULL, no crash
+    # NULL ranks last: top hit is the exact match
+    top = min(rows, key=lambda r: r["rnk"])
+    assert top["vec_id"] == 1 and abs(top["cos"] - 1.0) < 1e-12
