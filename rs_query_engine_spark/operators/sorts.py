@@ -47,3 +47,18 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def sample_fraction(df, fraction: float, seed: int = 42, with_replacement: bool = False):
+    """Bernoulli row sampling (``TABLESAMPLE``) — map-only, no shuffle;
+    each partition samples independently, so it scales to any input.
+    Deterministic per (seed, partitioning) but NOT portable across
+    engines — validated by distribution tests, not the value oracle."""
+    return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+
+
+def sample_stratified(df, strata_col: str, fractions: dict, seed: int = 42):
+    """Stratified sampling (``sampleBy``): per-stratum Bernoulli rates
+    — the eval-set builder for imbalanced corpora (e.g. keep 100% of a
+    rare language, 1% of the head). Map-only like sample_fraction."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -103,3 +103,21 @@ def test_cosine_zero_vector_is_null_not_error(spark):
     # NULL ranks last: top hit is the exact match
     top = min(rows, key=lambda r: r["rnk"])
     assert top["vec_id"] == 1 and abs(top["cos"] - 1.0) < 1e-12
+
+
+def test_sampling_deterministic_and_bounded(spark):
+    from rs_query_engine_spark.operators.sorts import (
+        sample_fraction,
+        sample_stratified,
+    )
+
+    df = spark.range(0, 10000).withColumn("s", (F.col("id") % 2 == 0).cast("string"))
+    a = sample_fraction(df, 0.1, seed=7).count()
+    b = sample_fraction(df, 0.1, seed=7).count()
+    assert a == b  # deterministic for fixed seed + partitioning
+    assert 700 < a < 1300  # ~10%
+
+    strat = sample_stratified(df, "s", {"true": 0.5, "false": 0.01}, seed=7)
+    counts = {r["s"]: r["count"] for r in strat.groupBy("s").count().collect()}
+    assert 2000 < counts["true"] < 3000  # ~50% of 5000
+    assert counts.get("false", 0) < 200  # ~1% of 5000
