@@ -36,6 +36,27 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # Steady-state measurement: additionally run every query once at
+    # the smallest scale factor. A query's generated code is identical
+    # across scale factors (same plan shape), so this warms whole-stage
+    # codegen + JVM JIT for a few seconds of tiny-data work, and the
+    # timed section below then measures data-proportional cost instead
+    # of attributing one-time session compilation to whichever query
+    # happens to sort first.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    # Streaming queries are excluded: their cost is stream startup +
+    # state-store provisioning (not codegen), and every extra run in a
+    # session ADDS state-store/listener machinery — warming them makes
+    # the timed run slower, not faster (measured).
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name, fn in sorted(qs.items()):
+            if name.startswith("stream_"):
+                continue
+            try:
+                fn(spark, warm_dir).count()
+            except Exception as exc:  # never let warmup mask the timed run
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -48,10 +48,23 @@ def connected_components(
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = sym.localCheckpoint()
 
+    # Size the iteration's partitioning to the materialized edge count
+    # (known after the checkpoint; counting checkpointed data is
+    # metadata-cheap). Near-dup edge lists are tiny relative to the
+    # corpus — without this, every round inherits the corpus-sized
+    # partition count and pays per-task scheduling + checkpoint-block
+    # overhead far exceeding the actual work (measured 2.5× round
+    # latency at sf0.1). coalesce never *increases* partitions, so a
+    # genuinely large edge list keeps its parallelism.
+    n_edges = sym.count()
+    p = max(1, int(n_edges // 1_000_000) + 1)
+    sym = sym.coalesce(p).localCheckpoint()
+
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .coalesce(p)
         .localCheckpoint()
     )
 
@@ -71,7 +84,7 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("n_comp") < F.col("comp")).alias("_changed"),
             )
-        ).localCheckpoint()
+        ).coalesce(p).localCheckpoint()
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

@@ -304,13 +304,17 @@ def join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key equi-join — mirrors the reference's (id, name) two-key
     join test (``src/physical_plan/nested_loop_join.rs:233-241``) at
-    corpus scale, with correct duplicate-key semantics. Both sides are
-    partitioned on the same keys so the shuffle is shared; AQE converts
-    to broadcast when the aggregated side is small."""
+    corpus scale, with correct duplicate-key semantics. Both sides
+    shuffle on the same keys; the aggregated side is fact-table-sized
+    (near-unique keys) so broadcast would be wrong at scale — instead a
+    shuffle-hash hint skips both sort-merge sorts (the per-partition
+    hash build is |lineitem|/numPartitions, which fits executor memory
+    at any scale with adequately sized shuffle partitions; AQE still
+    splits skewed partitions)."""
     li = _t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_orderkey", "l_linenumber").agg(F.max("l_quantity").alias("max_qty"))
     a = li.filter(F.col("l_quantity") > 45)
-    return a.join(agg, ["l_orderkey", "l_linenumber"]).select(
+    return a.join(agg.hint("shuffle_hash"), ["l_orderkey", "l_linenumber"]).select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_extendedprice").alias("price"),
