@@ -62,3 +62,43 @@ def sample_stratified(df, strata_col: str, fractions: dict, seed: int = 42):
     — the eval-set builder for imbalanced corpora (e.g. keep 100% of a
     rare language, 1% of the head). Map-only like sample_fraction."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def _hash_pct(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 100) from an md5 content hash —
+    engine-portable (DuckDB: ``('0x'||substr(md5(x),1,8))::BIGINT %
+    100``), unlike Spark's seeded RNG whose stream depends on
+    partitioning. Salting rotates the sample without touching the
+    keyspace (different salt → independent-ish sample)."""
+    k = F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
+    return F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("bigint") % 100
+
+
+def sample_hash(df: DataFrame, key: Column, rate_pct: int, salt: str = "") -> DataFrame:
+    """Content-hash Bernoulli sampling: keep rows whose md5(key) lands
+    in the first ``rate_pct`` of 100 buckets.
+
+    This is the reproducible-sampling idiom for large pipelines:
+    map-only (no shuffle, no RNG state), stable under repartitioning /
+    re-runs / engine changes, and consistent across tables — sampling
+    two tables by the same join key yields join-consistent samples.
+    Prefer this over :func:`sample_fraction` whenever the sample must
+    be auditable or re-derivable."""
+    return df.filter(_hash_pct(key, salt) < rate_pct)
+
+
+def sample_stratified_hash(
+    df: DataFrame,
+    strata_col: str,
+    key: Column,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum content-hash sampling: each stratum keeps its own
+    hash-bucket threshold (e.g. 100% of a rare class, 2% of the head).
+    Same map-only/deterministic properties as :func:`sample_hash`."""
+    thr = F.lit(default_pct)
+    for value, pct in rates_pct.items():
+        thr = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(thr)
+    return df.filter(_hash_pct(key, salt) < thr)

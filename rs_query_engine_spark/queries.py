@@ -440,6 +440,60 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_hash_bernoulli",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 8))::BIGINT
+          % 100 < 5
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% Bernoulli sample via content hashing
+    (operators/sorts.sample_hash) — the reproducible eval-set builder:
+    map-only (the filter reaches the scan), stable under
+    repartitioning and engine changes (md5 of the row key, not a
+    seeded RNG stream), so the same rows are kept on any cluster at
+    any scale. The RNG-based ``sample_fraction`` twin is
+    distribution-tested instead (not value-portable)."""
+    from rs_query_engine_spark.operators.sorts import sample_hash
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", "l_orderkey", "l_linenumber")
+    return sample_hash(li, key, 5).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE event_type WHEN 'purchase' THEN 100
+                            WHEN 'error'    THEN 25
+                            WHEN 'view'     THEN 10
+                            ELSE 2 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum content-hash sampling over an imbalanced event log:
+    keep 100% of purchases, 25% of errors, 10% of views, 2% of the
+    rest — the imbalanced-corpus eval-set recipe (keep all of the rare
+    class). Map-only like sample_hash_bernoulli; thresholds compile to
+    a CASE inside the scan filter."""
+    from rs_query_engine_spark.operators.sorts import sample_stratified_hash
+
+    ev = _t(spark, sf_dir, "events")
+    return sample_stratified_hash(
+        ev,
+        "event_type",
+        F.col("event_id"),
+        {"purchase": 100, "error": 25, "view": 10},
+        default_pct=2,
+    ).select("event_id", "event_type", "value")
+
+
+@register(
     "distinct_pairs",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )

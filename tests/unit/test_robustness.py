@@ -121,3 +121,34 @@ def test_sampling_deterministic_and_bounded(spark):
     counts = {r["s"]: r["count"] for r in strat.groupBy("s").count().collect()}
     assert 2000 < counts["true"] < 3000  # ~50% of 5000
     assert counts.get("false", 0) < 200  # ~1% of 5000
+
+
+def test_hash_sampling_deterministic_and_join_consistent(spark):
+    from rs_query_engine_spark.operators.sorts import (
+        sample_hash,
+        sample_stratified_hash,
+    )
+
+    df = spark.range(0, 10000).withColumn("s", (F.col("id") % 2 == 0).cast("string"))
+    a = sample_hash(df, F.col("id"), 10)
+    # deterministic across invocations AND repartitioning (content
+    # hash, not an RNG stream over partitions)
+    ids_a = {r["id"] for r in a.collect()}
+    ids_b = {r["id"] for r in sample_hash(df.repartition(7), F.col("id"), 10).collect()}
+    assert ids_a == ids_b
+    assert 700 < len(ids_a) < 1300  # ~10%
+    # nested rates: the 5% sample is a subset of the 10% sample
+    ids_5 = {r["id"] for r in sample_hash(df, F.col("id"), 5).collect()}
+    assert ids_5 <= ids_a
+    # join-consistency: sampling another table by the same key keeps
+    # exactly the matching rows — the property RNG sampling lacks
+    other = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    ids_other = {r["id"] for r in sample_hash(other, F.col("id"), 10).collect()}
+    assert ids_other == ids_a
+
+    strat = sample_stratified_hash(
+        df, "s", F.col("id"), {"true": 100, "false": 2}, default_pct=0
+    )
+    counts = {r["s"]: r["count"] for r in strat.groupBy("s").count().collect()}
+    assert counts["true"] == 5000  # keep ALL of the "rare" class
+    assert counts.get("false", 0) < 250  # ~2% of 5000
