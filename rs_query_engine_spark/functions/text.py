@@ -153,3 +153,59 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(k > 0, F.slice(sh, 1, k)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def chunk_spans(
+    text: Column | str, chunk_size: int = 50, stride: int = 40
+) -> Column:
+    """Fixed-size token chunks with overlap — the training-data
+    chunker. Returns ``array<struct<chunk_start,n_tokens,chunk_text>>``
+    with 1-based token offsets every ``stride`` tokens (overlap =
+    ``chunk_size - stride``); the tail chunk may be short.
+
+    Pure array built-ins (sequence/slice/array_join) over one token
+    array — no shuffle, no UDF; explode downstream to get one row per
+    chunk. Oracle-portable: DuckDB ``generate_series`` + ``list_slice``
+    produce the identical spans."""
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.size(F.slice(toks, s, chunk_size)).alias("n_tokens"),
+            F.array_join(F.slice(toks, s, chunk_size), " ").alias("chunk_text"),
+        ),
+    )
+
+
+def tfidf_topk_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-``k`` characteristic terms per document by tf-idf (linear
+    idf = N/df — log-free so the score is a single exact IEEE division,
+    bit-reproducible across engines; the ranking is idf-monotone
+    either way).
+
+    Plan shape: explode → partial+final count per (doc, term) → term
+    document-frequency agg → join (vocabulary side broadcast when
+    small, AQE decides) → per-doc window rank. Shuffles are on
+    (doc, term), term, then doc — each the minimal key for its step.
+
+    Returns (id, term, score, rnk), rnk ≤ k, ties broken by term."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(ndocs))
+        .withColumn("score", (F.col("tf") * F.col("n")).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "score", "rnk")
+    )

@@ -935,6 +935,81 @@ def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_chunking",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           s AS chunk_start,
+           len(list_slice(toks, s, s + 49)) AS n_tokens,
+           array_to_string(list_slice(toks, s, s + 49), ' ') AS chunk_text
+    FROM t, LATERAL unnest(generate_series(1, greatest(len(toks), 1), 40)) AS g(s)
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunker: fixed 50-token chunks every 40 tokens
+    (10-token overlap), one output row per chunk via explode. The
+    chunk spans are built with array built-ins in a single map-only
+    projection — no shuffle, no UDF — so chunking 100 TB is scan-bound.
+    Spark ``sequence``+``slice`` and DuckDB ``generate_series``+
+    ``list_slice`` (both end-inclusive) produce identical spans."""
+    from rs_query_engine_spark.functions.text import chunk_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(chunk_spans(F.col("text"), chunk_size=50, stride=40)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n FROM documents
+    )
+    SELECT doc_id, term,
+           CAST(tf * n AS DOUBLE) / df AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(tf * n AS DOUBLE) / df DESC, term
+           ) AS rnk
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    QUALIFY rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf with linear
+    idf (= N/df): the score is one exact integer product and one IEEE
+    division, so Spark and DuckDB agree bit-for-bit (log-idf would
+    rank identically but diverge in the last ulp). Plan: explode →
+    (doc,term) count → vocabulary df agg → join (vocab side broadcast
+    when small) → per-doc window top-k; each shuffle is on the
+    minimal key for its step."""
+    from rs_query_engine_spark.functions.text import tfidf_topk_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, "doc_id", "text", k=3)
+
+
 # =====================================================================
 # Extensions — deduplication over `documents` (north-star M2.4/dedup)
 # =====================================================================
@@ -1515,6 +1590,39 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.col("l_quantity").cast(D_PRICE)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-flag totals, per-status totals, and
+    the grand total in ONE pass (rollup/cube are special cases; this is
+    the general form). Spark expands the sets map-side before a single
+    shuffle — same cost profile as a plain groupBy times the set
+    count, never N separate scans."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
         .agg(
             F.grouping_id().alias("gid"),
             F.sum(F.col("l_quantity").cast(D_PRICE)).cast("double").alias("sum_qty"),

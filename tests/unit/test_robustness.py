@@ -152,3 +152,80 @@ def test_hash_sampling_deterministic_and_join_consistent(spark):
     counts = {r["s"]: r["count"] for r in strat.groupBy("s").count().collect()}
     assert counts["true"] == 5000  # keep ALL of the "rare" class
     assert counts.get("false", 0) < 250  # ~2% of 5000
+
+
+def test_chunk_spans_edges(spark):
+    from rs_query_engine_spark.functions.text import chunk_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens → chunks at 1, 4 (size 3, stride 3... see call)
+            (2, "x"),               # single token → one chunk
+            (3, ""),                # empty → split('') = [''] → one 1-token chunk
+        ],
+        "id long, text string",
+    )
+    rows = (
+        df.select("id", F.explode(chunk_spans("text", chunk_size=3, stride=2)).alias("c"))
+        .select("id", "c.chunk_start", "c.n_tokens", "c.chunk_text")
+        .collect()
+    )
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["chunk_start"], r["n_tokens"], r["chunk_text"]))
+    # 7 tokens, size 3, stride 2 → starts 1,3,5,7; tail chunk short
+    assert by_id[1] == [
+        (1, 3, "a b c"),
+        (3, 3, "c d e"),
+        (5, 3, "e f g"),
+        (7, 1, "g"),
+    ]
+    assert by_id[2] == [(1, 1, "x")]
+    assert by_id[3] == [(1, 1, "")]
+    # overlap property: consecutive chunks share size-stride tokens
+    assert by_id[1][0][2].split()[2:] == by_id[1][1][2].split()[:1]
+
+
+def test_chunking_is_map_only(spark):
+    """The chunker must never shuffle — scan-bound at 100 TB."""
+    from rs_query_engine_spark.functions.text import chunk_spans
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        df.select("doc_id", F.explode(chunk_spans("text")).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_l2_normalize(spark):
+    from rs_query_engine_spark.operators.similarity import dot, l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>"
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        l2_normalize(F.col("v")).alias("u"),
+        dot(l2_normalize(F.col("v")), l2_normalize(F.col("v"))).alias("unit"),
+    ).collect()}
+    assert rows[1]["u"] == [0.6, 0.8]
+    assert abs(rows[1]["unit"] - 1.0) < 1e-12
+    # zero vector → NULL elements, never a divide error
+    assert rows[2]["u"] == [None, None]
+
+
+def test_tfidf_topk_terms(spark):
+    from rs_query_engine_spark.functions.text import tfidf_topk_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry durian")],
+        "id long, text string",
+    )
+    rows = tfidf_topk_terms(df, "id", "text", k=1).collect()
+    best = {r["id"]: r["term"] for r in rows}
+    # doc 1: apple tf=2,df=1 → 6.0 beats banana 1*3/2=1.5
+    # doc 2: banana and cherry tie at 1.5 → term-order tiebreak → banana
+    # doc 3: durian df=1 → 3.0 beats cherry 1.5
+    assert best == {1: "apple", 2: "banana", 3: "durian"}
+    assert all(r["rnk"] == 1 for r in rows)
