@@ -75,7 +75,10 @@ def test_minhash_shuffle_carries_ids_only(spark):
     plan = explain_str(df)
     assert "collect_list(_id" in plan
     assert "collect_list(docs" not in plan and "collect_list(struct" not in plan
-    assert "documents.parquet" in plan
+    # the staged shingle projection is localCheckpoint-ed (computed
+    # once, shared by signature + both verification joins), so the
+    # pipeline's leaves are checkpoint scans, not three parquet rescans
+    assert "ExistingRDD" in plan and "documents.parquet" not in plan
 
 
 def test_range_join_is_equi_not_nested_loop(spark):
