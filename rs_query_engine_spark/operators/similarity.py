@@ -65,13 +65,30 @@ def brute_force_topk(
     query_vec: str = "query_vec",
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast queries × corpus,
-    cosine, window rank. Returns (query_id, vec_id, cos, rnk≤k)."""
-    c = spread(corpus).select(F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v"))
-    q = queries.select(F.col(query_id), _as_double(F.col(query_vec)).alias("_qv"))
+    cosine, window rank. Returns (query_id, vec_id, cos, rnk≤k).
+
+    Each side's norm is staged in its pre-join projection, so norm
+    folds run once per VECTOR, not once per pair (the pair expression
+    is then one dot fold + one multiply + one divide — identical FP
+    ops in the same order as ``cosine()``, so results are
+    bit-identical). Projections below a join are never inlined across
+    it, which is what pins the staging."""
+    c = spread(corpus).select(
+        F.col(corpus_id),
+        _as_double(F.col(corpus_vec)).alias("_v"),
+        F.sqrt(norm_sq(_as_double(F.col(corpus_vec)))).alias("_n"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        _as_double(F.col(query_vec)).alias("_qv"),
+        F.sqrt(norm_sq(_as_double(F.col(query_vec)))).alias("_qn"),
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id,
         corpus_id,
-        cosine(F.col("_v"), F.col("_qv")).alias("cos"),
+        F.try_divide(dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn")).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return (
@@ -92,21 +109,30 @@ def assign_centroids(
     cosine, deterministic centroid-id tiebreak). Centroids are
     broadcast; at scale the result is *written bucketed by
     centroid_id* so probes prune partitions."""
-    c = spread(corpus).select(F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v"))
+    c = spread(corpus).select(
+        F.col(corpus_id),
+        _as_double(F.col(corpus_vec)).alias("_v"),
+        F.sqrt(norm_sq(_as_double(F.col(corpus_vec)))).alias("_n"),
+    )
     cent = centroids.select(
-        F.col(centroid_id), _as_double(F.col(centroid_vec)).alias("_cv")
+        F.col(centroid_id),
+        _as_double(F.col(centroid_vec)).alias("_cv"),
+        F.sqrt(norm_sq(_as_double(F.col(centroid_vec)))).alias("_cn"),
     )
     scored = c.crossJoin(F.broadcast(cent)).select(
         corpus_id,
         "_v",
+        "_n",
         centroid_id,
-        cosine(F.col("_v"), F.col("_cv")).alias("_cc"),
+        F.try_divide(dot(F.col("_v"), F.col("_cv")), F.col("_n") * F.col("_cn")).alias(
+            "_cc"
+        ),
     )
     w = Window.partitionBy(corpus_id).orderBy(F.col("_cc").desc(), F.col(centroid_id))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(corpus_id, "_v", centroid_id)
+        .select(corpus_id, "_v", "_n", centroid_id)
     )
 
 
@@ -130,11 +156,18 @@ def ivf_topk(
     )
     q_assigned = assign_centroids(
         queries, centroids, query_id, query_vec, centroid_id, centroid_vec
-    ).select(F.col(query_id), F.col("_v").alias("_qv"), F.col(centroid_id))
+    ).select(
+        F.col(query_id),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        F.col(centroid_id),
+    )
     scored = assigned.join(F.broadcast(q_assigned), centroid_id).select(
         query_id,
         corpus_id,
-        cosine(F.col("_v"), F.col("_qv")).alias("cos"),
+        F.try_divide(dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn")).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return (

@@ -1241,15 +1241,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (sampled 1-in-10 blocking for
     the oracle's O(n²) side; at scale the same check runs behind LSH/
     IVF candidate generation instead of all-pairs). Cosine is spelled
-    as the same sequential fold on both sides — bit-identical."""
-    from rs_query_engine_spark.operators.similarity import cosine
+    as the same sequential fold on both sides — bit-identical; each
+    side's norm is staged in its pre-join projection (norm folds per
+    VECTOR, not per pair — same FP ops in the same order)."""
+    from rs_query_engine_spark.operators.similarity import dot, norm_sq
 
     e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
     s = e.filter(F.col("vec_id") % 10 == 0).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", v.alias("v"), F.sqrt(norm_sq(v)).alias("n")
     )
     a, b = s.alias("a"), s.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = F.try_divide(
+        dot(F.col("a.v"), F.col("b.v")), F.col("a.n") * F.col("b.n")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
