@@ -39,10 +39,29 @@ def top_k_per_group(
     order_exprs: list[Column],
     k: int,
     rank_col: str = "rn",
+    partial: bool = False,
 ) -> DataFrame:
     """Top-k rows per group via ROW_NUMBER window + filter. One shuffle
-    on the group key; rank computed within partitions."""
+    on the group key; rank computed within partitions.
+
+    ``partial=True`` prepends a per-input-partition top-k pass keyed by
+    (spark_partition_id, group): every local top-k is a superset of the
+    group's global top-k, so results are identical, but the final
+    (group-keyed) sort sees ≤ k·num_partitions rows per group instead
+    of ALL of them. Use when group cardinality is far below
+    parallelism (e.g. 3 groups on a 1000-executor cluster — the plain
+    window serializes into 3 sort tasks); costs one extra shuffle, so
+    leave off for high-cardinality groups."""
     w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    if partial:
+        wl = Window.partitionBy(F.spark_partition_id(), *group_cols).orderBy(
+            *order_exprs
+        )
+        df = (
+            df.withColumn("_local_rn", F.row_number().over(wl))
+            .filter(F.col("_local_rn") <= k)
+            .drop("_local_rn")
+        )
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)

@@ -1811,6 +1811,29 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) of
+    events by (user_id, event_type), driven to a memory sink. The
+    watermark horizon exceeds the bounded corpus span, so the stream's
+    first-per-key output projected to the key equals batch DISTINCT —
+    an exact oracle for a stateful streaming operator. At scale the
+    horizon bounds the state store; see streaming/events.dedup_stream."""
+    from rs_query_engine_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = dedup_stream(ev, ["user_id", "event_type"])
+    res = run_stream_to_memory(out, "stream_dedup_events", output_mode="append")
+    return res.select("user_id", "event_type").distinct()
+
+
+@register(
     "agg_percentiles_distinct",
     oracle="""
     SELECT l_returnflag,

@@ -211,3 +211,19 @@ def run_stream_to_parquet(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "90 days"
+) -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST event per key,
+    expiring key state once event time passes ``watermark`` — the
+    streaming twin of ``SELECT DISTINCT``/``dropDuplicates``.
+
+    ``dropDuplicatesWithinWatermark`` bounds the state store by keys
+    seen within the watermark horizon (plain ``dropDuplicates`` on a
+    stream grows state forever); at 100 TB/day the horizon — not the
+    corpus — sizes the cluster's state. With a horizon wider than a
+    bounded input, the result is exactly batch DISTINCT on the keys,
+    which is what the oracle checks."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

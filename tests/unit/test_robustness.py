@@ -229,3 +229,20 @@ def test_tfidf_topk_terms(spark):
     # doc 3: durian df=1 → 3.0 beats cherry 1.5
     assert best == {1: "apple", 2: "banana", 3: "durian"}
     assert all(r["rnk"] == 1 for r in rows)
+
+
+def test_topk_per_group_partial_equivalence(spark):
+    """partial=True must return exactly the plain window's rows —
+    local top-k is a superset of global top-k under any partitioning."""
+    from rs_query_engine_spark.operators.sorts import top_k_per_group
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("g", (F.col("id") % 3).cast("string"))
+        .withColumn("v", F.col("id") * 37 % 1001)
+        .repartition(13)
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    plain = top_k_per_group(df, ["g"], order, 5)
+    part = top_k_per_group(df, ["g"], order, 5, partial=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, part.collect()))
