@@ -1450,6 +1450,78 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(payloads)
 
 
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id AS id,
+           CAST((off - 1) / 64 AS INT) AS frame_idx,
+           md5(substr(text, off, 16)) AS frame_md5
+    FROM t, LATERAL unnest(generate_series(1, length(text), 64)) AS g(off)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the multimodal plumbing: a
+    1→N flatMap over binary payloads inside ``mapInPandas`` (one
+    16-byte frame every 64 bytes). Payloads are utf-8 text (ASCII
+    corpus), so DuckDB reproduces each frame via substr and the md5 of
+    the frame bytes is value-checked — the Arrow batch shape, schema,
+    and offset math are all pinned, while a real deployment swaps only
+    the in-Python slice for an ffmpeg call."""
+    from rs_query_engine_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(payloads, every_n_bytes=64, frame_bytes=16).select(
+        "id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=rf"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, d AS r FROM sym
+        UNION
+        SELECT reach.node, sym.d AS r FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    drop_list AS (
+        SELECT node FROM (
+            SELECT node, LEAST(node, MIN(r)) AS cluster_id
+            FROM reach GROUP BY node
+        ) WHERE node <> cluster_id
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM drop_list)
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline END-TO-END: MinHash-LSH pairs → connected
+    components → drop every cluster member except the canonical
+    (min-id) doc — i.e. the deduplicated corpus a training run would
+    actually consume. The drop list is tiny (cluster members only), so
+    the final filter is a broadcast anti-join against the full corpus
+    scan — at 100 TB the corpus is never shuffled."""
+    from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
+    from rs_query_engine_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
 # =====================================================================
 # Extensions — advanced joins, grouping, subqueries, pivot (SURVEY §2.6)
 # =====================================================================
