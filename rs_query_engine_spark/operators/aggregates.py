@@ -74,3 +74,22 @@ def count_distinct(expr: Column | str, name: str | None = None) -> Column:
     """COUNT(DISTINCT col) — beyond-reference (SURVEY §2.6)."""
     out = F.count_distinct(_c(expr))
     return out.alias(name) if name else out
+
+
+def pandas_udaf(fn, return_type: str):
+    """Wrap a pandas ``Series -> scalar`` function as a GROUPED_AGG
+    pandas UDF — the Arrow-batched analogue of the reference's
+    ``AggrOperator`` accumulator contract
+    (``src/physical_plan/aggr/mod.rs:22-32``) for aggregates the
+    built-ins can't express.
+
+    Scale caveat (why built-ins always win when available): a grouped-
+    agg pandas UDF is NOT partially aggregated — every group's full
+    value list shuffles to one executor before Python sees it, whereas
+    built-in aggregates combine map-side. Use for genuinely custom
+    math on groups of bounded size."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: plain callables/lambdas carry no type
+    # hints for Spark to infer Series→scalar (grouped-agg) from
+    return pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)

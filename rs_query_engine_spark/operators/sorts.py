@@ -121,3 +121,20 @@ def sample_stratified_hash(
     for value, pct in rates_pct.items():
         thr = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(thr)
     return df.filter(_hash_pct(key, salt) < thr)
+
+
+def sample_fixed_size(df: DataFrame, key: Column, n: int, salt: str = "") -> DataFrame:
+    """Deterministic fixed-SIZE sample: the n rows whose content hash
+    is smallest (``ORDER BY md5-bucket LIMIT n`` → Catalyst's
+    TakeOrderedAndProject: per-partition heap + driver merge, never a
+    full sort-shuffle). The fixed-RATE twin is :func:`sample_hash`;
+    this one guarantees exact output cardinality (eval sets, debug
+    slices) while staying reproducible across engines and runs.
+    Hash ties are broken by the key itself for total determinism."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string"))
+    return (
+        df.withColumn("_smp", h)
+        .orderBy(F.col("_smp"), key)
+        .limit(n)
+        .drop("_smp")
+    )

@@ -494,6 +494,64 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_fixed_size",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice,
+               md5(CAST(o_orderkey AS VARCHAR)) AS smp
+        FROM orders
+        ORDER BY smp, o_orderkey
+        LIMIT 500
+    )
+    """,
+)
+def sample_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-SIZE sample: the 500 orders with smallest
+    content hash — exact cardinality (unlike rate-based sampling) yet
+    reproducible across runs/engines. Plan is TakeOrderedAndProject:
+    per-partition heaps + driver merge, no global sort shuffle, so it
+    holds at any corpus size."""
+    from rs_query_engine_spark.operators.sorts import sample_fixed_size as sfs
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return sfs(o, F.col("o_orderkey"), 500)
+
+
+@register(
+    "agg_pandas_udaf_range",
+    oracle="""
+    SELECT l_returnflag,
+           MAX(l_extendedprice) - MIN(l_extendedprice) AS price_range,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pandas_udaf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas UDF (max−min spread per
+    group) — the Arrow-batched analogue of the reference's
+    ``AggrOperator`` contract for aggregates built-ins can't express.
+    The UDF result is two exact doubles and one subtraction, so it
+    value-matches the oracle. Spark forbids mixing grouped-agg pandas
+    UDFs with JVM aggregates in one ``agg``, so the row count is a
+    second pandas UDAF. (Scale note in
+    operators/aggregates.pandas_udaf: grouped-agg UDFs skip partial
+    aggregation — keep them off unbounded groups.)"""
+    from rs_query_engine_spark.operators.aggregates import pandas_udaf
+
+    spread_udaf = pandas_udaf(lambda s: s.max() - s.min(), "double")
+    count_udaf = pandas_udaf(lambda s: s.size, "long")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            spread_udaf(F.col("l_extendedprice")).alias("price_range"),
+            count_udaf(F.col("l_extendedprice")).alias("n"),
+        )
+    )
+
+
+@register(
     "distinct_pairs",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
