@@ -751,6 +751,95 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gap_fill",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+               CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+        FROM events
+    ), days AS (
+        SELECT CAST(g.d AS DATE) AS day
+        FROM span, LATERAL unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g(d)
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), counts AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT days.day, types.event_type, COALESCE(counts.n, 0) AS n
+    FROM days CROSS JOIN types
+    LEFT JOIN counts USING (day, event_type)
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: daily counts per event type with missing
+    (day, type) combinations zero-filled — the densify step before
+    charting/forecasting. The day scaffold is built with
+    ``sequence``+``explode`` from the corpus span (a 1-row aggregate,
+    broadcast), so the only real shuffle is the daily count; the
+    scaffold join is broadcast at any corpus size because its
+    cardinality is days × types, not rows."""
+    e = _t(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("d0"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    counts = (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(days)
+        .crossJoin(types)
+        .join(counts, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_view) AS n_viewers,
+           COUNT(CASE WHEN first_purchase > first_view THEN 1 END) AS n_converted
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (view → later purchase) via
+    conditional MIN aggregation — one shuffle on user_id, no self-join
+    (the naive events⋈events per-user pair join explodes quadratically
+    in events-per-user; conditional aggregation is the scale-correct
+    funnel idiom)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewers"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_view"), F.lit(1))
+        ).alias("n_converted"),
+    )
+
+
+@register(
     "string_functions",
     oracle="""
     SELECT p_partkey,

@@ -116,3 +116,12 @@ def test_q3_shape_plan_quality(spark):
     assert "GreaterThan(l_shipdate" in plan
     # the filtered customer dim broadcasts
     assert "BroadcastHashJoin" in plan
+
+
+def test_fixed_size_sample_is_take_ordered(spark):
+    # ORDER BY hash LIMIT n must compile to TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a global Sort exchange
+    df = registry.sample_fixed_size(spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
