@@ -89,3 +89,32 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files and return the output file count.
+
+    The small-files problem is THE operational failure mode of
+    long-running ingestion at scale (every file costs a task + NN/
+    listing metadata; streaming sinks emit one file per trigger per
+    partition). Sizing uses the source's on-disk bytes (file-index
+    metadata, no data read); the rewrite is one round-robin shuffle —
+    at 100 TB run it per partition-directory, not corpus-wide."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n).write.mode("overwrite").parquet(dst_path)
+    return n

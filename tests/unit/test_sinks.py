@@ -76,3 +76,29 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert joined.count() == 1000
     spark.sql("DROP TABLE bkt_left")
     spark.sql("DROP TABLE bkt_right")
+
+
+def test_compact_files(spark, tmp_path):
+    from rs_query_engine_spark.sources.sinks import compact_files
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # 40 tiny files — the streaming-sink pathology
+    spark.range(0, 40000).repartition(40).write.parquet(src)
+    import os
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src == 40
+    compact_files(spark, src, dst, target_file_bytes=10**9)
+    n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_dst == 1
+    # content preserved
+    assert spark.read.parquet(dst).count() == 40000
+
+
+def test_union_by_name_schema_evolution(spark):
+    from rs_query_engine_spark.operators.setops import union_by_name
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    out = union_by_name(old, new).orderBy("id").collect()
+    assert [tuple(r) for r in out] == [(1, "a", None), (2, "b", 9.5)]
