@@ -93,3 +93,42 @@ def pandas_udaf(fn, return_type: str):
     # explicit functionType: plain callables/lambdas carry no type
     # hints for Spark to infer Series→scalar (grouped-agg) from
     return pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+
+
+def profile_columns(df, cols: list[str]):
+    """Data-quality profile: one row per column with count / null
+    count / distinct count / min / max (min/max stringified so mixed
+    types stack into one table) — the pre-ingest audit step of a data
+    pipeline.
+
+    ONE aggregation pass over the input computes every column's
+    metrics (multiple count_distincts expand the agg, which is fine
+    for a bounded column list); the per-column rows are then exploded
+    from the single 1-row result, so input size only affects the scan
+    + one agg, never the reshape."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

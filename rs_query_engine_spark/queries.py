@@ -840,6 +840,83 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week) / 7
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted distinct in each subsequent week — the cohort matrix
+    behind every retention chart. Two shuffles (first-touch agg on
+    user_id, then the cohort×offset distinct count); the first-touch
+    side carries one row per user, so the join broadcasts at low user
+    cardinality and hash-joins co-partitioned otherwise."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts").cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "profile_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS "column", COUNT(*) AS n,
+           COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS VARCHAR) AS min_str,
+           CAST(MAX(l_quantity) AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*),
+           COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END),
+           COUNT(DISTINCT l_returnflag),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*),
+           COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END),
+           COUNT(DISTINCT l_shipdate),
+           CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (count/nulls/distincts/min/max per column)
+    in ONE aggregation pass over the scan — the oracle spells it as
+    three scans ∪ ALL; the engine's operator
+    (aggregates.profile_columns) reshapes a single 1-row aggregate, so
+    profiling N columns of a 100 TB table costs one scan, not N."""
+    from rs_query_engine_spark.operators.aggregates import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_quantity", "l_returnflag", "l_shipdate"])
+
+
+@register(
     "string_functions",
     oracle="""
     SELECT p_partkey,
