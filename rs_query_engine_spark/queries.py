@@ -1901,6 +1901,76 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram (fixed-width price buckets) — one partial+final
+    hash agg on the bucket expression; the bucket is one IEEE division
+    + floor, identical on both engines (DuckDB has no width_bucket, so
+    the portable floor spelling IS the operator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sx2 - sx * sx) / (n * (n - 1.0)) AS var_samp,
+           sqrt((n * sx2 - sx * sx) / (n * (n - 1.0))) AS stddev_samp
+    FROM s
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev with EXACT sufficient statistics: Σx and
+    Σx² are decimal-exact (the corpus grid makes x and x·x exact
+    decimals), so the only float ops are the final closed-form — the
+    same 6 IEEE ops on both engines, bit-identical. Built-in
+    stddev_samp uses an engine-specific streaming update order and
+    cannot hash-match; the decimal-sufficient-statistics spelling is
+    also the mergeable map-side form a distributed engine wants."""
+    d = F.col("l_quantity").cast(D_PRICE)
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(d).cast("double").alias("sx"),
+            F.sum(d * d).cast("double").alias("sx2"),
+        )
+    )
+    var = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * (F.col("n") - F.lit(1.0))
+    )
+    return s.select(
+        "l_returnflag", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
+    )
+
+
+@register(
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
