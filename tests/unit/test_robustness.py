@@ -246,3 +246,17 @@ def test_topk_per_group_partial_equivalence(spark):
     plain = top_k_per_group(df, ["g"], order, 5)
     part = top_k_per_group(df, ["g"], order, 5, partial=True)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, part.collect()))
+
+
+def test_approx_distinct_error_bound(spark):
+    """The rows-only HLL query still gets a quantitative gate: the
+    sketch estimate must sit within 3x the configured rsd of the exact
+    count it carries alongside (99.7% bound for HLL++ at rsd=0.02)."""
+    from rs_query_engine_spark.queries import queries
+
+    rows = queries()["agg_approx_distinct"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_parts"]
+        assert exact > 0
+        assert abs(r["approx_parts"] - exact) <= max(1, 3 * 0.02 * exact)
