@@ -964,6 +964,34 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_typed_parse_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_typed_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven JSON parsing (``from_json`` → typed struct) +
+    aggregation over the parsed field. Unlike per-field
+    ``get_json_object`` (one full JSON parse per extracted field),
+    ``from_json`` parses each document ONCE into a struct — the right
+    shape when extracting several fields from event payloads at
+    scale."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # =====================================================================
 # Extensions — CASE/WHEN, IN, IS NULL, CAST (SURVEY §2.6 gap-fill)
 # =====================================================================
