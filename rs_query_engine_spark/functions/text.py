@@ -166,17 +166,30 @@ def chunk_spans(
     Pure array built-ins (sequence/slice/array_join) over one token
     array — no shuffle, no UDF; explode downstream to get one row per
     chunk. Oracle-portable: DuckDB ``generate_series`` + ``list_slice``
-    produce the identical spans."""
-    toks = tokens(text)
-    n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
-    return F.transform(
-        starts,
-        lambda s: F.struct(
-            s.alias("chunk_start"),
-            F.size(F.slice(toks, s, chunk_size)).alias("n_tokens"),
-            F.array_join(F.slice(toks, s, chunk_size), " ").alias("chunk_text"),
-        ),
+    produce the identical spans.
+
+    The token array is bound as a lambda variable of an outer
+    transform over a one-element array: captured directly in the
+    per-chunk lambda, the tokenizer subtree would re-run for EVERY
+    chunk (HOF lambda bodies are not CSE'd — quadratic in document
+    length); as a lambda variable it is tokenized exactly once per
+    row."""
+    return F.flatten(
+        F.transform(
+            F.array(tokens(text)),
+            lambda toks: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+                ),
+                lambda s: F.struct(
+                    s.alias("chunk_start"),
+                    F.size(F.slice(toks, s, chunk_size)).alias("n_tokens"),
+                    F.array_join(F.slice(toks, s, chunk_size), " ").alias(
+                        "chunk_text"
+                    ),
+                ),
+            ),
+        )
     )
 
 

@@ -58,7 +58,10 @@ def connected_components(
     # genuinely large edge list keeps its parallelism.
     n_edges = sym.count()
     p = max(1, int(n_edges // 1_000_000) + 1)
-    sym = sym.coalesce(p).localCheckpoint()
+    # coalesce on the checkpointed frame is a narrow op over the stored
+    # blocks — no second checkpoint (which would pin a duplicate copy
+    # of the edge list in the block manager for the session lifetime)
+    sym = sym.coalesce(p)
 
     labels = (
         sym.select(F.col("s").alias("node"))

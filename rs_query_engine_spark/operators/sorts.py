@@ -83,14 +83,22 @@ def sample_stratified(df, strata_col: str, fractions: dict, seed: int = 42):
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def _salted_key(key: Column, salt: str) -> Column:
+    """The stringified, optionally salted sampling key — shared by
+    every hash sampler so a salting-scheme change can never make the
+    rate-based and fixed-size samplers diverge."""
+    return F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
+
+
 def _hash_pct(key: Column, salt: str = "") -> Column:
     """Deterministic bucket in [0, 100) from an md5 content hash —
     engine-portable (DuckDB: ``('0x'||substr(md5(x),1,8))::BIGINT %
     100``), unlike Spark's seeded RNG whose stream depends on
     partitioning. Salting rotates the sample without touching the
     keyspace (different salt → independent-ish sample)."""
-    k = F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
-    return F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("bigint") % 100
+    return F.conv(F.substring(F.md5(_salted_key(key, salt)), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
 
 
 def sample_hash(df: DataFrame, key: Column, rate_pct: int, salt: str = "") -> DataFrame:
@@ -131,7 +139,7 @@ def sample_fixed_size(df: DataFrame, key: Column, n: int, salt: str = "") -> Dat
     this one guarantees exact output cardinality (eval sets, debug
     slices) while staying reproducible across engines and runs.
     Hash ties are broken by the key itself for total determinism."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string"))
+    h = F.md5(_salted_key(key, salt))
     return (
         df.withColumn("_smp", h)
         .orderBy(F.col("_smp"), key)

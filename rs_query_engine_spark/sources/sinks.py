@@ -117,4 +117,10 @@ def compact_files(
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_path)
     df.repartition(n).write.mode("overwrite").parquet(dst_path)
-    return n
+    # report what actually landed — empty partitions write no file, so
+    # the planned n can overcount
+    return sum(
+        f.endswith(".parquet")
+        for f in os.listdir(dst_path)
+        if not f.startswith(("_", "."))
+    )

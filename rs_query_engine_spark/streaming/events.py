@@ -214,7 +214,10 @@ def run_stream_to_parquet(
 
 
 def dedup_stream(
-    events: DataFrame, keys: list[str], watermark: str = "90 days"
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "90 days",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming exact deduplication: keep the FIRST event per key,
     expiring key state once event time passes ``watermark`` — the
@@ -226,4 +229,4 @@ def dedup_stream(
     corpus — sizes the cluster's state. With a horizon wider than a
     bounded input, the result is exactly batch DISTINCT on the keys,
     which is what the oracle checks."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
