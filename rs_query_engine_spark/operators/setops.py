@@ -14,6 +14,7 @@ key when the intent is key membership (Catalyst can't infer that).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def union(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -49,3 +50,33 @@ def union_by_name(
     heterogeneous batch drops (an upstream added a field last week) —
     positional ``UNION ALL`` silently misaligns them."""
     return a.unionByName(b, allowMissingColumns=allow_missing_columns)
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Merge/upsert: union base with an update batch and keep ONE row
+    per key — the highest ``version_col`` (ties broken by
+    ``tiebreak_col``, which defaults to preferring updates if it is
+    NULL-free there) — the CDC-compaction idiom without a mutable
+    table format. One shuffle on the key (union is free); no driver
+    loop, no per-row merge. At scale, partition/bucket both sides by
+    the key so repeated merges reuse the layout."""
+    from pyspark.sql import Window
+
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    order = [F.col(version_col).desc(), F.col("_src").desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

@@ -965,6 +965,51 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_upsert_latest",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate + INTERVAL 30 DAY AS o_orderdate
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), merged AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 0 AS src
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 1 AS src
+        FROM updates
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM merged
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY o_orderdate DESC, src DESC
+    ) = 1
+    """,
+)
+def setop_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style merge/upsert without a mutable table format: union the
+    base with an update batch (here: a derived batch bumping every 7th
+    order), keep the newest row per key via one window pass — ONE
+    shuffle on the key, no driver loop. The update rows win on their
+    later o_orderdate; the src tag breaks exact ties toward updates."""
+    from rs_query_engine_spark.operators.setops import upsert_latest
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.date_add("o_orderdate", 30).alias("o_orderdate"),
+    )
+    return upsert_latest(o, updates, ["o_orderkey"], "o_orderdate").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+
+
+@register(
     "json_typed_parse_agg",
     oracle="""
     SELECT event_type,

@@ -260,3 +260,20 @@ def test_approx_distinct_error_bound(spark):
         exact = r["exact_parts"]
         assert exact > 0
         assert abs(r["approx_parts"] - exact) <= max(1, 3 * 0.02 * exact)
+
+
+def test_upsert_latest_semantics(spark):
+    from rs_query_engine_spark.operators.setops import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k long, v string, ver long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 20),   # newer version wins
+         (3, "c2", 10),   # same version: update side wins the tie
+         (4, "d", 5)],    # new key inserted
+        "k long, v string, ver long",
+    )
+    out = {r["k"]: (r["v"], r["ver"]) for r in upsert_latest(
+        base, updates, ["k"], "ver").collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 20), 3: ("c2", 10), 4: ("d", 5)}
