@@ -4,10 +4,11 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion with a cheap terminal action
-(count on the final plan) so the full pipeline — scan, shuffle, agg,
-join — runs; results are not pulled to the driver beyond the final
-aggregates.
+Each query is executed to completion with a ``noop``-format write: the
+sink discards rows but forces FULL evaluation of every output column
+(a bare ``count()`` would let Catalyst prune projections not needed
+for count(1), so map-only queries would time only the scan). Nothing
+is pulled to the driver.
 """
 
 from __future__ import annotations
@@ -48,21 +49,25 @@ def main() -> None:
     # state-store provisioning (not codegen), and every extra run in a
     # session ADDS state-store/listener machinery — warming them makes
     # the timed run slower, not faster (measured).
+    def run_full(df) -> None:
+        # noop sink: evaluates every output column (same codegen as a
+        # real write) and discards rows executor-side
+        df.write.format("noop").mode("overwrite").save()
+
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name, fn in sorted(qs.items()):
             if name.startswith("stream_"):
                 continue
             try:
-                fn(spark, warm_dir).count()
+                run_full(fn(spark, warm_dir))
             except Exception as exc:  # never let warmup mask the timed run
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        run_full(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

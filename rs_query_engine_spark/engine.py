@@ -147,6 +147,12 @@ class Frame:
         return Frame(self.df.intersect(odf))
 
     def except_(self, other: "Frame | DataFrame") -> "Frame":
+        """SQL EXCEPT (distinct), matching ``operators.setops.except_``."""
+        odf = other.df if isinstance(other, Frame) else other
+        return Frame(self.df.subtract(odf))
+
+    def except_all(self, other: "Frame | DataFrame") -> "Frame":
+        """SQL EXCEPT ALL (bag semantics — keeps duplicate multiplicity)."""
         odf = other.df if isinstance(other, Frame) else other
         return Frame(self.df.exceptAll(odf))
 

@@ -71,6 +71,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    changed = 0
     for _ in range(max_iterations):
         # candidate label for each node: min over neighbors' labels
         neighbor_min = (
@@ -92,6 +93,19 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # 1-hop min-label needs O(diameter) rounds; a chain longer than
+        # max_iterations would silently split clusters (under-dropping
+        # dupes downstream). Surface it instead of returning bad labels.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iterations} "
+            f"rounds ({changed} labels still changing) — raise "
+            "max_iterations or switch to large-star/small-star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -59,12 +59,51 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness gate records rows for only the FIRST 50
+# entries of ``queries()`` per round (CORRECTNESS_r01.json is exactly
+# the first 50 registrations, in order). With >50 registered queries,
+# emit a rotation so hard verification coverage accrues across rounds:
+# queries WITHOUT a green row in round 1 first (new registrations
+# automatically qualify), then the round-1-verified ones in
+# registration order — which conveniently re-verifies the §2 reference
+# core (scan/filter/project/agg/join/scalar) with the leftover slots.
+_R01_VERIFIED = frozenset(
+    {
+        "filter_project_arith", "project_literal_alias",
+        "agg_groupby_returnflag", "agg_global", "agg_computed_groupkey",
+        "join_inner_star", "join_multikey", "join_left", "join_right",
+        "scalar_functions", "sort_limit_topk", "sample_hash_bernoulli",
+        "sample_stratified_hash", "sample_fixed_size",
+        "agg_pandas_udaf_range", "distinct_pairs", "setop_union",
+        "setop_intersect_except", "window_topk_per_group",
+        "window_running_sum", "window_lag_delta", "date_trunc_month_agg",
+        "events_hourly_window", "events_gap_fill", "events_funnel",
+        "events_retention_cohorts", "profile_lineitem",
+        "string_functions", "json_extract_events", "setop_upsert_latest",
+        "json_typed_parse_agg", "case_when_in_cast", "text_token_stats",
+        "text_quality_score", "text_lang_id", "text_fingerprint",
+        "text_token_freq", "text_chunking", "text_tfidf_topk",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_connected_clusters",
+        "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "similarity_bruteforce_topk", "similarity_ivf_topk",
+        "events_sessionization", "multimodal_byte_stats",
+        "multimodal_frame_sample",
+    }
+)
+
+
+def _rotation_order() -> list[str]:
+    unverified = [n for n in _QUERIES if n not in _R01_VERIFIED]
+    verified = [n for n in _QUERIES if n in _R01_VERIFIED]
+    return unverified + verified
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _rotation_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return {n: _ORACLE[n] for n in _rotation_order() if n in _ORACLE}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2012,8 +2051,10 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           (n * sx2 - sx * sx) / (n * (n - 1.0)) AS var_samp,
-           sqrt((n * sx2 - sx * sx) / (n * (n - 1.0))) AS stddev_samp
+           CASE WHEN n > 1.0
+                THEN (n * sx2 - sx * sx) / (n * (n - 1.0)) END AS var_samp,
+           CASE WHEN n > 1.0
+                THEN sqrt((n * sx2 - sx * sx) / (n * (n - 1.0))) END AS stddev_samp
     FROM s
     """,
 )
@@ -2035,8 +2076,12 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(d * d).cast("double").alias("sx2"),
         )
     )
-    var = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")) / (
-        F.col("n") * (F.col("n") - F.lit(1.0))
+    # try_divide: a 1-row group has denominator 0, which under Spark 4's
+    # ANSI mode would raise DIVIDE_BY_ZERO at runtime; NULL variance is
+    # the SQL-standard answer (oracle spells the same with CASE n > 1)
+    var = F.try_divide(
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"),
+        F.col("n") * (F.col("n") - F.lit(1.0)),
     )
     return s.select(
         "l_returnflag", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")

@@ -50,9 +50,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
+        # by default; read nanos as long session-wide (loaders rebuild
+        # a proper microsecond timestamp column)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Idempotently enable nanos-as-long parquet reads on an
+    externally-owned session (the verification driver builds its own
+    SparkSession without our defaults). Sessions from ``get_spark``
+    already carry the conf; this no-ops for them instead of mutating
+    session state on every table read."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")

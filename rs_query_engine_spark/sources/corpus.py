@@ -41,7 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan vectorized; sub-microsecond precision (zero in this corpus)
     is floor-truncated, matching DuckDB's ns→us cast."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from rs_query_engine_spark.session import ensure_nanos_as_long
+
+        ensure_nanos_as_long(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -19,6 +19,7 @@ with the partition.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -50,12 +51,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus ships a single file, so we expose it through a symlink
     directory — which is exactly the production layout (a drop
     directory of parquet files)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from rs_query_engine_spark.session import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
     src = f"{sf_dir}/events.parquet"
     if os.path.isfile(src):
-        shim = os.path.join(
-            tempfile.gettempdir(), f"rsqes_stream_{abs(hash(os.path.abspath(src)))}"
-        )
+        # stable digest (not builtin hash(), which is per-process
+        # randomized) so re-runs reuse the same shim dir instead of
+        # leaking a new /tmp dir per process
+        digest = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:16]
+        shim = os.path.join(tempfile.gettempdir(), f"rsqes_stream_{digest}")
         os.makedirs(shim, exist_ok=True)
         link = os.path.join(shim, "events.parquet")
         if not os.path.exists(link):
