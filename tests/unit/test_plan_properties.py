@@ -81,6 +81,24 @@ def test_minhash_shuffle_carries_ids_only(spark):
     assert "ExistingRDD" in plan and "documents.parquet" not in plan
 
 
+def test_embedding_dedup_no_all_pairs_join(spark):
+    # LSH candidate generation must be an equi-join on (band, key) —
+    # the plan may never contain an all-pairs self-join over the
+    # corpus (the r01 scale-killer this operator replaced)
+    df = registry.dedup_embedding_cosine(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_no_all_pairs_join(spark):
+    # hamming-block candidates likewise: equi-join on (blk, val) only
+    df = registry.dedup_simhash_pairs(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     # the bucketed rewrite must produce a hash join on _bucket, never
     # a BroadcastNestedLoopJoin over the raw range predicate
