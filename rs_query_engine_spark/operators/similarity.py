@@ -104,11 +104,15 @@ def assign_centroids(
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF build step: nearest centroid per corpus vector (argmax
-    cosine, deterministic centroid-id tiebreak). Centroids are
-    broadcast; at scale the result is *written bucketed by
-    centroid_id* so probes prune partitions."""
+    """IVF build step: top-``nprobe`` nearest centroids per vector
+    (argmax cosine, deterministic centroid-id tiebreak). ``nprobe=1``
+    is the build-side assignment (each corpus vector lives in exactly
+    one inverted list); ``nprobe>1`` is the probe-side assignment
+    (a query searches its n closest lists, trading scan fraction for
+    recall). Centroids are broadcast; at scale the build assignment
+    becomes the table's *bucketing column* so probes prune partitions."""
     c = spread(corpus).select(
         F.col(corpus_id),
         _as_double(F.col(corpus_vec)).alias("_v"),
@@ -131,7 +135,7 @@ def assign_centroids(
     w = Window.partitionBy(corpus_id).orderBy(F.col("_cc").desc(), F.col(centroid_id))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(corpus_id, "_v", "_n", centroid_id)
     )
 
@@ -147,15 +151,18 @@ def ivf_topk(
     centroid_vec: str = "centroid_vec",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF top-k with nprobe=1: assign corpus and queries to nearest
-    centroid, then rank only within the query's bucket — the searched
-    fraction is ~1/n_centroids (approximate by construction)."""
+    """IVF top-k: corpus vectors live in their single nearest-centroid
+    list; each query probes its ``nprobe`` closest lists and ranks only
+    within them — the searched fraction is ~nprobe/n_centroids
+    (approximate by construction; recall grows with nprobe)."""
     assigned = assign_centroids(
         corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec
     )
     q_assigned = assign_centroids(
-        queries, centroids, query_id, query_vec, centroid_id, centroid_vec
+        queries, centroids, query_id, query_vec, centroid_id, centroid_vec,
+        nprobe=nprobe,
     ).select(
         F.col(query_id),
         F.col("_v").alias("_qv"),
@@ -173,6 +180,42 @@ def ivf_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train IVF centroids with seeded Spark-ML k-means and return them
+    as a (centroid_id, centroid_vec) DataFrame ready for
+    :func:`assign_centroids` / :func:`ivf_topk`.
+
+    The trained centers come back to the driver (k × dim doubles —
+    tiny) and are re-emitted as a SQL VALUES relation: a LocalRelation
+    has correct (small) stats, whereas ``createDataFrame`` local tables
+    carry unknown-size stats and can flip broadcast decisions.
+    At 100 TB you train on a sample (k-means cost is per-point) and
+    the centers still fit on the driver — IVF centroid counts are
+    ~√n ≤ a few hundred thousand."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(_as_double(F.col(corpus_vec))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    rows = ", ".join(
+        "({}, array({}))".format(
+            i, ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in center)
+        )
+        for i, center in enumerate(model.clusterCenters())
+    )
+    return corpus.sparkSession.sql(
+        f"SELECT col1 AS centroid_id, col2 AS centroid_vec FROM (VALUES {rows})"
     )
 
 

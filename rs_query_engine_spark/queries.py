@@ -31,6 +31,7 @@ dimension tables, expressions that stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1769,6 +1770,77 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
 
 
+@register(
+    "similarity_ivf_probed",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+        SELECT corpus.vec_id, corpus.v, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY corpus.vec_id
+                   ORDER BY {_COS_SQL.format(a="corpus.v", b="cent.cv")} DESC, cent.centroid_id
+               ) AS rn
+        FROM corpus, cent
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id
+        FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, a.vec_id,
+               {_COS_SQL.format(a="a.v", b="q.qv")} AS cos
+        FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def similarity_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query searches its TWO nearest
+    inverted lists (~2/8 of the corpus) — the recall/cost knob that
+    makes IVF usable in practice (nprobe=1 recall vs brute force is
+    measurably worse; tests/unit/test_similarity_recall.py gates the
+    ordering). Same deterministic seed centroids as
+    ``similarity_ivf_topk`` so the probe set stays oracle-expressible
+    (query assignment = rank ≤ 2 instead of rank = 1)."""
+    from rs_query_engine_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(e, cent, q, 10, nprobe=2)
+
+
+@register("similarity_ivf_kmeans")  # no oracle: k-means centers are
+# iteration-order-dependent floats — not SQL-reproducible; the driver
+# records the rows-only check and tests/unit/test_similarity_recall.py
+# gates recall@10 against the exact brute-force baseline
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED centroids: seeded Spark-ML k-means (k=8)
+    replaces the fixed seed vectors, nprobe=2. This is the production
+    IVF shape — train on a sample, broadcast the centers, bucket the
+    corpus by assignment, probe a few lists per query."""
+    from rs_query_engine_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=8, max_iter=10)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(e, cents, q, 10, nprobe=2)
+
+
 # =====================================================================
 # Extensions — sessionization + multimodal plumbing (M2.6 / north-star)
 # =====================================================================
@@ -2627,6 +2699,106 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
+    )
+
+
+@register("agg_approx_percentile")  # no oracle: the KLL-style sketch's
+# outputs are engine-specific; exact percentiles ride along and
+# tests/unit/test_properties.py gates the approximation error
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles — the scale path for
+    ``agg_percentiles_distinct``: ``approx_percentile`` keeps a fixed-
+    size mergeable sketch per group (map-side combinable), where exact
+    ``percentile`` must shuffle every group's full value list. The
+    exact values ride along so the error bound is checkable locally."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile("l_extendedprice", 0.95).alias("exact_p95"),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_acctbal > 1000.0
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV end-to-end through the catalog — the reference's ONLY input
+    format (``src/datasource/csv_table.rs:44-72``): the customer table
+    is materialized as CSV once (stable temp dir, skipped when
+    present), registered via ``Catalog.register_csv`` with an explicit
+    schema (inference would downgrade bigint→int), filtered, and
+    compared against the parquet original — proving the CSV round trip
+    preserves values exactly (doubles survive via shortest-repr)."""
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.catalog import Catalog
+    from rs_query_engine_spark.sources.sinks import write_csv
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"rsqes_csv_{digest}", "customer")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_csv(_t(spark, sf_dir, "customer"), path, coalesce_files=4)
+    cat = Catalog(spark)
+    csv_df = cat.register_csv(
+        f"customer_csv_{digest}",
+        path,
+        schema="c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return csv_df.filter(F.col("c_acctbal") > 1000.0)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: customer and orders are saved as
+    tables bucketed 8 ways on the join key (once per session — skipped
+    when present), so the sort-merge join's distribution requirement is
+    met by the SCANS and neither side gets an Exchange
+    (plan-asserted in tests/unit/test_plan_properties.py). This is the
+    100-TB pattern for fact tables repeatedly joined on one key; the
+    ``merge`` hint keeps the demo on SMJ (the dimension side would
+    otherwise broadcast at this SF)."""
+    import os
+
+    from rs_query_engine_spark.sources.sinks import write_bucketed_table
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tc, to = f"cust_bkt_{digest}", f"ord_bkt_{digest}"
+    if not spark.catalog.tableExists(tc):
+        write_bucketed_table(
+            _t(spark, sf_dir, "customer"), tc, ["c_custkey"], 8,
+            sort_cols=["c_custkey"],
+        )
+    if not spark.catalog.tableExists(to):
+        write_bucketed_table(
+            _t(spark, sf_dir, "orders"), to, ["o_custkey"], 8,
+            sort_cols=["o_custkey"],
+        )
+    c, o = spark.table(tc).hint("merge"), spark.table(to)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D_PRICE)).cast("double").alias(
+                "total_spend"
+            ),
+        )
     )
 
 

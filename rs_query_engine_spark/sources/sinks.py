@@ -85,6 +85,21 @@ def write_bucketed_table(
     distribution requirement. Use for fact tables repeatedly joined on
     the same key; bucket count should be a multiple of cluster
     parallelism and sized so each bucket file is 100 MB - 1 GB."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        # a prior session's managed-table directory may survive in the
+        # warehouse while the (in-memory) catalog forgot the table;
+        # Spark then refuses CREATE with LOCATION_ALREADY_EXISTS, so
+        # clear the orphaned location first
+        import os
+        import shutil
+
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            table_name.lower(),
+        )
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

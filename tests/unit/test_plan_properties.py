@@ -136,6 +136,19 @@ def test_q3_shape_plan_quality(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    # both sides are bucketed 8 ways on the join key, so the sort-merge
+    # join must consume the scans' bucketing directly: no Exchange may
+    # hash-partition either join key (the groupBy's exchange on
+    # c_mktsegment is expected and allowed)
+    df = registry.join_bucketed_colocated(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "hashpartitioning(c_custkey" not in plan
+    assert "hashpartitioning(o_custkey" not in plan
+
+
 def test_fixed_size_sample_is_take_ordered(spark):
     # ORDER BY hash LIMIT n must compile to TakeOrderedAndProject
     # (per-partition heaps + driver merge), never a global Sort exchange

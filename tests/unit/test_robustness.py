@@ -262,6 +262,21 @@ def test_approx_distinct_error_bound(spark):
         assert abs(r["approx_parts"] - exact) <= max(1, 3 * 0.02 * exact)
 
 
+def test_approx_percentile_error_bound(spark):
+    """Sketch percentiles carry the exact values alongside; at
+    accuracy=10000 the rank error is ≤ 1/10000, which on this corpus
+    keeps the approx within 1% of the exact value (generous bound —
+    the observed error is far smaller)."""
+    from rs_query_engine_spark.queries import queries
+
+    rows = queries()["agg_approx_percentile"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for a, e in [(r["approx_p50"], r["exact_p50"]), (r["approx_p95"], r["exact_p95"])]:
+            assert e > 0
+            assert abs(a - e) <= 0.01 * e, (a, e)
+
+
 def test_upsert_latest_semantics(spark):
     from rs_query_engine_spark.operators.setops import upsert_latest
 
