@@ -109,15 +109,121 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Same contract as :func:`connected_components` —
+    (node, comp) with comp = min reachable id — but converges in
+    O(log n) rounds regardless of graph diameter, so a million-hop
+    duplicate chain costs ~20 rounds, not a million. This is the
+    100-TB default; the 1-hop variant above remains for small dense
+    graphs where its single shuffle per round wins.
+
+    Per round: large-star hooks every node's larger neighbors onto its
+    local minimum (one groupBy + one join), small-star re-points every
+    larger->smaller edge at the minimum (same shape). The edge set
+    monotonically flattens into stars rooted at component minima;
+    convergence is detected by an (count, xor-hash) signature of the
+    edge set going stable — one cheap aggregate per round, same cost
+    class as the 1-hop variant's changed-label count.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        return e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    p = max(1, int(n_edges // 1_000_000) + 1)
+    e = e.coalesce(p)
+
+    def _signature(df: DataFrame) -> tuple:
+        # order-insensitive edge-set fingerprint: count + sums of two
+        # independent bounded hashes (mod 2^31 keeps the BIGINT sum
+        # ANSI-safe up to ~4e9 edges per partition-sum; two hashes make
+        # a changed-set collision vanishingly unlikely, which matters
+        # because a false "stable" would stop early with bad labels)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31))).alias("h1"),
+            F.sum(F.pmod(F.xxhash64("v", "u"), F.lit(2**31))).alias("h2"),
+        ).first()
+        return (row["n"], row["h1"], row["h2"])
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        # -- large-star: for each node u, m = min(N(u) ∪ {u});
+        #    emit (v, m) for every neighbor v > u.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: edges now point larger->smaller (u > v).
+        #    For each u, m = min of its smaller neighbors; re-point
+        #    every neighbor (and u itself) at m.
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = small.coalesce(p).localCheckpoint()
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: not converged after "
+            f"{max_iterations} rounds — pathological input or "
+            "max_iterations too low",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # converged edge set is a union of stars (node -> component min);
+    # roots appear only on the right side, so add their self-labels
+    return e.select(F.col("u").alias("node"), F.col("v").alias("comp")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Consolidate near-dup pairs into clusters: (doc_id, cluster_id,
     cluster_size) with cluster_id = min doc id in the component —
-    the keep-candidate under a keep-smallest policy."""
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    the keep-candidate under a keep-smallest policy.
+
+    ``algorithm="star"`` (default) uses the O(log n)-round
+    large-star/small-star propagation — diameter-proof, the scale
+    default. ``"onehop"`` uses 1-hop min-label (one shuffle/round,
+    fine for small dense near-dup clusters).
+    """
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(pairs, src=id_a, dst=id_b)
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),

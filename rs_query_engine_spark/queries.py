@@ -2703,20 +2703,20 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("agg_approx_percentile")  # no oracle: the KLL-style sketch's
-# outputs are engine-specific; exact percentiles ride along and
-# tests/unit/test_properties.py gates the approximation error
+# outputs are engine-specific; tests/unit/test_robustness.py gates the
+# approximation error against exact percentiles computed separately
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles — the scale path for
     ``agg_percentiles_distinct``: ``approx_percentile`` keeps a fixed-
     size mergeable sketch per group (map-side combinable), where exact
     ``percentile`` must shuffle every group's full value list. The
-    exact values ride along so the error bound is checkable locally."""
+    query is sketch-ONLY so it actually demonstrates that cost profile
+    (carrying exact alongside would pay the full-list shuffle anyway);
+    the error-bound test recomputes exact values independently."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
-        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
-        F.percentile("l_extendedprice", 0.95).alias("exact_p95"),
     )
 
 

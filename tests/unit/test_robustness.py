@@ -75,6 +75,61 @@ def test_connected_components_empty(spark):
     assert connected_components(e).count() == 0
 
 
+def test_connected_components_star_empty(spark):
+    from rs_query_engine_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(e).count() == 0
+
+
+def test_connected_components_star_matches_onehop(spark):
+    """Both algorithms must produce identical (node, comp) labelings on
+    a multi-component graph with cycles, chains, and singles-by-edge."""
+    import random
+
+    from rs_query_engine_spark.operators.graph import connected_components_star
+
+    rng = random.Random(7)
+    edges = []
+    # 10 components of ~12 nodes each, random internal wiring
+    for c in range(10):
+        base = c * 100
+        nodes = [base + i for i in range(12)]
+        for n in nodes[1:]:  # spanning connection
+            edges.append((rng.choice(nodes), n))
+        for _ in range(8):  # extra cycles
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    one = {(r["node"], r["comp"]) for r in connected_components(e).collect()}
+    star = {(r["node"], r["comp"]) for r in connected_components_star(e).collect()}
+    assert star == one
+    # every component labeled by its min id
+    comps = {c for _, c in star}
+    assert comps == {c * 100 for c in range(10)}
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 120-hop chain: 1-hop min-label needs 120 rounds (exhausts its
+    default budget and warns); large-star/small-star converges in
+    O(log n) rounds and labels the whole chain correctly."""
+    import warnings
+
+    from rs_query_engine_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    rows = connected_components_star(e, max_iterations=15).collect()
+    assert {r["comp"] for r in rows} == {0}
+    assert {r["node"] for r in rows} == set(range(121))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(e, max_iterations=5).collect()
+    assert any("not converged" in str(w.message) for w in caught)
+
+
 def test_register_pandas_udf_sql_and_builder(spark):
     eng = Engine(spark)
     eng.register_pandas_udf("double_it", lambda s: s * 2, "double")
@@ -263,18 +318,40 @@ def test_approx_distinct_error_bound(spark):
 
 
 def test_approx_percentile_error_bound(spark):
-    """Sketch percentiles carry the exact values alongside; at
-    accuracy=10000 the rank error is ≤ 1/10000, which on this corpus
-    keeps the approx within 1% of the exact value (generous bound —
-    the observed error is far smaller)."""
-    from rs_query_engine_spark.queries import queries
+    """At accuracy=10000 the sketch's rank error is ≤ 1/10000, which on
+    this corpus keeps the approx within 1% of the exact value (generous
+    bound — observed error is far smaller). Exact percentiles are
+    recomputed here rather than carried in the query, so the registered
+    query stays sketch-only (the point of the scale path)."""
+    from pyspark.sql import functions as F
 
-    rows = queries()["agg_approx_percentile"](spark, "/root/testdata/sf0.001").collect()
-    assert rows
-    for r in rows:
-        for a, e in [(r["approx_p50"], r["exact_p50"]), (r["approx_p95"], r["exact_p95"])]:
+    from rs_query_engine_spark.queries import queries
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in queries()["agg_approx_percentile"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+            F.percentile("l_extendedprice", 0.95).alias("exact_p95"),
+        )
+        .collect()
+    }
+    assert approx and set(approx) == set(exact)
+    for flag, r in approx.items():
+        for a, e in [
+            (r["approx_p50"], exact[flag]["exact_p50"]),
+            (r["approx_p95"], exact[flag]["exact_p95"]),
+        ]:
             assert e > 0
-            assert abs(a - e) <= 0.01 * e, (a, e)
+            assert abs(a - e) <= 0.01 * e, (flag, a, e)
 
 
 def test_upsert_latest_semantics(spark):
