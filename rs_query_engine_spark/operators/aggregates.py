@@ -101,11 +101,22 @@ def profile_columns(df, cols: list[str]):
     types stack into one table) — the pre-ingest audit step of a data
     pipeline.
 
-    ONE aggregation pass over the input computes every column's
-    metrics (multiple count_distincts expand the agg, which is fine
-    for a bounded column list); the per-column rows are then exploded
-    from the single 1-row result, so input size only affects the scan
-    + one agg, never the reshape."""
+    TWO hash-aggregation passes over the scan, never a sort:
+
+    - pass A: count / null-count / min / max for every column in one
+      1-row aggregate (plain HashAggregate);
+    - pass B: every column's distinct count in one explode →
+      (column, value) → two-level hash distinct. Distinctness is
+      taken on the value's string form so heterogeneous columns stack
+      into one pass — injective for the atomic types this profiler
+      targets (numbers, strings, dates/timestamps).
+
+    The naive alternative — N ``count_distinct`` in one aggregate —
+    plans an Expand(N+1×) whose `first(...) FILTER` rewrite is not
+    hash-aggregatable, so Spark falls back to SortAggregate and sorts
+    N+1 copies of the input (measured 3× slower at sf0.1, and the sort
+    is a spill risk at 100 TB; pass B's shuffle instead carries only
+    per-partition-distinct values)."""
     from pyspark.sql import functions as F
 
     aggs = []
@@ -113,7 +124,6 @@ def profile_columns(df, cols: list[str]):
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__n_null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
@@ -124,11 +134,44 @@ def profile_columns(df, cols: list[str]):
                 F.lit(c).alias("column"),
                 F.col(f"{c}__n").alias("n"),
                 F.col(f"{c}__n_null").alias("n_null"),
-                F.col(f"{c}__n_distinct").alias("n_distinct"),
                 F.col(f"{c}__min").alias("min_str"),
                 F.col(f"{c}__max").alias("max_str"),
             )
             for c in cols
         ]
     )
-    return one.select(F.explode(per_col).alias("p")).select("p.*")
+    base = one.select(F.explode(per_col).alias("p")).select("p.*")
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    nd = (
+        pairs.where(F.col("val").isNotNull())
+        .groupBy("column", "val")
+        .agg(F.lit(1))
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    # left join + coalesce: an all-NULL column has no row in `nd` but
+    # must report n_distinct = 0
+    return (
+        base.join(F.broadcast(nd), "column", "left")
+        .select(
+            "column",
+            "n",
+            "n_null",
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            "min_str",
+            "max_str",
+        )
+    )
