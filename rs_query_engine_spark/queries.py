@@ -2829,3 +2829,105 @@ def window_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w).alias("next_order"),
         F.first("o_orderkey").over(w).alias("first_order"),
     )
+
+
+@register(
+    "tpch_q5_shape",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(14,4))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join — the join-ORDERING probe: three
+    fact-sized tables (lineitem, orders, customer at 100 TB) chained on
+    their keys plus three dims. The fact chain joins fact-to-fact on
+    shuffle keys Catalyst reorders; region/nation are FIXED-cardinality
+    (25/5 rows at every scale factor) so they are explicitly broadcast —
+    supplier and customer are left to AQE, because they GROW with scale
+    and force-broadcasting them is exactly the OOM a 1000-executor run
+    dies on. The local-supplier condition (c_nationkey = s_nationkey)
+    rides the supplier join as a second key. Revenue on the 4-decimal
+    grid as in tpch_q3_shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(14,4)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    """,
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query — the AGGREGATE-
+    SUBQUERY probe: qualify orders by a grouped HAVING over lineitem
+    (map-side partial sums; the qualifying-key set is the heavy-hitter
+    tail, tiny relative to the fact), then LEFT-SEMI join orders
+    against those keys — semi, not inner, so qualifying keys never
+    duplicate order rows — and re-aggregate the joined fact. The
+    qualifying set is left to AQE to broadcast (it is data-dependent;
+    hinting it broadcast would be wrong the day the threshold drops).
+    Quantities are exact on the 2-decimal grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast(D_PRICE)
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    big_orders = o.join(qualifying, "o_orderkey", "left_semi")
+    return (
+        li.join(big_orders, li["l_orderkey"] == big_orders["o_orderkey"])
+        .join(c, big_orders["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+    )

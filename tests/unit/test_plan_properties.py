@@ -156,3 +156,24 @@ def test_fixed_size_sample_is_take_ordered(spark):
     plan = explain_str(df, mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_tpch_q5_join_strategy(spark):
+    """Q5's 6-table join: fixed-cardinality dims (nation, region)
+    broadcast; no cartesian product anywhere; the date filter reaches
+    the orders scan."""
+    df = registry.tpch_q5_shape(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters:" in plan and "o_orderdate" in plan
+
+
+def test_tpch_q18_semi_join(spark):
+    """Q18's qualifying-keys join must be SEMI (no row duplication) —
+    a plain inner join against the keys would double-count whenever
+    the subquery projection kept duplicate keys."""
+    df = registry.tpch_q18_shape(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
