@@ -222,3 +222,31 @@ def tfidf_topk_terms(df, id_col: str, text_col: str, k: int = 3):
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "score", "rnk")
     )
+
+
+# PII patterns shared by redact_pii's replace chain and its audit
+# count. Spark regexp_replace is global by default (DuckDB needs the
+# explicit 'g' flag — the oracle SQL carries it); patterns stick to
+# the Java∩RE2 common subset ([^ ] rather than \S, no lookarounds).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]", "[EMAIL]"),
+    (r"\+1-555-[0-9]{4}", "[PHONE]"),
+    (r"http://[^ ]+", "[URL]"),
+)
+
+
+def redact_pii(text: Column) -> tuple[Column, Column]:
+    """Redact emails / phone numbers / URLs, returning
+    ``(clean_text, n_redactions)`` — the scrub + audit columns of a
+    training-data pipeline. Replacement order matters (the URL pattern
+    would otherwise eat an email's domain remnant); counts are taken
+    on the RAW text so overlapping patterns are each audited.
+    All JVM-side regex — map-only, codegen'd, no Python."""
+    clean = text
+    for pat, tag in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tag)
+    n = None
+    for pat, _ in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        n = c if n is None else n + c
+    return clean, n

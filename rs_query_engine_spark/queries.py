@@ -2931,3 +2931,117 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(F.sum(qty).cast("double").alias("total_qty"))
     )
+
+
+@register(
+    "sort_global_order",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def sort_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order sort WITHOUT a limit — the missing sibling of
+    ``sort_limit_topk`` (which plans TakeOrderedAndProject and never
+    sorts the full set). A full ORDER BY at 100 TB must be a RANGE
+    exchange (sampled split points, every partition sorted
+    independently, partitions themselves ordered) — NOT a single-
+    partition window or a driver-side sort; the plan test pins
+    ``rangepartitioning``. Row content is oracle-checked; the order
+    itself is asserted in a unit test (the driver's hash compare is
+    order-insensitive by design)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    WITH withpii AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@mail.example.com or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' ref http://ex.com/d/' || doc_id AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '[EMAIL]', 'g'),
+               '\+1-555-[0-9]{4}', '[PHONE]', 'g'),
+             'http://[^ ]+', '[URL]', 'g') AS clean_text,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]'))
+           + len(regexp_extract_all(raw, '\+1-555-[0-9]{4}'))
+           + len(regexp_extract_all(raw, 'http://[^ ]+')) AS n_pii
+    FROM withpii
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub step of a training-data pipeline:
+    emails, phone numbers, and URLs replaced with typed placeholders,
+    plus a per-document redaction count (the audit column a pipeline
+    logs). The synthetic corpus has no natural PII, so the query
+    INJECTS deterministic doc_id-derived PII first and then redacts it
+    — both engines run the same inject→redact chain, so the oracle
+    verifies the regex semantics, not a no-op. Map-only: regexes run
+    JVM-side (whole-stage codegen), no shuffle, no Python."""
+    from rs_query_engine_spark.functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref http://ex.com/d/"), F.col("doc_id").cast("string"),
+    )
+    clean, n = redact_pii(raw)
+    return d.select("doc_id", clean.alias("clean_text"), n.alias("n_pii"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        FROM embeddings
+    )
+    SELECT vec_id,
+           mx / 127.0 AS scale,
+           list_transform(v, x -> CAST(greatest(-127, least(127,
+               floor(x * (127.0 / mx) + 0.5))) AS INT)) AS q
+    FROM e
+    WHERE mx > 0
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the storage/bandwidth step
+    of an embedding pipeline (4× smaller than float32, 8× than the
+    float64 on disk here; ANN candidate scan reads q + one scale).
+    Per-vector scale = max|x|/127; q = clamp(floor(x·127/max|x| + .5)).
+    ``floor(x+0.5)`` instead of round(): floor is exactly the same
+    function in Spark and DuckDB, while round()'s half-case tie-break
+    differs between engines. Map-only, JVM-side array transform; zero
+    vectors are dropped (their scale is undefined — a pipeline logs
+    them; test asserts the dequantization error bound scale/2)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = e.select(F.col("vec_id"), v.alias("v"), mx.alias("mx")).filter(
+        F.col("mx") > 0
+    )
+    scale = F.col("mx") / F.lit(127.0)
+    inv = F.lit(127.0) / F.col("mx")
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x * inv + F.lit(0.5)))
+        ).cast("int"),
+    )
+    return base.select("vec_id", scale.alias("scale"), q.alias("q"))

@@ -177,3 +177,12 @@ def test_tpch_q18_semi_join(spark):
     plan = explain_str(df)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """Full ORDER BY must plan a range exchange (sampled split points,
+    scalable) — not a single partition collapse."""
+    df = registry.sort_global_order(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan

@@ -369,3 +369,52 @@ def test_upsert_latest_semantics(spark):
     out = {r["k"]: (r["v"], r["ver"]) for r in upsert_latest(
         base, updates, ["k"], "ver").collect()}
     assert out == {1: ("a", 10), 2: ("b2", 20), 3: ("c2", 10), 4: ("d", 5)}
+
+
+def test_global_sort_order_is_total(spark):
+    """The driver's hash compare is order-insensitive, so assert the
+    actual global order here: collected rows must be sorted by
+    (o_totalprice desc, o_orderkey)."""
+    from rs_query_engine_spark.queries import queries
+
+    rows = queries()["sort_global_order"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 100
+    keys = [(-r["o_totalprice"], r["o_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_quantize_int8_error_bound(spark):
+    """Dequantized values must be within scale/2 of the original (the
+    defining property of symmetric round-to-nearest quantization), and
+    every quantized level must fit int8's [-127, 127]."""
+    from rs_query_engine_spark.queries import queries
+
+    rows = queries()["embedding_quantize_int8"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "embeddings").collect()
+    }
+    for r in rows:
+        v, q, scale = orig[r["vec_id"]], r["q"], r["scale"]
+        assert all(-127 <= qi <= 127 for qi in q)
+        for x, qi in zip(v, q):
+            assert abs(qi * scale - x) <= scale / 2 + 1e-12
+
+
+def test_redact_pii_removes_all_patterns(spark):
+    """After redaction no email/phone/url survives, and the audit
+    count matches the injected PII (3 items per doc)."""
+    from rs_query_engine_spark.queries import queries
+
+    rows = queries()["text_redact_pii"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        t = r["clean_text"]
+        assert "@" not in t and "+1-555-" not in t and "http://" not in t
+        assert "[EMAIL]" in t and "[PHONE]" in t and "[URL]" in t
+        assert r["n_pii"] == 3
