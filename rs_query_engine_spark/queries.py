@@ -3045,3 +3045,129 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
     )
     return base.select("vec_id", scale.alias("scale"), q.alias("q"))
+
+
+@register(
+    "source_partition_pruning",
+    oracle="""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, event_type
+    FROM events
+    WHERE event_type = 'purchase' AND value > 50.0
+    """,
+)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning — THE storage-layout
+    lever at 100 TB: a filter on the partition column never opens the
+    other partitions' files (directory-level skip, no footer reads),
+    where the same filter on the unpartitioned original is a row-group
+    skip at best. The events table is materialized once partitioned by
+    event_type (stable temp dir, skipped when present); the query
+    filters one partition value plus a residual predicate, and the
+    plan test asserts the value lands in PartitionFilters (pruning),
+    not PushedFilters (row filtering). Partition-column values
+    round-trip through directory names, so the oracle is the plain
+    filter on the original table."""
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.sources.sinks import write_parquet
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"rsqes_part_{digest}", "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_parquet(
+            _t(spark, sf_dir, "events"), path,
+            partition_by=["event_type"], coalesce_files=4,
+        )
+    ev = spark.read.parquet(path)
+    return ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
+    ).select("event_id", "user_id", "value", "event_type")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_custkey, o.o_totalprice
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 45 AND o.o_orderstatus = 'F'
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (operators/skew.salted_join):
+    the build side is replicated num_salts× and probe rows scatter by
+    a content-derived salt, so one hot join key spreads over
+    num_salts reducers instead of melting a single executor. The
+    oracle is the PLAIN join — salting must be invisible in the
+    result. Use when the build side is too big to broadcast and AQE's
+    runtime skew split isn't available (e.g. the skew is in a
+    broadcast-ineligible build side); see agg_salted_skew for the
+    aggregation variant."""
+    from rs_query_engine_spark.operators.skew import salted_join
+
+    probe = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    build = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_totalprice"
+        )
+    )
+    return salted_join(
+        probe,
+        build,
+        on=["l_orderkey"],
+        probe_uniquifier=["l_orderkey", "l_linenumber"],
+        num_salts=8,
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH wins AS (
+        SELECT e.event_type, e.ts, w.ws
+        FROM events e, LATERAL (VALUES
+            (time_bucket(INTERVAL '30 minutes', e.ts)),
+            (time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL '30 minutes')
+        ) w(ws)
+    )
+    SELECT ws AS window_start, event_type,
+           COUNT(*) AS n_events
+    FROM wins
+    GROUP BY ws, event_type
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window aggregation (1 h window, 30 min slide —
+    each event lands in two overlapping windows) with a watermark,
+    driven to a memory sink in update mode. Counts are monotone across
+    update emissions, so max() per (window, type) is the final state —
+    giving an exact batch oracle: DuckDB assigns each event its two
+    epoch-aligned window starts via LATERAL VALUES (Spark's window()
+    uses the same epoch alignment). Sliding windows multiply state
+    (window/slide entries per key) — the watermark bounds how long
+    each stays resident; state partitions sized to key cardinality."""
+    from rs_query_engine_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = run_stream_to_memory(agg, "stream_sliding_window", output_mode="update")
+    return res.groupBy(
+        F.col("w.start").alias("window_start"), "event_type"
+    ).agg(F.max("n").alias("n_events"))

@@ -186,3 +186,14 @@ def test_global_sort_is_range_partitioned(spark):
     plan = explain_str(df)
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """The partition-column predicate must appear as a PartitionFilter
+    (directory skip) on the partitioned scan — not merely a pushed
+    data filter — and the residual value predicate stays pushed."""
+    df = registry.source_partition_pruning(spark, SF_DIR)
+    plan = explain_str(df)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "event_type" in part_lines[0]
+    assert "PushedFilters:" in plan and "GreaterThan(value,50.0)" in plan
