@@ -2476,16 +2476,28 @@ def agg_percentiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices are exact 2-decimal doubles, so values hash-match. At scale
     exact percentiles shuffle per-group value lists; swap to
     ``approx_percentile`` (t-digest sketch, mergeable map-side) when
-    the value-list-per-group no longer fits an executor."""
-    return (
-        _t(spark, sf_dir, "lineitem")
+    the value-list-per-group no longer fits an executor.
+
+    The distinct count runs as its OWN two-level hash aggregate joined
+    back on the (3-row) group key rather than mixed into the
+    percentile aggregate — the mixed plan expands every row for the
+    distinct rewrite and drags the percentile buffers through the
+    expanded shuffle (measured 1.4× slower at sf0.1; same trick as
+    profile_columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+    )
+    nd = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1))
         .groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_partkey").alias("n_parts"),
-            F.percentile("l_extendedprice", 0.5).alias("p50_price"),
-            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
-            F.min("l_extendedprice").alias("min_price"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return pct.join(nd, "l_returnflag").select(
+        "l_returnflag", "n_parts", "p50_price", "p90_price", "min_price"
     )
 
 
@@ -3171,3 +3183,113 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.groupBy(
         F.col("w.start").alias("window_start"), "event_type"
     ).agg(F.max("n").alias("n_events"))
+
+
+@register(
+    "text_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ), cum AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           shard * 1000000 + CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT)
+               AS pack_id,
+           cum_tokens - n_tokens
+               - CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) * 512
+               AS pack_offset
+    FROM cum
+    """,
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step that turns a deduped corpus into
+    fixed-token-budget training sequences (pack_id = which sequence a
+    doc lands in, pack_offset = its token offset there; budget 512).
+    Contiguous greedy packing by doc order WITHIN A SHARD: a global
+    cumulative sum would be one sequential partition (the classic
+    accidental SinglePartition window), so docs are sharded first and
+    each shard packs independently — embarrassingly parallel, exactly
+    how production packers shard by file/date. Deterministic, so the
+    DuckDB oracle reproduces pack assignments bit-for-bit. Docs longer
+    than the budget stay intact here (chunk first via text_chunking);
+    offsets may exceed the budget boundary by design (greedy packing
+    splits at sequence build time, not assignment time)."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    budget = 512
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    ).filter(F.trim(F.col("text")) != "")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    pack_local = F.floor(start / F.lit(float(budget))).cast("bigint")
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("shard") * 1000000 + pack_local).alias("pack_id"),
+        (start - pack_local * budget).alias("pack_offset"),
+    )
+
+
+def _rp_terms(out_dim: int = 16, in_dim: int = 64) -> list[str]:
+    """Per-output-dim DuckDB/Spark-shared dot-product SQL for the
+    random projection — the ±1 planes come from the same generator as
+    the LSH band keys, so both engines fold identical literals in
+    identical order."""
+    from rs_query_engine_spark.operators.dedup import hyperplane_signs
+
+    planes = hyperplane_signs(out_dim, in_dim)
+    return [
+        "["
+        + ",".join("1.0" if x > 0 else "-1.0" for x in planes[i])
+        + "]"
+        for i in range(out_dim)
+    ]
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+           [{", ".join(
+               f"list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+               f"{lits}::DOUBLE[]), x -> x[1] * x[2])) * 0.25"
+               for lits in _rp_terms())}] AS proj
+    FROM embeddings
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with
+    deterministic ±1 planes scaled by 1/sqrt(16) — the cheap
+    dimensionality reduction an embedding pipeline runs before
+    clustering or as an ANN pre-filter (pairwise distances preserved
+    within (1±ε) w.h.p.). Map-only, JVM-side; each output dim is one
+    JVM-parsed expression (same py4j-avoidance as the LSH band keys)
+    with the same sequential fold as the DuckDB oracle, so the doubles
+    hash-match exactly. At 100 TB this is a pure scan→project stage —
+    no shuffle, codegen throughput-bound."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = [
+        F.expr(
+            "aggregate(zip_with(cast(embedding as array<double>), "
+            f"array({lits[1:-1]}), (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x) * 0.25D"
+        )
+        for lits in _rp_terms()
+    ]
+    return e.select("vec_id", F.array(*dims).alias("proj"))
