@@ -3293,3 +3293,45 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lits in _rp_terms()
     ]
     return e.select("vec_id", F.array(*dims).alias("proj"))
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (the one §2.6 family without a driver
+    query until now): per-customer status→count maps built with
+    ``map_from_entries(collect_list(struct(...)))`` over a pre-grouped
+    frame (keys are unique by construction, so the map is
+    deterministic even though collect_list order is not), read back
+    with ``element_at`` / ``size``. Map columns never leave the plan —
+    the output is plain integers, so the DuckDB oracle is conditional
+    aggregation. Maps are the natural shape for sparse per-entity
+    feature bags at scale; this pins Spark's map building + lookup
+    semantics (missing key → NULL → 0)."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "cnt"))
+        ).alias("m")
+    )
+    get = lambda k: F.coalesce(F.element_at(F.col("m"), F.lit(k)), F.lit(0))
+    return m.select(
+        "o_custkey",
+        get("F").alias("n_f"),
+        get("O").alias("n_o"),
+        get("P").alias("n_p"),
+        F.size(F.col("m")).cast("bigint").alias("n_statuses"),
+    )
