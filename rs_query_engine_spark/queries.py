@@ -3335,3 +3335,47 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         get("P").alias("n_p"),
         F.size(F.col("m")).cast("bigint").alias("n_statuses"),
     )
+
+
+@register(
+    "stream_parquet_sink",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming sink end-to-end: stream → stateful
+    aggregation → ``foreachBatch`` parquet (exactly-once via
+    batch-id-partitioned dynamic overwrite) → read the files back.
+    Update mode re-emits a key on every micro-batch that touches it,
+    so the files hold one row per (key, batch); counts are monotone,
+    so max over a key's rows is its final state — matched against the
+    batch GROUP BY oracle. This is the lambda-architecture parity
+    check: files a downstream trainer would actually read, not a
+    memory-sink harness."""
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_parquet,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"rsqes_streamsink_{digest}")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    # fresh run per invocation: the checkpoint records consumed offsets,
+    # so a reused checkpoint would make the next run a no-op with stale
+    # files alongside
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    run_stream_to_parquet(agg, out, ckpt, output_mode="update")
+    files = spark.read.parquet(out)
+    return files.groupBy("user_id", "event_type").agg(
+        F.max("n").alias("n_events")
+    )

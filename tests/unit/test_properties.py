@@ -101,3 +101,50 @@ def test_salted_aggregate_is_invisible(sp, rows, num_salts):
         F.max("v").alias("hi"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(edges=edge_lists)
+def test_connected_components_star_matches_union_find(sp, edges):
+    """Large-star/small-star labels must equal a plain Python
+    union-find ground truth on random graphs (self-loops dropped, the
+    operator's contract)."""
+    from rs_query_engine_spark.operators.graph import connected_components_star
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # ground truth: node -> min id of its component
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    truth = {n: comp_min[find(n)] for n in parent}
+
+    df = sp.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == truth
