@@ -3379,3 +3379,76 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.groupBy("user_id", "event_type").agg(
         F.max("n").alias("n_events")
     )
+
+
+@register(
+    "text_contamination_check",
+    oracle=r"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, len(regexp_split_to_array(lower(text), '\s+')) - 4),
+                       i -> array_to_string(regexp_split_to_array(lower(text), '\s+')[i:i+4], ' ')
+                   )
+               ) AS sh
+        FROM documents
+    ), bench AS (
+        SELECT doc_id AS bench_id, unnest(sh) AS gram, len(sh) AS n_bench
+        FROM grams WHERE doc_id % 97 = 0 AND len(sh) > 0
+    ), corpus AS (
+        SELECT doc_id, unnest(sh) AS gram FROM grams WHERE len(sh) > 0
+    )
+    SELECT c.doc_id, b.bench_id,
+           COUNT(*) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / b.n_bench AS contamination
+    FROM corpus c JOIN bench b ON c.gram = b.gram AND c.doc_id <> b.bench_id
+    GROUP BY c.doc_id, b.bench_id, b.n_bench
+    HAVING CAST(COUNT(*) AS DOUBLE) / b.n_bench >= 0.2
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pre-training hygiene step: find
+    corpus documents sharing a high fraction of word 5-grams with an
+    evaluation set (stand-in: every 97th doc), so they can be dropped
+    before training. Asymmetric by design: the BENCHMARK side is
+    small, so its exploded distinct grams broadcast, and the corpus
+    explode joins against it map-side — the corpus is never shuffled,
+    and non-overlapping grams die at the join instead of riding a
+    groupBy. Overlap fraction is measured against the benchmark doc's
+    gram count (the eval set is what leaks). Same tokenize/shingle
+    fold as the dedup family, so DuckDB reproduces it exactly."""
+    from rs_query_engine_spark.functions.text import shingles
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    grams = spread(d).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode("sh").alias("gram"),
+            F.size("sh").alias("n_bench"),
+        )
+    )
+    corpus = grams.select("doc_id", F.explode("sh").alias("gram"))
+    hits = corpus.join(
+        F.broadcast(bench),
+        (corpus["gram"] == bench["gram"])
+        & (corpus["doc_id"] != bench["bench_id"]),
+    )
+    return (
+        hits.groupBy("doc_id", "bench_id", "n_bench")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap").cast("double") / F.col("n_bench") >= 0.2)
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_bench")).alias(
+                "contamination"
+            ),
+        )
+    )
