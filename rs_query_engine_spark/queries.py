@@ -3452,3 +3452,239 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+        FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    ), per AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram
+    ), stats AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               MAX(cnt) AS top_cnt,
+               CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_bigram_frac,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS distinct_frac
+        FROM per GROUP BY doc_id
+    )
+    SELECT * FROM stats WHERE top_bigram_frac >= 0.08
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. 2021 §A1.1): docs whose
+    single most frequent word bigram covers >= 8% of all bigram slots
+    are boilerplate/loop artifacts and get dropped before training;
+    this returns the failing set with its metrics. Two hash
+    aggregations — (doc, gram) counts, then per-doc max/sum/distinct —
+    both with map-side partials; the shuffle carries (doc_id, gram)
+    counts, never the text. The distinct-bigram ratio rides along free
+    from the same aggregate. Thresholds calibrated on this corpus
+    (p90 = 0.069, max = 0.167 → 0.08 flags the repetitive tail)."""
+    from rs_query_engine_spark.functions.text import shingles
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    grams = spread(d).select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("gram")
+    )
+    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_cnt"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        (F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double")).alias(
+            "distinct_frac"
+        ),
+    )
+    return stats.filter(F.col("top_bigram_frac") >= 0.08)
+
+
+@register(
+    "text_domain_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS cnt,
+               CASE WHEN source IN ('src0','src1','src2','src3')
+                    THEN 3.0 ELSE 1.0 END AS w
+        FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source,
+               LEAST(w * (MIN(cnt / w) OVER ()) / cnt, 1.0) AS rate
+        FROM counts
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < r.rate * 1000000.0
+    """,
+)
+def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: hit a target domain mix (here
+    sources src0-3 weighted 3x) by downsampling every source to the
+    rate its weight allows — rate_s = w_s * min_t(cnt_t / w_t) / cnt_s,
+    so the most-constrained source keeps 100% and nothing is
+    upsampled. Per-source rates come from a vocabulary-sized aggregate
+    (broadcast back); membership is the engine-portable md5 Bernoulli
+    draw from the sampling family, so the kept set is reproducible
+    across clusters and engines. The corpus itself is never shuffled:
+    count-agg partials + a broadcast join + a map-side filter."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(3.0)
+    ).otherwise(F.lit(1.0))
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "source", "cnt", w.alias("w"), (F.col("cnt") / w).alias("ratio")
+    )
+    mn = counts.agg(F.min("ratio").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.least(
+            F.col("w") * F.col("mn") / F.col("cnt"), F.lit(1.0)
+        ).alias("rate"),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000000
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate") * 1000000.0)
+        .select("doc_id", "source", "rate")
+    )
+
+
+@register(
+    "agg_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_extendedprice,
+           (CAST(l.l_extendedprice AS DOUBLE) - s.sx / s.n)
+             / sqrt((s.n * s.sx2 - s.sx * s.sx) / (s.n * (s.n - 1.0))) AS z
+    FROM lineitem l JOIN s USING (l_returnflag)
+    WHERE abs((CAST(l.l_extendedprice AS DOUBLE) - s.sx / s.n)
+              / sqrt((s.n * s.sx2 - s.sx * s.sx) / (s.n * (s.n - 1.0)))) > 1.5
+    """,
+)
+def agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization + outlier flagging: group sufficient
+    statistics (decimal-exact sums, as in agg_variance_exact) are
+    broadcast back onto the fact table and each row's z-score is a
+    map-side expression — the anomaly-detection shape where the model
+    is tiny and the scoring pass must not shuffle the data. Threshold
+    1.5 because the price distribution is near-uniform (max |z| is
+    sqrt(3)); the same 7 IEEE ops on both engines, bit-identical."""
+    d = F.col("l_extendedprice").cast(D_PRICE)
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sx2"),
+    )
+    z = (F.col("l_extendedprice").cast("double") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    )
+    return (
+        li.join(F.broadcast(s), "l_returnflag")
+        .filter(F.abs(z) > 1.5)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            z.alias("z"),
+        )
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE n_chars > 200
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines end-to-end through the catalog (the third source
+    format after parquet and the reference's CSV): the documents table
+    is materialized as JSONL once (stable temp dir, skipped when
+    present), registered via ``Catalog.register_json`` with an explicit
+    schema (inference would cost a second scan at 100 TB), filtered,
+    and compared against the parquet original — JSON string escaping
+    and int64 fidelity survive the trip."""
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.catalog import Catalog
+    from rs_query_engine_spark.sources.sinks import write_json
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"rsqes_json_{digest}", "documents")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_json(_t(spark, sf_dir, "documents"), path, coalesce_files=4)
+    cat = Catalog(spark)
+    jdf = cat.register_json(
+        f"documents_json_{digest}",
+        path,
+        schema="doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    return jdf.filter(F.col("n_chars") > 200).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n', n FROM wide
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of pivot_returnflag: a wide per-
+    group metrics row becomes (group, metric, value) long form, the
+    shape metric stores and plotting layers want. Spark's ``unpivot``
+    is an Expand node over the already-aggregated (tiny) wide table —
+    the explosion happens after aggregation, so it costs nothing at
+    scale; the oracle spells it as UNION ALL to pin the exact
+    semantics."""
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast(D_PRICE)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(D_PRICE))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n"], "metric", "value"
+    )
