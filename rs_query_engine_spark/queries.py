@@ -3417,14 +3417,23 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     and non-overlapping grams die at the join instead of riding a
     groupBy. Overlap fraction is measured against the benchmark doc's
     gram count (the eval set is what leaks). Same tokenize/shingle
-    fold as the dedup family, so DuckDB reproduces it exactly."""
+    fold as the dedup family, so DuckDB reproduces it exactly. The
+    gram projection feeds BOTH join sides, so it is staged with
+    localCheckpoint (the minhash staging pattern): re-running the
+    shingle fold per consumer measured 2x slower than materializing
+    the small (doc_id, grams) frame once."""
     from rs_query_engine_spark.functions.text import shingles
     from rs_query_engine_spark.sources.corpus import spread
 
     d = _t(spark, sf_dir, "documents")
-    grams = spread(d).select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    grams = (
+        spread(d)
+        .select(
+            "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
+    )
     bench = (
         grams.filter(F.col("doc_id") % 97 == 0)
         .select(

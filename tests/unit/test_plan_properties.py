@@ -197,3 +197,54 @@ def test_partition_pruning_reaches_scan(spark):
     part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert part_lines and "event_type" in part_lines[0]
     assert "PushedFilters:" in plan and "GreaterThan(value,50.0)" in plan
+
+
+def test_span_dedup_winner_is_hash_agg_not_window(spark):
+    """Corpus-wide span dedup must pick first-occurrence winners with a
+    hash aggregate (fingerprint-sized, map-side partials) — a Window
+    rank over all span text would sort the whole exploded corpus."""
+    df = registry.text_span_dedup(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_anti_join_with_pruned_existing(spark):
+    """Incremental ingest must plan a LEFT ANTI join, and the existing-
+    corpus side must scan only what the fingerprint needs (doc_id and
+    the other payload columns pruned away before the shuffle)."""
+    df = registry.dedup_incremental(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the existing side reads only `text` (fingerprint input) — doc_id
+    # and source appear in exactly one ReadSchema (the batch side)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert sum("source" in s for s in schemas) == 1
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    """The per-group sufficient-statistics model is tiny; scoring must
+    broadcast it over the fact table, never shuffle the fact side."""
+    df = registry.agg_zscore_outliers(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_mixture_corpus_not_shuffled(spark):
+    """Mixture resampling joins per-source rates back by broadcast; the
+    documents scan must not feed an exchange before the join."""
+    df = registry.text_domain_mixture(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_expands_after_aggregate(spark):
+    """UNPIVOT must be an Expand over the aggregated (tiny) wide table
+    — exploding before aggregation would triple the shuffle volume."""
+    df = registry.unpivot_metrics(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Expand" in plan
+    assert plan.index("Expand") < plan.index("HashAggregate")
