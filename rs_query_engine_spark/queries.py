@@ -3809,3 +3809,188 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(existing, "head_fp", "left_anti").select(
         "doc_id", "source", "head_fp"
     )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+    """,
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping — the DISJUNCTIVE-join-filter
+    probe: revenue between two specific nation pairs by ship year.
+    The OR-of-conjunctions over the two nation hops cannot be pushed
+    into either dimension scan alone, but both nation joins are
+    broadcast (25 rows at every SF), so the filter runs map-side right
+    after the hops and the fact chain sheds non-qualifying rows before
+    the group-by shuffle. Revenue on the 4-decimal grid as in
+    tpch_q3/q5; year() cast pinned to INTEGER on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(14,4)"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "sql_entry_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(14,4)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_entry_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the SQL ENTRY POINT: tables registered as temp
+    views (``sources.corpus.register_corpus``) and the query issued as
+    a SQL string via ``spark.sql`` — proving the engine's second entry
+    surface compiles to the same pushed-down scan + single partial/
+    final aggregate as the DataFrame builder (the reference only has
+    the builder, ``src/catalog.rs``; SQL is free on Spark). All three
+    predicates reach the parquet reader."""
+    from rs_query_engine_spark.sources.corpus import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(14,4)))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "multimodal_pair_align",
+    oracle=f"""
+    SELECT d.doc_id,
+           len(regexp_split_to_array(lower(d.text), '\\s+')) AS n_tokens,
+           e.label,
+           sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+               AS emb_norm
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars >= 100
+    """,
+)
+def multimodal_pair_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pair construction — the contrastive-training-data
+    join: align the text corpus with its embedding table on id, keep
+    quality-gated docs, and emit per-pair features (token count,
+    label, embedding norm — the same sequential fold as the cosine
+    family). At 100 TB both sides are fact-sized, so this is the
+    co-partitioned join case: bucket both tables on the id (see
+    join_bucketed_colocated) and the join needs no exchange; here the
+    quality filter is pushed to the documents scan before the join."""
+    from rs_query_engine_spark.functions.text import token_count
+    from rs_query_engine_spark.operators.similarity import norm_sq
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            "label",
+            F.sqrt(norm_sq(v)).alias("emb_norm"),
+        )
+    )
+
+
+@register(
+    "stream_append_finalized",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events
+        FROM e GROUP BY 1, 2
+    ), m AS (SELECT max(ts) AS mx FROM e)
+    SELECT a.window_start, a.event_type, a.n_events
+    FROM agg a, m
+    WHERE a.window_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 90 MINUTE
+    """,
+)
+def stream_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermark finalization — the semantics that make
+    streaming aggregates exactly-once consumable downstream: a window
+    is emitted ONLY once the watermark (max event time minus the
+    90-minute lateness bound) passes its end, so every emitted row is
+    final and late events older than the watermark can no longer
+    mutate it. The bounded corpus arrives as one micro-batch; the
+    closing no-data batch advances the watermark and flushes every
+    finalized window, leaving the last ~2.5 hours of windows
+    unemitted in state — which the batch oracle reproduces with a
+    max(ts)-anchored cutoff. Contrast with update-mode twins
+    (stream_sliding_window) where emissions are revisable and the
+    oracle must take max-per-window. Watermark state: one row per
+    (window, type) within the lateness horizon — O(hours x types),
+    independent of corpus size."""
+    from rs_query_engine_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "90 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return run_stream_to_memory(
+        agg, "stream_append_finalized", output_mode="append"
+    )
