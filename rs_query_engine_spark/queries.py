@@ -3994,3 +3994,132 @@ def stream_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         agg, "stream_append_finalized", output_mode="append"
     )
+
+
+@register("agg_freq_items")  # no oracle: freqItems is a one-pass
+# streaming-summary sketch whose support set is algorithm-specific;
+# the exactness gate lives in tests/unit/test_properties.py
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via ``DataFrame.freqItems`` (Karp/
+    Shenker/Papadimitriou one-pass frequent-items summary): every item
+    with frequency above the support threshold is guaranteed present
+    (possibly with false positives — the classic sketch trade). This
+    is the scale path for "top domains / hot keys" over 100 TB: fixed
+    memory per partition, merged map-side, no value shuffle at all —
+    the exact twin (text_token_freq) shuffles the full vocabulary.
+    Output is exploded + sorted so the row set is stable for the
+    driver's rows-only check."""
+    d = _t(spark, sf_dir, "events")
+    hot = d.select("event_type").freqItems(["event_type"], support=0.1)
+    return hot.select(
+        F.explode(F.array_sort("event_type_freqItems")).alias("item")
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_key,
+           LAST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS richest_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window spec: rank /
+    dense_rank / percent_rank / cume_dist / first_value, plus
+    last_value with an explicit unbounded-following frame (the default
+    frame ends at CURRENT ROW, where last_value degenerates to the row
+    itself — a classic SQL footgun pinned here on both engines). The
+    ordering is de-tied with the key so every rank is deterministic;
+    one sort per partition computes all six functions. At scale the
+    partition key (segment) bounds the sort; a global rank would be
+    the range-exchange sort_global_order plans."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("c_custkey").over(w).alias("poorest_key"),
+        F.last("c_custkey").over(wfull).alias("richest_key"),
+    )
+
+
+@register(
+    "text_quality_pipeline",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, length(text) AS n_chars_m,
+               regexp_split_to_array(lower(text), '\s+') AS t
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, lang, n_chars_m,
+               len(t) AS n_tokens,
+               CAST(len(list_filter(t, x -> x IN
+                   ('the','a','of','and','to','in','is','it','for','on')))
+                   AS DOUBLE) / len(t) AS stop_ratio,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, n_tokens, stop_ratio, distinct_ratio,
+           CASE WHEN n_tokens < 30 THEN 'short;' ELSE '' END
+           || CASE WHEN lang <> 'en' THEN 'lang;' ELSE '' END
+           || CASE WHEN stop_ratio < 0.05 THEN 'lowstop;' ELSE '' END
+           || CASE WHEN distinct_ratio < 0.12 THEN 'repetitive;' ELSE '' END
+               AS drop_reasons
+    FROM feats
+    """,
+)
+def text_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite C4/Gopher-style quality gate as ONE map-side
+    pass: length, language, stopword-density, and token-diversity
+    checks each contribute a reason code, concatenated into
+    ``drop_reasons`` (empty = keep) — pipelines keep the reasons, not
+    a boolean, so gate hit-rates can be audited per source before the
+    drop is applied. Every feature comes from one tokenize pass; no
+    shuffle anywhere — at 100 TB this runs at scan speed alongside
+    the scan-bound stats family."""
+    from rs_query_engine_spark.functions.text import STOPWORDS, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        t.alias("t"),
+    ).filter(F.size("t") > 0)
+    n_tokens = F.size("t")
+    stop = F.array(*[F.lit(wd) for wd in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter("t", lambda x: F.array_contains(stop, x))).cast("double")
+        / n_tokens
+    )
+    distinct_ratio = F.size(F.array_distinct("t")).cast("double") / n_tokens
+    reasons = F.concat(
+        F.when(n_tokens < 30, F.lit("short;")).otherwise(F.lit("")),
+        F.when(F.col("lang") != "en", F.lit("lang;")).otherwise(F.lit("")),
+        F.when(stop_ratio < 0.05, F.lit("lowstop;")).otherwise(F.lit("")),
+        F.when(distinct_ratio < 0.12, F.lit("repetitive;")).otherwise(F.lit("")),
+    )
+    return feats.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        reasons.alias("drop_reasons"),
+    )

@@ -148,3 +148,21 @@ def test_connected_components_star_matches_union_find(sp, edges):
         for r in connected_components_star(df).collect()
     }
     assert got == truth
+
+
+def test_freq_items_guarantee_no_false_negatives(sp):
+    """The frequent-items sketch guarantee: every item whose true
+    frequency exceeds the support threshold MUST be in the output
+    (false positives allowed, false negatives not)."""
+    from rs_query_engine_spark.queries import agg_freq_items
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["item"] for r in agg_freq_items(sp, sf_dir).collect()}
+    ev = sp.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.count()
+    truth = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] / total > 0.1
+    }
+    assert truth <= got
