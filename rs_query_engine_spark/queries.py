@@ -4123,3 +4123,83 @@ def text_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_ratio.alias("distinct_ratio"),
         reasons.alias("drop_reasons"),
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(l_returnflag, 'N') AS k,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    ), lab AS (
+        SELECT * FROM (VALUES ('A', 'acked'), ('R', 'returned'),
+                              (NULL, 'in_flight')) t(k, label)
+    )
+    SELECT a.k, lab.label, a.sum_qty, a.n
+    FROM a JOIN lab ON a.k IS NOT DISTINCT FROM lab.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    dimension-decode join where NULL is a real key ('not yet
+    returned'), which a plain equi-join silently drops — the classic
+    silent-data-loss bug in CDC/SCD pipelines. The NULL-keyed group
+    survives the join on both engines. The label table is an inline
+    VALUES LocalRelation (known tiny stats → broadcast; a
+    createDataFrame would have unknown stats and can flip the
+    broadcast side)."""
+    a = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k"))
+        .agg(
+            F.sum(F.col("l_quantity").cast(D_PRICE)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    lab = spark.sql(
+        "SELECT * FROM VALUES ('A', 'acked'), ('R', 'returned'), "
+        "(CAST(NULL AS STRING), 'in_flight') AS t(k, label)"
+    )
+    return (
+        a.join(F.broadcast(lab), a["k"].eqNullSafe(lab["k"]))
+        .select(a["k"].alias("k"), "label", "sum_qty", "n")
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INTEGER)
+               AS ship_delay_days,
+           o.o_orderdate + INTERVAL 30 DAY AS due_ts,
+           CAST(date_trunc('quarter', o.o_orderdate) AS TIMESTAMP)
+               AS quarter_start,
+           CAST(isodow(o.o_orderdate) - 1 AS INTEGER) AS iso_wd,
+           last_day(CAST(o.o_orderdate AS DATE)) AS eom
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_linenumber = 1
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic family over the order→ship timeline:
+    day difference, interval add, quarter truncation, ISO weekday
+    (Spark ``weekday`` = Monday 0, pinned against DuckDB ``isodow-1``
+    — the raw ``dayofweek`` builtins DISAGREE across engines on the
+    week start, a real migration bug), and end-of-month. All scalar,
+    map-side, inside the join projection."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    o = _t(spark, sf_dir, "orders")
+    return li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("ship_delay_days"),
+        F.expr("o_orderdate + INTERVAL 30 DAYS").alias("due_ts"),
+        F.date_trunc("quarter", F.col("o_orderdate")).alias("quarter_start"),
+        F.weekday(F.col("o_orderdate")).cast("int").alias("iso_wd"),
+        F.last_day(F.col("o_orderdate")).alias("eom"),
+    )
