@@ -248,3 +248,22 @@ def test_unpivot_expands_after_aggregate(spark):
     plan = explain_str(df)
     assert "Expand" in plan
     assert plan.index("Expand") < plan.index("HashAggregate")
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """Q10's top-20-by-revenue must plan TakeOrderedAndProject over
+    the aggregate (per-partition heaps, single 20-row merge), never a
+    global sort of all customers."""
+    df = registry.tpch_q10_shape(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_single_table_residuals_pushed(spark):
+    """The disjunction mixes tables, but each table's residual
+    envelope (quantity range, brand set) must still be factored below
+    the join — the lineitem scan shows a pushed quantity filter."""
+    df = registry.tpch_q19_shape(spark, SF_DIR)
+    plan = explain_str(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in pushed)
