@@ -4338,3 +4338,140 @@ def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "agg_mode_argmax",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ), m AS (
+        SELECT *, MAX(cnt) OVER (PARTITION BY l_returnflag) AS mx FROM counts
+    )
+    SELECT l_returnflag,
+           MIN(l_linestatus) FILTER (WHERE cnt = mx) AS mode_status,
+           mx AS mode_count
+    FROM m GROUP BY l_returnflag, mx
+    """,
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group with an explicit tie-break — built-in
+    ``mode()`` is non-deterministic on ties in BOTH engines (hash
+    order), so it can never hash-match; the portable spelling is
+    count-then-argmax with (count DESC, value ASC) ordering. Two hash
+    aggregates, both with map-side partials; the second aggregates the
+    (group, value) count table, which is cardinality-bounded — the
+    same rollup shape a 100-TB mode needs (never a sort)."""
+    counts = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.min_by(
+            "l_linestatus", F.struct((-F.col("cnt")).alias("nc"), "l_linestatus")
+        ).alias("mode_status"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+@register(
+    "agg_corr_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_samp,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation from EXACT sufficient
+    statistics (the agg_variance_exact pattern extended to two
+    columns): all five sums are decimal-exact on the corpus grid, so
+    the only float ops are the closed forms — the same IEEE sequence
+    on both engines. Built-in corr/covar_samp stream engine-specific
+    update orders and cannot hash-match. One aggregation pass carries
+    all five partials map-side — the mergeable form a distributed
+    engine wants anyway."""
+    x = F.col("l_quantity").cast(D_PRICE)
+    y = F.col("l_extendedprice").cast(D_PRICE)
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        (num / (F.col("n") * (F.col("n") - F.lit(1.0)))).alias("covar_samp"),
+        (
+            num
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("corr"),
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0
+               AS py_score
+    FROM documents
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR Pandas-UDF surface (the one Python API tier not yet
+    covered: UDAF=agg_pandas_udaf_range, cogrouped=as-of join,
+    mapInPandas=multimodal, withState=streaming): an Arrow-vectorized
+    per-row score computed in Python (hashlib md5 → uniform [0,1)),
+    exactly reproducible in SQL so it hash-verifies — standing in for
+    the real cluster-side scorer (tokenizer, small model) whose
+    pattern is identical. Arrow moves columnar batches; the Python
+    loop is per-batch, not per-row via py4j. At 100 TB this is the
+    slow path by design — everything around it stays JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _score_batch(texts):
+        import hashlib
+
+        return texts.map(
+            lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) / 2**32
+        )
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint inference rejects — the explicit
+    # returnType form is the hint-free spelling (SCALAR by default)
+    py_score = pandas_udf(_score_batch, "double")
+
+    d = _t(spark, sf_dir, "documents")
+    from rs_query_engine_spark.sources.corpus import spread
+
+    return spread(d, min_partitions=8).select(
+        "doc_id", py_score(F.col("text")).alias("py_score")
+    )
