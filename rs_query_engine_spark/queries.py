@@ -4475,3 +4475,49 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(d, min_partitions=8).select(
         "doc_id", py_score(F.col("text")).alias("py_score")
     )
+
+
+@register(
+    "udf_grouped_apply",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               MIN(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn,
+               MAX(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           (l_extendedprice - mn) / (mx - mn) AS scaled
+    FROM b
+    """,
+)
+def udf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInPandas`` — the per-group Python transform tier
+    (the last Python API surface: each group arrives as ONE pandas
+    DataFrame): min-max normalization within each return-flag group,
+    the feature-scaling step that genuinely needs whole-group state in
+    hand. The float ops (two scalar reductions, one affine map) are
+    order-independent min/max + per-row arithmetic, so DuckDB's window
+    spelling is bit-identical. Scale caveat baked into the design: a
+    group must fit one worker's memory — keys here are 3-valued, so at
+    100 TB this exact shape wants the JVM window instead; the operator
+    exists for group-sized models (per-tenant fit/transform), and the
+    oracle pins that both spellings agree."""
+    import pandas as pd
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["l_extendedprice"].min(), pdf["l_extendedprice"].max()
+        out = pdf[["l_returnflag", "l_orderkey", "l_linenumber"]].copy()
+        out["scaled"] = (pdf["l_extendedprice"] - mn) / (mx - mn)
+        return out
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            scale,
+            schema="l_returnflag string, l_orderkey bigint, "
+            "l_linenumber bigint, scaled double",
+        )
+    )

@@ -418,3 +418,50 @@ def test_redact_pii_removes_all_patterns(spark):
         assert "@" not in t and "+1-555-" not in t and "http://" not in t
         assert "[EMAIL]" in t and "[PHONE]" in t and "[URL]" in t
         assert r["n_pii"] == 3
+
+
+def test_chunk_spans_empty_and_single_token_text(spark):
+    """The span machinery must emit exactly one (possibly empty) span
+    for degenerate docs — never zero rows (which would silently drop
+    the doc from reassembly) and never a crash on empty token arrays."""
+    from rs_query_engine_spark.functions.text import chunk_spans
+
+    df = _docs(spark, [(1, ""), (2, "one"), (3, "  ")])
+    out = (
+        df.select("doc_id", F.explode(chunk_spans(F.col("text"), 20, 20)).alias("c"))
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert {r["doc_id"]: r["count"] for r in out} == {1: 1, 2: 1, 3: 1}
+
+
+def test_quality_pipeline_reasons_on_degenerate_docs(spark):
+    """Degenerate docs must flow through the gate with reason codes,
+    not NaNs/errors: a one-word doc is short + lowstop but its ratios
+    stay finite (division by token count, never by zero — zero-token
+    docs are filtered before the ratios)."""
+    import math
+
+    from rs_query_engine_spark import queries as q
+
+    rows = [r for r in q.text_quality_pipeline(spark, "/root/testdata/sf0.001").collect()]
+    assert rows
+    for r in rows:
+        assert math.isfinite(r["stop_ratio"]) and math.isfinite(r["distinct_ratio"])
+
+
+def test_domain_mixture_rates_bounded(spark):
+    """Every resampling rate must be in (0, 1] — a rate above 1 would
+    mean upsampling (not supported by a keep-filter), a rate of 0
+    would silently drop a whole domain."""
+    from rs_query_engine_spark import queries as q
+
+    rates = {
+        r["source"]: r["rate"]
+        for r in q.text_domain_mixture(spark, "/root/testdata/sf0.001")
+        .select("source", "rate")
+        .distinct()
+        .collect()
+    }
+    assert rates and all(0.0 < v <= 1.0 for v in rates.values())
