@@ -4521,3 +4521,131 @@ def udf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber bigint, scaled double",
         )
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS wavg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_w
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (quantity-weighted unit price) from two
+    decimal-exact sums and one double division — the aggregation every
+    mixing/recipe pipeline needs (built-in avg can't weight; the
+    two-sum spelling is also the mergeable map-side form). Exact on
+    the corpus grid, so it hash-matches."""
+    w = F.col("l_quantity").cast(D_PRICE)
+    x = F.col("l_extendedprice").cast(D_PRICE)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.sum(w * x).cast("double") / F.sum(w).cast("double")).alias(
+                "wavg_price"
+            ),
+            F.sum(w).cast("double").alias("total_w"),
+        )
+    )
+
+
+@register(
+    "array_explode_semantics",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    WHEN doc_id % 10 = 1 THEN []
+                    ELSE regexp_split_to_array(lower(text), '\s+')[1:3]
+               END AS arr
+        FROM documents
+    )
+    SELECT 'inner' AS variant, COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM t, LATERAL unnest(arr) AS u(tok)
+    UNION ALL
+    SELECT 'outer', COUNT(*),
+           COUNT(DISTINCT doc_id)
+    FROM (
+        SELECT doc_id, unnest(
+            CASE WHEN arr IS NULL OR len(arr) = 0
+                 THEN [NULL]::VARCHAR[] ELSE arr END) AS tok
+        FROM t
+    )
+    """,
+)
+def array_explode_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer — the row-loss footgun pinned: plain
+    explode silently DROPS rows whose array is NULL or empty (10% and
+    10% of docs here by construction), explode_outer keeps them as one
+    NULL row each. Pipelines that explode features then re-aggregate
+    lose those documents without a trace unless they use the outer
+    form; the count delta is the audit. Map-side Generate either way
+    — no shuffle until the count."""
+    d = _t(spark, sf_dir, "documents")
+    from rs_query_engine_spark.functions.text import tokens
+
+    arr = (
+        F.when(F.col("doc_id") % 10 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("doc_id") % 10 == 1, F.array().cast("array<string>"))
+        .otherwise(F.slice(tokens(F.col("text")), 1, 3))
+    )
+    t = d.select("doc_id", arr.alias("arr"))
+    inner = (
+        t.select("doc_id", F.explode("arr").alias("tok"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .select(F.lit("inner").alias("variant"), "n_rows", "n_docs")
+    )
+    outer = (
+        t.select("doc_id", F.explode_outer("arr").alias("tok"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .select(F.lit("outer").alias("variant"), "n_rows", "n_docs")
+    )
+    return inner.unionAll(outer)
+
+
+@register("text_unigram_logprob")  # no oracle: ln() and the per-doc
+# mean are float-order/libm dependent; the driver records rows-only
+# and tests/unit/test_properties.py gates values vs DuckDB at 1e-9
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy scoring — the perplexity-proxy quality
+    filter (KenLM-style scoring without shipping a model): p(tok) =
+    corpus frequency / total tokens, doc score = mean(-ln p) over its
+    tokens; low-probability word salad scores high and gets dropped.
+    Plan: one vocabulary-sized count aggregate (map-side partials),
+    the scalar total rides a broadcast cross join, the (token, logp)
+    decode table broadcasts back onto the exploded corpus, and the
+    per-doc mean is the only corpus-keyed shuffle. No oracle hash by
+    design: ln/mean are float-order dependent; value parity is gated
+    at 1e-9 in a unit test instead."""
+    from rs_query_engine_spark.functions.text import tokens
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    toks = spread(d).select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (-F.log(F.col("cnt").cast("double") / F.col("total"))).alias("neg_logp"),
+    )
+    return (
+        toks.join(F.broadcast(logp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.avg("neg_logp").alias("cross_entropy"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

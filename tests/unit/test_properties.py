@@ -166,3 +166,38 @@ def test_freq_items_guarantee_no_false_negatives(sp):
         if r["count"] / total > 0.1
     }
     assert truth <= got
+
+
+def test_unigram_logprob_matches_duckdb_within_tolerance(sp):
+    """text_unigram_logprob has no oracle hash (ln + float mean are
+    order/libm dependent); gate values against DuckDB at 1e-9
+    relative instead."""
+    import duckdb
+
+    from rs_query_engine_spark.queries import text_unigram_logprob
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["cross_entropy"], r["n_tokens"])
+        for r in text_unigram_logprob(sp, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    ref = con.execute(
+        rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM read_parquet('{sf_dir}/documents.parquet')
+        ), vocab AS (
+            SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ), tot AS (SELECT SUM(cnt) AS total FROM vocab)
+        SELECT doc_id, AVG(-ln(CAST(cnt AS DOUBLE) / total)) AS ce, COUNT(*) AS n
+        FROM toks JOIN vocab USING (tok), tot
+        GROUP BY doc_id
+        """
+    ).fetchall()
+    assert len(ref) == len(got)
+    for doc_id, ce, n in ref:
+        sce, sn = got[doc_id]
+        assert sn == n
+        assert abs(sce - ce) <= 1e-9 * max(1.0, abs(ce))
