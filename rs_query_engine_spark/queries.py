@@ -4649,3 +4649,94 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT * FROM (VALUES ('purchase', 10.0), ('error', 5.0))
+            t(etype, boost)
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.boost
+    FROM events e JOIN dim d ON e.event_type = d.etype
+    WHERE e.value > 80.0
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime companion to the static
+    pruning in source_partition_pruning: the fact table is partitioned
+    by event_type and the qualifying keys arrive via a JOIN against a
+    FILTERED dim (boost > 1.0 keeps 2 of 5 types), so Spark builds the
+    key set at runtime and skips the fact partitions the dim never
+    mentions — zero partition literals in the query. At 100 TB this is
+    the date-dim ⋈ fact pattern: without DPP the fact scan reads every
+    partition. The dim must be a FILE-backed relation with a real
+    Filter node (a VALUES LocalRelation constant-folds and defeats the
+    selective-predicate check — found the hard way); both the
+    partitioned events copy and the 5-row dim parquet are materialized
+    once in the stable temp dir. Plan test asserts ``dynamicpruning``
+    on the fact scan."""
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.sources.sinks import write_parquet
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"rsqes_part_{digest}")
+    path = os.path.join(base, "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_parquet(
+            _t(spark, sf_dir, "events"), path,
+            partition_by=["event_type"], coalesce_files=4,
+        )
+    dimp = os.path.join(base, "etype_dim")
+    if not os.path.exists(os.path.join(dimp, "_SUCCESS")):
+        spark.sql(
+            "SELECT * FROM VALUES ('purchase', 10.0D), ('error', 5.0D), "
+            "('view', 0.0D), ('click', 0.5D), ('signup', 0.1D) "
+            "AS t(etype, boost)"
+        ).coalesce(1).write.mode("overwrite").parquet(dimp)
+    ev = spark.read.parquet(path)
+    dim = spark.read.parquet(dimp).filter(F.col("boost") > 1.0)
+    return (
+        ev.filter(F.col("value") > 80.0)
+        .join(dim, ev["event_type"] == dim["etype"])
+        .select("event_id", "user_id", "event_type", "boost")
+    )
+
+
+@register(
+    "sample_fixed_per_group",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM (
+        SELECT event_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn <= 100
+    """,
+)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size PER-GROUP sample (exactly 100 events per type) via
+    content-hash ordering — the per-stratum eval-set builder that
+    complements the rate-based sample_stratified_hash: hash order is a
+    reproducible shuffle (same rows on any cluster, any partitioning,
+    any engine), de-tied by id. One window sort per group; at scale
+    with heavy groups the two-phase TakeOrdered-per-group variant
+    (operators/sorts.topk_per_group partial=True) cuts the sort to
+    per-partition heaps."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("event_id", "event_type", "value")
+    )

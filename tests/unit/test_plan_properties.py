@@ -267,3 +267,13 @@ def test_q19_single_table_residuals_pushed(spark):
     plan = explain_str(df)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("l_quantity" in ln for ln in pushed)
+
+
+def test_dynamic_partition_pruning_on_fact_scan(spark):
+    """The dim-join partition filter must be DYNAMIC: the fact scan
+    carries a dynamicpruning subquery on the partition column, so
+    partitions the (runtime-filtered) dim never mentions are skipped
+    without any literal in the query."""
+    df = registry.join_dynamic_partition_pruning(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan.lower()
