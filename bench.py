@@ -71,7 +71,8 @@ def main() -> None:
     # one-time materialization. Disclosed: timings for these three are
     # read-side only.
     for name in ("source_csv_roundtrip", "source_json_roundtrip",
-                 "join_bucketed_colocated"):
+                 "join_bucketed_colocated", "source_partition_pruning",
+                 "join_dynamic_partition_pruning"):
         if name in qs:
             try:
                 run_full(qs[name](spark, sf_dir))

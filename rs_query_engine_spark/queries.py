@@ -4740,3 +4740,44 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("event_id", "event_type", "value")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
+           COUNT(DISTINCT l_suppkey) AS nd_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates — the third tier
+    of the distinct family (exact rewrite = count_distinct, sketch =
+    agg_approx_distinct, and this: exact AND mergeable): dense int
+    keys are folded into per-(group, 32k-bucket) bitmaps map-side,
+    bitmaps OR-merge in the shuffle, and the count is a popcount sum.
+    Unlike the Expand-based distinct rewrite (which multiplies input
+    rows per distinct column), two distinct columns cost two bitmap
+    columns in ONE pass; shuffle volume is bounded by key range / 8
+    bits, independent of row count — the 100-TB exact-distinct
+    pattern for id-typed keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("pb"),
+            F.expr("bitmap_bucket_number(l_suppkey)").alias("sb"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias(
+                "pbm"
+            ),
+            F.expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").alias(
+                "sbm"
+            ),
+        )
+    )
+    return b.groupBy("l_returnflag").agg(
+        F.expr("sum(bitmap_count(pbm))").alias("nd_parts"),
+        F.expr("sum(bitmap_count(sbm))").alias("nd_supps"),
+    )
