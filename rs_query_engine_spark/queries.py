@@ -4760,24 +4760,31 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per distinct column), two distinct columns cost two bitmap
     columns in ONE pass; shuffle volume is bounded by key range / 8
     bits, independent of row count — the 100-TB exact-distinct
-    pattern for id-typed keys."""
+    pattern for id-typed keys.
+
+    Each distinct column is aggregated INDEPENDENTLY (its own
+    groupBy(flag, bucket) pass): bucketing two key columns jointly
+    would set the same partkey bit in one bitmap per co-occurring
+    suppkey bucket and double-count on the popcount sum. Two scans
+    of a narrow projection beat one wrong scan; at 100 TB both are
+    map-side-partial + key-range-bounded shuffles."""
     li = _t(spark, sf_dir, "lineitem")
-    b = (
-        li.groupBy(
-            "l_returnflag",
-            F.expr("bitmap_bucket_number(l_partkey)").alias("pb"),
-            F.expr("bitmap_bucket_number(l_suppkey)").alias("sb"),
+
+    def _nd(key: str, out: str) -> DataFrame:
+        return (
+            li.groupBy(
+                "l_returnflag",
+                F.expr(f"bitmap_bucket_number({key})").alias("bkt"),
+            )
+            .agg(
+                F.expr(
+                    f"bitmap_construct_agg(bitmap_bit_position({key}))"
+                ).alias("bm")
+            )
+            .groupBy("l_returnflag")
+            .agg(F.expr("sum(bitmap_count(bm))").alias(out))
         )
-        .agg(
-            F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias(
-                "pbm"
-            ),
-            F.expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").alias(
-                "sbm"
-            ),
-        )
-    )
-    return b.groupBy("l_returnflag").agg(
-        F.expr("sum(bitmap_count(pbm))").alias("nd_parts"),
-        F.expr("sum(bitmap_count(sbm))").alias("nd_supps"),
+
+    return _nd("l_partkey", "nd_parts").join(
+        _nd("l_suppkey", "nd_supps"), "l_returnflag"
     )
