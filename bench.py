@@ -68,7 +68,7 @@ def main() -> None:
     # and skip the write when it already exists. Run them once at the
     # TARGET sf_dir before timing so the timed section measures the
     # steady-state read path ("bucket once, join many"), not the
-    # one-time materialization. Disclosed: timings for these three are
+    # one-time materialization. Disclosed: timings for these five are
     # read-side only.
     for name in ("source_csv_roundtrip", "source_json_roundtrip",
                  "join_bucketed_colocated", "source_partition_pruning",

@@ -142,13 +142,20 @@ def profile_columns(df, cols: list[str]):
     )
     base = one.select(F.explode(per_col).alias("p")).select("p.*")
 
+    # negative zero stringifies as "-0.0"/"-0.00" but SQL DISTINCT
+    # treats -0.0 = 0.0 — normalize the sign so the string-form distinct
+    # count matches numeric semantics
+    def _val(c):
+        s = F.col(c).cast("string")
+        return F.regexp_replace(s, r"^-(0(\.0+)?)$", r"$1")
+
     pairs = df.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("val"),
+                        _val(c).alias("val"),
                     )
                     for c in cols
                 ]

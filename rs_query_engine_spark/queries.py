@@ -61,41 +61,54 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate records rows for only the FIRST 50
-# entries of ``queries()`` per round (CORRECTNESS_r01.json is exactly
-# the first 50 registrations, in order). With >50 registered queries,
-# emit a rotation so hard verification coverage accrues across rounds:
-# queries WITHOUT a green row in round 1 first (new registrations
-# automatically qualify), then the round-1-verified ones in
-# registration order — which conveniently re-verifies the §2 reference
-# core (scan/filter/project/agg/join/scalar) with the leftover slots.
-_R01_VERIFIED = frozenset(
-    {
-        "filter_project_arith", "project_literal_alias",
-        "agg_groupby_returnflag", "agg_global", "agg_computed_groupkey",
-        "join_inner_star", "join_multikey", "join_left", "join_right",
-        "scalar_functions", "sort_limit_topk", "sample_hash_bernoulli",
-        "sample_stratified_hash", "sample_fixed_size",
-        "agg_pandas_udaf_range", "distinct_pairs", "setop_union",
-        "setop_intersect_except", "window_topk_per_group",
-        "window_running_sum", "window_lag_delta", "date_trunc_month_agg",
-        "events_hourly_window", "events_gap_fill", "events_funnel",
-        "events_retention_cohorts", "profile_lineitem",
-        "string_functions", "json_extract_events", "setop_upsert_latest",
-        "json_typed_parse_agg", "case_when_in_cast", "text_token_stats",
-        "text_quality_score", "text_lang_id", "text_fingerprint",
-        "text_token_freq", "text_chunking", "text_tfidf_topk",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_connected_clusters",
-        "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-        "similarity_bruteforce_topk", "similarity_ivf_topk",
-        "events_sessionization", "multimodal_byte_stats",
-        "multimodal_frame_sample",
-    }
-)
+# entries of ``queries()`` per round. With >50 registered queries, emit
+# a rotation so hard verification coverage accrues across rounds:
+# queries WITHOUT a green row in ANY prior round go first (new
+# registrations and regressions automatically qualify), then the
+# already-verified ones in registration order — which re-verifies the
+# §2 reference core (scan/filter/project/agg/join/scalar) with the
+# leftover slots. The verified set is read from the driver's own
+# CORRECTNESS_r*.json artifacts at import time, so the rotation
+# advances every round without hand-maintained lists (the round-3
+# freeze bug); a round that turns a green row red demotes that query
+# back to the front of the line.
+def _verified_names() -> frozenset[str]:
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    status: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # rows-only check (non-SQL-expressible op): green when
+                # the Spark side ran and produced rows
+                green = (row.get("spark_rows") or 0) > 0
+            else:
+                green = bool(row.get("rows_match")) and (
+                    row.get("hash_match") is None or bool(row.get("hash_match"))
+                )
+            # later rounds win: a regression demotes, a fix promotes
+            status[name] = green
+    return frozenset(n for n, ok in status.items() if ok)
+
+
+_VERIFIED = _verified_names()
 
 
 def _rotation_order() -> list[str]:
-    unverified = [n for n in _QUERIES if n not in _R01_VERIFIED]
-    verified = [n for n in _QUERIES if n in _R01_VERIFIED]
+    unverified = [n for n in _QUERIES if n not in _VERIFIED]
+    verified = [n for n in _QUERIES if n in _VERIFIED]
     return unverified + verified
 
 
@@ -2612,7 +2625,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), '|')
+               AS statuses,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -2621,12 +2635,19 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregation (collect_set + sort for a
     deterministic result — raw collect order is partition-dependent,
-    never comparable)."""
+    never comparable). The final projection serializes the array with
+    a '|' delimiter: the verification harness hashes scalar cells
+    (array cells are unhashable in its canonicalizer), and a
+    delimited string is an exact, order-stable encoding of the sorted
+    set. The array itself is still built distributed — only the last
+    map-side expression changes."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.concat_ws("|", F.sort_array(F.collect_set("l_linestatus"))).alias(
+                "statuses"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -3026,8 +3047,8 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            mx / 127.0 AS scale,
-           list_transform(v, x -> CAST(greatest(-127, least(127,
-               floor(x * (127.0 / mx) + 0.5))) AS INT)) AS q
+           array_to_string(list_transform(v, x -> CAST(greatest(-127, least(127,
+               floor(x * (127.0 / mx) + 0.5))) AS INT)), ',') AS q
     FROM e
     WHERE mx > 0
     """,
@@ -3041,7 +3062,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     function in Spark and DuckDB, while round()'s half-case tie-break
     differs between engines. Map-only, JVM-side array transform; zero
     vectors are dropped (their scale is undefined — a pipeline logs
-    them; test asserts the dequantization error bound scale/2)."""
+    them; test asserts the dequantization error bound scale/2). The
+    codes are emitted comma-joined — int→string is exact and the
+    verification harness can only hash scalar cells; a consumer wanting
+    the array keeps the pre-serialization projection."""
     e = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -3056,7 +3080,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-127), F.least(F.lit(127), F.floor(x * inv + F.lit(0.5)))
         ).cast("int"),
     )
-    return base.select("vec_id", scale.alias("scale"), q.alias("q"))
+    return base.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q"),
+    )
 
 
 @register(
@@ -3201,9 +3229,9 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, shard, n_tokens,
            shard * 1000000 + CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT)
                AS pack_id,
-           cum_tokens - n_tokens
+           CAST(cum_tokens - n_tokens
                - CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) * 512
-               AS pack_offset
+               AS BIGINT) AS pack_offset
     FROM cum
     """,
 )
@@ -3219,7 +3247,10 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle reproduces pack assignments bit-for-bit. Docs longer
     than the budget stay intact here (chunk first via text_chunking);
     offsets may exceed the budget boundary by design (greedy packing
-    splits at sequence build time, not assignment time)."""
+    splits at sequence build time, not assignment time). The oracle
+    casts pack_offset back to BIGINT: DuckDB's window SUM(BIGINT) is
+    HUGEINT, which surfaces as DECIMAL(38,0) through Arrow and
+    hash-mismatches Spark's bigint even when every value is equal."""
     d = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -3266,10 +3297,10 @@ def _rp_terms(out_dim: int = 16, in_dim: int = 64) -> list[str]:
     "embedding_random_projection",
     oracle=f"""
     SELECT vec_id,
-           [{", ".join(
+           {", ".join(
                f"list_sum(list_transform(list_zip(embedding::DOUBLE[], "
-               f"{lits}::DOUBLE[]), x -> x[1] * x[2])) * 0.25"
-               for lits in _rp_terms())}] AS proj
+               f"{lits}::DOUBLE[]), x -> x[1] * x[2])) * 0.25 AS p{i}"
+               for i, lits in enumerate(_rp_terms()))}
     FROM embeddings
     """,
 )
@@ -3281,18 +3312,22 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     within (1±ε) w.h.p.). Map-only, JVM-side; each output dim is one
     JVM-parsed expression (same py4j-avoidance as the LSH band keys)
     with the same sequential fold as the DuckDB oracle, so the doubles
-    hash-match exactly. At 100 TB this is a pure scan→project stage —
-    no shuffle, codegen throughput-bound."""
+    hash-match exactly. The dims are emitted as 16 scalar double
+    columns p0..p15 rather than one array: the verification harness
+    hashes scalar cells only, and serializing doubles to strings would
+    trade an unhashable cell for engine-specific float formatting. At
+    100 TB this is a pure scan→project stage — no shuffle, codegen
+    throughput-bound."""
     e = _t(spark, sf_dir, "embeddings")
     dims = [
         F.expr(
             "aggregate(zip_with(cast(embedding as array<double>), "
             f"array({lits[1:-1]}), (x, y) -> x * y), 0.0D, "
             "(acc, x) -> acc + x) * 0.25D"
-        )
-        for lits in _rp_terms()
+        ).alias(f"p{i}")
+        for i, lits in enumerate(_rp_terms())
     ]
-    return e.select("vec_id", F.array(*dims).alias("proj"))
+    return e.select("vec_id", *dims)
 
 
 @register(
@@ -3571,13 +3606,20 @@ def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_zscore_outliers",
+    # sx2's unscaled decimal exceeds 2^53, so decimal→double must round;
+    # DuckDB's direct int128→double cast is 1 ULP off from the correctly
+    # rounded value (Spark's BigDecimal path is correct) — routing the
+    # cast through VARCHAR uses strtod, which is correctly rounded, and
+    # makes both engines bit-identical. Harmless when the sum is exact.
     oracle="""
     WITH s AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sx2
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
@@ -3596,7 +3638,11 @@ def agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side expression — the anomaly-detection shape where the model
     is tiny and the scoring pass must not shuffle the data. Threshold
     1.5 because the price distribution is near-uniform (max |z| is
-    sqrt(3)); the same 7 IEEE ops on both engines, bit-identical."""
+    sqrt(3)); the same 7 IEEE ops on both engines, bit-identical. The
+    Σx² decimal exceeds 2^53 so its double conversion rounds — the
+    oracle casts via VARCHAR (strtod) because DuckDB's direct
+    int128→double is 1 ULP off the correctly-rounded value Spark
+    produces."""
     d = F.col("l_extendedprice").cast(D_PRICE)
     li = _t(spark, sf_dir, "lineitem")
     s = li.groupBy("l_returnflag").agg(
@@ -4378,18 +4424,25 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_corr_exact",
+    # syy/sxy unscaled decimals exceed 2^53; cast via VARCHAR so DuckDB's
+    # decimal→double is correctly rounded (see agg_zscore_outliers).
     oracle="""
     WITH s AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -4407,7 +4460,8 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines. Built-in corr/covar_samp stream engine-specific
     update orders and cannot hash-match. One aggregation pass carries
     all five partials map-side — the mergeable form a distributed
-    engine wants anyway."""
+    engine wants anyway. Second-moment decimals exceed 2^53, so the
+    oracle casts them to double via VARCHAR (see agg_zscore_outliers)."""
     x = F.col("l_quantity").cast(D_PRICE)
     y = F.col("l_extendedprice").cast(D_PRICE)
     s = (
@@ -4655,8 +4709,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_dynamic_partition_pruning",
     oracle="""
     WITH dim AS (
-        SELECT * FROM (VALUES ('purchase', 10.0), ('error', 5.0))
-            t(etype, boost)
+        -- CAST: DuckDB types the 10.0 literal DECIMAL(3,1), which
+        -- hash-mismatches Spark's double even at equal values
+        SELECT etype, CAST(boost AS DOUBLE) AS boost
+        FROM (VALUES ('purchase', 10.0), ('error', 5.0)) t(etype, boost)
     )
     SELECT e.event_id, e.user_id, e.event_type, d.boost
     FROM events e JOIN dim d ON e.event_type = d.etype
@@ -4785,6 +4841,11 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("sum(bitmap_count(bm))").alias(out))
         )
 
-    return _nd("l_partkey", "nd_parts").join(
-        _nd("l_suppkey", "nd_supps"), "l_returnflag"
-    )
+    # null-safe join on the group key: both sides carry identical group
+    # sets (same source), but a plain inner join would silently drop a
+    # NULL group if this pattern is reused on a nullable key
+    a = _nd("l_partkey", "nd_parts")
+    b = _nd("l_suppkey", "nd_supps").withColumnRenamed("l_returnflag", "rf2")
+    return a.join(
+        F.broadcast(b), F.col("l_returnflag").eqNullSafe(F.col("rf2"))
+    ).select("l_returnflag", "nd_parts", "nd_supps")

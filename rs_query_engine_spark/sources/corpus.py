@@ -31,21 +31,43 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-timezone ``timestamp``
+    regardless of how this Spark version surfaced the parquet
+    TIMESTAMP(NANOS) column.
+
+    - Spark ≤3.5 with ``spark.sql.legacy.parquet.nanosAsLong``: reads
+      raw nanos as ``bigint`` — rebuild a microsecond timestamp
+      (floor-truncating, matching DuckDB's ns→us cast).
+    - Spark 4.1+: ignores the legacy conf and reads the column directly
+      as ``timestamp_ntz`` with micro-truncated values — cast to the
+      session-TZ (UTC) ``timestamp`` so downstream event-time logic and
+      the oracle compare see identical instants.
+
+    Branching on the *observed* schema keeps the loader correct across
+    engine upgrades; both paths are metadata-only column rewrites that
+    leave the scan vectorized."""
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table lazily.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default (`Illegal Parquet type`). We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a proper
-    microsecond timestamp column — a metadata-only fix that keeps the
-    scan vectorized; sub-microsecond precision (zero in this corpus)
-    is floor-truncated, matching DuckDB's ns→us cast."""
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS); see
+    ``normalize_events_ts`` for the version-adaptive handling."""
     if name == "events":
         from rs_query_engine_spark.session import ensure_nanos_as_long
 
         ensure_nanos_as_long(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -98,8 +98,15 @@ def write_bucketed_table(
             spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
             table_name.lower(),
         )
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+        # only delete what is recognizably an orphaned Spark table dir
+        # (empty, or containing part files / a _SUCCESS marker) — never
+        # an arbitrary directory that happens to collide with the name
+        if os.path.isdir(loc):
+            entries = os.listdir(loc)
+            if not entries or any(
+                f == "_SUCCESS" or f.startswith("part-") for f in entries
+            ):
+                shutil.rmtree(loc)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -25,23 +25,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 D_PRICE = "decimal(12,2)"
-
-# explicit schema: streaming readers cannot infer; ts is long because
-# the corpus parquet stores TIMESTAMP(NANOS) (see sources/corpus.py)
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open the events parquet as a (bounded) stream — the same call
@@ -50,11 +35,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file-stream source requires a *directory* (it tails new files);
     the corpus ships a single file, so we expose it through a symlink
     directory — which is exactly the production layout (a drop
-    directory of parquet files)."""
+    directory of parquet files).
+
+    Streaming readers cannot infer schemas, and how Spark surfaces the
+    parquet TIMESTAMP(NANOS) ``ts`` column varies by version (bigint
+    nanos on ≤3.5 with the legacy conf, ``timestamp_ntz`` on 4.1+).
+    Probing the *batch* read of the same path gives the authoritative
+    schema for this engine, and ``normalize_events_ts`` applies the
+    matching conversion — guaranteeing batch/stream parity by
+    construction. The probe reads only the parquet footer (no data)."""
     from rs_query_engine_spark.session import ensure_nanos_as_long
+    from rs_query_engine_spark.sources.corpus import normalize_events_ts
 
     ensure_nanos_as_long(spark)
     src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
     if os.path.isfile(src):
         # stable digest (not builtin hash(), which is per-process
         # randomized) so re-runs reuse the same shim dir instead of
@@ -66,8 +61,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(os.path.abspath(src), link)
         src = shim
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).format("parquet").load(src)
+    return normalize_events_ts(raw)
 
 
 def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -78,3 +78,55 @@ def test_query_matches_oracle(spark, name):
     ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+# --- result-type parity -------------------------------------------------
+# The driver's value hash is type-sensitive: DuckDB surfacing a column
+# as DECIMAL where Spark emits BIGINT hash-mismatches even when every
+# value compares equal in Python (Decimal(5) == 5), which the value
+# test above cannot catch. Map both engines' output types to a family
+# and require exact family agreement per column.
+
+_ARROW_FAMILY = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
+    "float": "float", "double": "float", "halffloat": "float",
+    "string": "str", "large_string": "str", "bool": "bool",
+    "date32[day]": "date", "date64[ms]": "date",
+}
+
+
+def _arrow_family(t) -> str:
+    s = str(t)
+    if s.startswith("decimal"):
+        return "decimal"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return _ARROW_FAMILY.get(s, s)
+
+
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str",
+    "boolean": "bool", "date": "date",
+}
+
+
+def _spark_family(s: str) -> str:
+    if s.startswith("decimal"):
+        return "decimal"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return _SPARK_FAMILY.get(s, s)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_result_type_families_match(spark, name):
+    q = registry.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_types = {f.name: _spark_family(f.dataType.simpleString()) for f in sdf.schema.fields}
+    tbl = _duck(f"SELECT * FROM ({registry.oracle_sql()[name]}) LIMIT 0")
+    duck_types = {f.name: _arrow_family(f.type) for f in tbl.schema}
+    assert spark_types == duck_types, (
+        f"{name}: type-family mismatch (driver hash is type-sensitive)"
+    )

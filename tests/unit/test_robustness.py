@@ -400,7 +400,8 @@ def test_quantize_int8_error_bound(spark):
         for r in load_table(spark, "/root/testdata/sf0.001", "embeddings").collect()
     }
     for r in rows:
-        v, q, scale = orig[r["vec_id"]], r["q"], r["scale"]
+        v, scale = orig[r["vec_id"]], r["scale"]
+        q = [int(s) for s in r["q"].split(",")]
         assert all(-127 <= qi <= 127 for qi in q)
         for x, qi in zip(v, q):
             assert abs(qi * scale - x) <= scale / 2 + 1e-12
