@@ -142,12 +142,23 @@ def profile_columns(df, cols: list[str]):
     )
     base = one.select(F.explode(per_col).alias("p")).select("p.*")
 
-    # negative zero stringifies as "-0.0"/"-0.00" but SQL DISTINCT
-    # treats -0.0 = 0.0 — normalize the sign so the string-form distinct
-    # count matches numeric semantics
+    # IEEE negative zero stringifies as "-0.0" but SQL DISTINCT treats
+    # -0.0 = 0.0 — for float/double columns add +0.0 before the string
+    # cast (-0.0 + 0.0 = +0.0), a codegen-cheap normalization that
+    # keeps the distinct count on numeric semantics. Only binary floats
+    # carry a signed zero (BigDecimal/ints cannot), so other types cast
+    # directly.
+    from pyspark.sql import types as T
+
+    floaty = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
+
     def _val(c):
-        s = F.col(c).cast("string")
-        return F.regexp_replace(s, r"^-(0(\.0+)?)$", r"$1")
+        base = (F.col(c) + F.lit(0.0)) if c in floaty else F.col(c)
+        return base.cast("string")
 
     pairs = df.select(
         F.explode(

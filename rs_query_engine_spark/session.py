@@ -50,9 +50,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
-        # by default; read nanos as long session-wide (loaders rebuild
-        # a proper microsecond timestamp column)
+        # events.parquet carries TIMESTAMP(NANOS). Spark ≤3.5 rejects
+        # it by default and needs this conf to read nanos as long;
+        # Spark 4.1+ ignores the conf and reads timestamp_ntz directly.
+        # Loaders branch on the observed schema (corpus.py
+        # normalize_events_ts), so setting it is correct on both.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
