@@ -131,6 +131,26 @@ def sample_stratified_hash(
     return df.filter(_hash_pct(key, salt) < thr)
 
 
+def sample_weighted_hash(
+    df: DataFrame, key: Column, weight: Column, salt: str = ""
+) -> DataFrame:
+    """Per-ROW weighted Bernoulli sampling: keep each row with its own
+    probability ``weight`` ∈ [0, 1] (importance sampling — the
+    training-mixture knob that up-samples high-quality documents and
+    down-samples boilerplate, row by row).
+
+    Same content-hash determinism as :func:`sample_hash`, but the
+    threshold is a per-row expression instead of a constant: a
+    1e6-bucket uniform from md5(key) beats the 100-bucket grid so
+    fractional weights (e.g. 0.0375) resolve exactly. Map-only — the
+    weight expression and the comparison both compile into the scan
+    filter; no shuffle, no RNG state, reproducible at any scale."""
+    u = F.conv(F.substring(F.md5(_salted_key(key, salt)), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 1_000_000
+    return df.filter(u < weight * F.lit(1_000_000.0))
+
+
 def sample_fixed_size(df: DataFrame, key: Column, n: int, salt: str = "") -> DataFrame:
     """Deterministic fixed-SIZE sample: the n rows whose content hash
     is smallest (``ORDER BY md5-bucket LIMIT n`` → Catalyst's

@@ -4849,3 +4849,109 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(
         F.broadcast(b), F.col("l_returnflag").eqNullSafe(F.col("rf2"))
     ).select("l_returnflag", "nd_parts", "nd_supps")
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           least(1.0, n_chars / 2000.0) AS keep_p
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < least(1000000.0, n_chars * 500.0)
+    """,
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance sampling: each doc keeps with its OWN
+    probability (here length-proportional, capped at 1 — the mixture
+    knob that up-samples long documents), via
+    ``operators.sorts.sample_weighted_hash``. Completes the sampling
+    family: fixed-rate (bernoulli), per-stratum (stratified), fixed-
+    size, fixed-per-group, and now per-row-weighted. Map-only and
+    content-hash deterministic like its siblings; the weight compare
+    stays float-exact cross-engine because n_chars*500.0 and the
+    bigint→double uniform are both exact below 2^53."""
+    from rs_query_engine_spark.operators.sorts import sample_weighted_hash
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    return sample_weighted_hash(
+        d, F.col("doc_id").cast("string"), w
+    ).select("doc_id", "source", "n_chars", w.alias("keep_p"))
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), x AS (
+        -- parallel unnest + generate_subscripts zip positionally
+        -- (DuckDB's range() cannot take lateral column bounds)
+        SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e
+    )
+    SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
+           MIN(x) AS min_v, MAX(x) AS max_v,
+           COUNT(CASE WHEN x > 0 THEN 1 END) AS n_pos,
+           greatest(abs(MIN(x)), abs(MAX(x))) AS absmax
+    FROM x GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION corpus statistics over the embedding column — the
+    calibration pass quantization needs (per-dim absmax drives the
+    int8 scale in embedding_quantize_int8's per-tensor variant) and
+    the range audit that catches dead or exploding dimensions after a
+    model change. posexplode fans each vector into (dim, value) rows
+    and a hash aggregation reduces per dim: the fan-out is map-side
+    and the partial aggregate collapses it to |dims| rows per task
+    BEFORE the shuffle, so shuffle volume is dims × partitions —
+    independent of corpus size, the right shape at 100 TB. Only exact
+    ops (count/min/max + abs/greatest on the extremes), so the oracle
+    hash-matches without float-sum order concerns."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_v"),
+        F.max("x").alias("max_v"),
+        F.count(F.when(F.col("x") > 0, 1)).alias("n_pos"),
+        F.greatest(F.abs(F.min("x")), F.abs(F.max("x"))).alias("absmax"),
+    )
+
+
+@register(
+    "join_bloom_filter_runtime",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000.0
+    """,
+)
+def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join written to benefit from Spark's RUNTIME
+    bloom-filter injection (SPARK-32268): the optimizer builds a bloom
+    filter over the filtered orders side's join keys and pushes a
+    ``bloom_filter_might_contain`` predicate into the lineitem scan,
+    discarding non-joining fact rows BEFORE the shuffle — the runtime
+    companion to dynamic partition pruning when the fact table is not
+    partitioned by the join key. At 100 TB this turns a full-fact
+    shuffle into a shuffle of ~matching rows only. Injection is gated
+    by size thresholds (creation side < 10 MB, application side >
+    10 GB by default) so it engages exactly when the fact side is
+    big — the local plan test lowers the application threshold to
+    assert the rewrite; semantics are identical either way."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    )
+    return li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

@@ -277,3 +277,50 @@ def test_dynamic_partition_pruning_on_fact_scan(spark):
     df = registry.join_dynamic_partition_pruning(spark, SF_DIR)
     plan = explain_str(df)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_on_fact_scan(spark):
+    """With the application-side size gate lowered (it defaults to
+    10 GB so injection engages only on genuinely large fact scans),
+    the selective dim join must inject a runtime bloom filter: the
+    lineitem side carries bloom_filter_might_contain on the join key,
+    pre-filtering fact rows before the shuffle."""
+    overrides = {
+        # size gates: injection is for big-fact scans only by default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # the rule targets shuffle joins (a broadcast join's probe scan
+        # has no shuffle to save) — force the SMJ the fact join would
+        # be at 100 TB
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        df = registry.join_bloom_filter_runtime(spark, SF_DIR)
+        plan = explain_str(df).lower()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_weighted_sample_filter_is_map_only(spark):
+    """The per-row weight compare must compile into the scan stage —
+    no shuffle (Exchange) anywhere in a pure weighted-sampling plan."""
+    df = registry.sample_weighted_bernoulli(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Exchange" not in plan
+
+
+def test_dim_stats_aggregates_partial_before_shuffle(spark):
+    """The posexplode fan-out must collapse map-side: the plan carries
+    a partial hash aggregate below the dim-key exchange, so shuffle
+    volume is dims x partitions, not corpus x dims."""
+    df = registry.embedding_dim_stats(spark, SF_DIR)
+    plan = explain_str(df)
+    low = plan.lower()
+    assert "hashaggregate" in low
+    # partial + final pair: two aggregate nodes around one exchange
+    assert low.count("hashaggregate") >= 2
