@@ -572,3 +572,82 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    probe_frac: float = 0.2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs: (id_a, id_b, containment) where
+    containment = |sh(A) ∩ sh(B)| / |sh(A)| ≥ ``threshold`` — A is
+    (mostly) contained in B. Jaccard misses these: a paragraph quoted
+    inside a 100× longer doc has tiny Jaccard but containment ≈ 1;
+    this is the quote/subset/boilerplate-envelope detector a training
+    corpus needs alongside symmetric near-dup.
+
+    Candidate generation is PREFIX FILTERING (the PPJoin family,
+    Xiao et al., WWW'08): sort each doc's shingles by a stable hash
+    and probe with only the first ⌊(1−t)·|A|⌋+1 — if B contains A at
+    ≥ t, it must share at least one probe shingle (pigeonhole), so
+    candidates come from an equi-join of A-probes against a (shingle,
+    doc) inverted index, never an all-pairs join. Shingles appearing
+    in more than ``max_df`` docs are dropped from the index (the
+    stop-shingle cap that bounds the worst posting list; candidates
+    whose only shared probe is that common survive via their other
+    probes or are legitimately skipped — disclosed recall trade, same
+    class as the LSH bucket cap).
+
+    Scale notes: probes shuffle O(0.2 · Σ|sh|) rows, the index join is
+    a plain shuffle join on the shingle (posting-list sizes come from
+    a pre-aggregated frame, NOT broadcast — shingle cardinality grows
+    with the corpus), and verification joins the shingle arrays back
+    for the deduped candidate set only."""
+    from rs_query_engine_spark.functions.text import shingles
+    from rs_query_engine_spark.sources.corpus import spread
+
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .localCheckpoint()  # consumed 3× (probes, index, verify)
+    )
+    # stable-hash shingle order: md5 is fixed-width hex, so sorting the
+    # concatenated (md5 || shingle) strings sorts by (hash, shingle) —
+    # engine-portable (ASCII binary order both sides). probe_frac is a
+    # SEPARATE literal (not 1.0 - threshold): both engines must floor
+    # the same double product, and 1.0 - 0.8 is not the double 0.2.
+    k = F.floor(F.lit(probe_frac) * F.size("_sh")).cast("int") + F.lit(1)
+    sorted_keys = F.array_sort(
+        F.transform("_sh", lambda s: F.concat(F.md5(s), s))
+    )
+    probes = sh.select(
+        F.col("_id").alias("id_a"),
+        F.size("_sh").alias("_na"),
+        F.explode(F.slice(sorted_keys, F.lit(1), k)).alias("_p"),
+    ).select("id_a", "_na", F.substring("_p", 33, 2**24).alias("shingle"))
+    inv = sh.select(F.col("_id").alias("id_b"), F.explode("_sh").alias("shingle"))
+    df_counts = inv.groupBy("shingle").count().filter(F.col("count") <= max_df)
+    inv_ok = inv.join(df_counts.select("shingle"), "shingle")
+    cand = (
+        probes.join(inv_ok, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    cont = F.size(F.array_intersect("_sha", "_shb")).cast("double") / F.size("_sha")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

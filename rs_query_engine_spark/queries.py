@@ -4955,3 +4955,56 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(tk) - 2),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS s
+        FROM toks WHERE len(tk) >= 3
+    ), probe AS (
+        SELECT doc_id AS id_a,
+               unnest(list_sort(list_transform(s, x -> md5(x) || x))
+                      [1 : CAST(floor(CAST(0.2 AS DOUBLE) * len(s)) AS INT) + 1])
+                   AS pk
+        FROM sh
+    ), probes AS (
+        SELECT id_a, pk[33:] AS shingle FROM probe
+    ), inv AS (
+        SELECT doc_id AS id_b, unnest(s) AS shingle FROM sh
+    ), inv_ok AS (
+        SELECT id_b, shingle FROM inv
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+    ), cand AS (
+        SELECT DISTINCT p.id_a, i.id_b
+        FROM probes p JOIN inv_ok i USING (shingle)
+        WHERE p.id_a <> i.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+               AS containment
+    FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (A ⊆≈ B): shingle-set
+    containment ≥ 0.8 via prefix-filtering candidate generation
+    (``operators.dedup.containment_pairs``) — the quote/subset/
+    boilerplate detector symmetric Jaccard misses (a paragraph quoted
+    in a 100× longer doc has Jaccard ≈ 0.01 but containment ≈ 1).
+    Candidates come from probing each doc's ⌊0.2·|sh|⌋+1 smallest-hash
+    shingles against a df-capped inverted index — an equi-join, never
+    all-pairs; the pigeonhole guarantee makes the probe set exact for
+    the threshold, not a recall gamble like LSH."""
+    from rs_query_engine_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text")

@@ -73,3 +73,43 @@ def test_embedding_under_cap_emits_all_pairs(spark):
     rows = out.collect()
     assert len(rows) == N * (N - 1) // 2
     assert all(abs(r.cos - 1.0) < 1e-12 for r in rows)
+
+
+def test_containment_detects_asymmetric_subset(spark):
+    """A short doc quoted inside a much longer one must surface as a
+    containment pair (short ⊆ long) even though its Jaccard is far
+    below any near-dup threshold — the case symmetric dedup misses."""
+    from rs_query_engine_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(20))
+    filler = " ".join(f"pad{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote)],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, "doc_id", "text").collect()
+    got = {(r.id_a, r.id_b): r.containment for r in rows}
+    assert (1, 2) in got and got[(1, 2)] >= 0.8
+    # the long doc is NOT contained in the short one
+    assert (2, 1) not in got
+    # and symmetric Jaccard at its default threshold misses the pair
+    assert (
+        ngram_jaccard_pairs(docs, "doc_id", "text").filter("jaccard >= 0.3").count()
+        == 0
+    )
+
+
+def test_containment_df_cap_drops_stop_shingles(spark):
+    """With max_df below the corpus size, a shingle shared by every
+    doc must not generate candidates — identical docs produce zero
+    pairs when every shingle is over the cap."""
+    from rs_query_engine_spark.operators.dedup import containment_pairs
+
+    docs = _identical_docs(spark)
+    assert containment_pairs(docs, "doc_id", "text", max_df=10).count() == 0
+    # under the cap the mutual containments appear (both directions)
+    out = containment_pairs(docs, "doc_id", "text", max_df=1000)
+    assert out.count() == N * (N - 1)

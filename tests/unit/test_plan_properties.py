@@ -324,3 +324,12 @@ def test_dim_stats_aggregates_partial_before_shuffle(spark):
     assert "hashaggregate" in low
     # partial + final pair: two aggregate nodes around one exchange
     assert low.count("hashaggregate") >= 2
+
+
+def test_containment_no_all_pairs_join(spark):
+    """Containment candidates must come from the shingle equi-join
+    (prefix filtering), never a cartesian/nested-loop pair expansion."""
+    df = registry.dedup_containment_pairs(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
