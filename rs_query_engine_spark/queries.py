@@ -4958,6 +4958,57 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_window",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS sess_id
+        FROM o
+    )
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           user_id,
+           COUNT(event_id) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM s
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap-based sessionization — the stateful twin of
+    ``events_sessionization`` (same oracle, same 5-minute gap):
+    ``session_window`` state per user merges adjacent sessions as
+    events arrive and closes gap after the last event; the watermark
+    bounds how long open sessions stay resident, which is what makes
+    per-user session state viable on an unbounded 100-TB/day stream.
+    Driven to a memory sink in complete mode (Spark rejects update for
+    session-window aggregations — merged sessions can't re-emit under
+    a changed key); on an unbounded production stream the sink is
+    append, emitting each session once the watermark passes its close
+    (the stream_append_finalized pattern) so sink and state stay
+    bounded."""
+    from rs_query_engine_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    sess = sessionize_stream(ev, gap="5 minutes", watermark="2 hours")
+    return run_stream_to_memory(
+        sess, "stream_session_window", output_mode="complete"
+    )
+
+
+@register(
     "dedup_containment_pairs",
     oracle=r"""
     WITH toks AS (
