@@ -238,3 +238,86 @@ def l2_normalize(a: Column) -> Column:
             lambda n: F.transform(a, lambda x: F.try_divide(x, n)),
         )
     )
+
+
+def pq_codebook(
+    num_sub: int = 8, num_centroids: int = 16, sub_dim: int = 8
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook:
+    ``[subspace][centroid][dim]`` on a 2-decimal grid in [-1, 1],
+    derived from md5 like :func:`...dedup.hyperplane_signs` — the
+    oracle SQL embeds the IDENTICAL literals, and 2-decimal literals
+    parse to the same double in every engine. Production trains the
+    codebook per-subspace with k-means (see ``kmeans_centroids``);
+    the fixed codebook keeps the coding/verification path
+    engine-reproducible."""
+    import hashlib
+
+    def val(b: int, k: int, j: int) -> float:
+        h = int(hashlib.md5(f"pq-{b}-{k}-{j}".encode()).hexdigest()[:8], 16)
+        return (h % 201 - 100) / 100.0
+
+    return [
+        [[val(b, k, j) for j in range(sub_dim)] for k in range(num_centroids)]
+        for b in range(num_sub)
+    ]
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_sub: int = 8,
+    num_centroids: int = 16,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Product-quantization encoding — the compression half of IVF-PQ,
+    the standard billion-vector ANN layout: each vector splits into
+    ``num_sub`` subvectors, each coded as its nearest codebook
+    centroid, shrinking 64×8B doubles to 8 one-byte codes (64×
+    smaller; search scans codes + per-query distance tables instead of
+    raw vectors). Emits (id, codes as a comma-joined string, recon_err
+    = the summed squared quantization error — the quality metric that
+    drives codebook retraining).
+
+    Map-only: every distance is a JVM-side fold over literal centroid
+    arrays (one F.expr parse, no py4j literal churn — same rationale
+    as the LSH band keys); argmin is ``array_position(d, array_min(d))``
+    which ties to the smallest centroid id in both engines. No
+    shuffle; at 100 TB this is a scan→project stage bounded by
+    codegen throughput, exactly like the random projection."""
+    book = pq_codebook(num_sub, num_centroids, sub_dim)
+
+    def dist_sql(b: int, k: int) -> str:
+        lits = ",".join(f"{x}D" for x in book[b][k])
+        return (
+            f"aggregate(zip_with(slice(_v, {b * sub_dim + 1}, {sub_dim}), "
+            f"array({lits}), (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    dists = [
+        F.expr("array(" + ",".join(dist_sql(b, k) for k in range(num_centroids)) + ")")
+        for b in range(num_sub)
+    ]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        "_id", *[dists[b].alias(f"_d{b}") for b in range(num_sub)]
+    )
+    code = [
+        (F.array_position(F.col(f"_d{b}"), F.array_min(F.col(f"_d{b}"))) - 1).cast(
+            "int"
+        )
+        for b in range(num_sub)
+    ]
+    err = None
+    for b in range(num_sub):
+        m = F.array_min(F.col(f"_d{b}"))
+        err = m if err is None else err + m
+    return base.select(
+        F.col("_id"),
+        F.concat_ws(",", *[c.cast("string") for c in code]).alias("codes"),
+        err.alias("recon_err"),
+    )

@@ -4957,6 +4957,60 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle_sql(num_sub: int = 8, num_centroids: int = 16, sub_dim: int = 8) -> str:
+    """DuckDB oracle for PQ encoding — same codebook literals as the
+    Spark operator (operators/similarity.pq_codebook), same per-
+    subspace distance folds, same argmin-by-position tie-break."""
+    from rs_query_engine_spark.operators.similarity import pq_codebook
+
+    book = pq_codebook(num_sub, num_centroids, sub_dim)
+
+    def dist(b: int, k: int) -> str:
+        lits = "[" + ",".join(str(x) for x in book[b][k]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip("
+            f"v[{b * sub_dim + 1}:{b * sub_dim + sub_dim}], {lits}::DOUBLE[]), "
+            "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+        )
+
+    d_cols = ", ".join(
+        "[" + ",".join(dist(b, k) for k in range(num_centroids)) + f"] AS d{b}"
+        for b in range(num_sub)
+    )
+    codes = ", ".join(
+        f"list_position(d{b}, list_min(d{b})) - 1" for b in range(num_sub)
+    )
+    err = " + ".join(f"list_min(d{b})" for b in range(num_sub))
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, {d_cols} FROM e
+    )
+    SELECT vec_id, concat_ws(',', {codes}) AS codes, {err} AS recon_err
+    FROM d
+    """
+
+
+@register("embedding_pq_codes", oracle=_pq_oracle_sql())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (``operators.similarity.pq_codes``)
+    — completes the ANN storage story begun by int8 quantization and
+    IVF: 8 subspaces × 16 deterministic centroids code each 64-dim
+    vector into 8 bytes (64× smaller than the on-disk doubles), plus
+    the summed squared reconstruction error that drives codebook
+    retraining. Map-only scan→project, no shuffle; codes are emitted
+    comma-joined (scalar cell for the verification hash), and the
+    distance/argmin arithmetic is the same literal-fold sequence in
+    both engines."""
+    from rs_query_engine_spark.operators.similarity import pq_codes
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_codes(e, "vec_id", "embedding").select(
+        F.col("_id").alias("vec_id"), "codes", "recon_err"
+    )
+
+
 @register(
     "stream_session_window",
     oracle="""
