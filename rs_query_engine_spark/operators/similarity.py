@@ -286,26 +286,7 @@ def pq_codes(
     which ties to the smallest centroid id in both engines. No
     shuffle; at 100 TB this is a scan→project stage bounded by
     codegen throughput, exactly like the random projection."""
-    book = pq_codebook(num_sub, num_centroids, sub_dim)
-
-    def dist_sql(b: int, k: int) -> str:
-        lits = ",".join(f"{x}D" for x in book[b][k])
-        return (
-            f"aggregate(zip_with(slice(_v, {b * sub_dim + 1}, {sub_dim}), "
-            f"array({lits}), (x, y) -> (x - y) * (x - y)), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
-
-    dists = [
-        F.expr("array(" + ",".join(dist_sql(b, k) for k in range(num_centroids)) + ")")
-        for b in range(num_sub)
-    ]
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).select(
-        "_id", *[dists[b].alias(f"_d{b}") for b in range(num_sub)]
-    )
+    base = _pq_dist_tables(df, id_col, vec_col, num_sub, num_centroids, sub_dim)
     code = [
         (F.array_position(F.col(f"_d{b}"), F.array_min(F.col(f"_d{b}"))) - 1).cast(
             "int"
@@ -321,3 +302,100 @@ def pq_codes(
         F.concat_ws(",", *[c.cast("string") for c in code]).alias("codes"),
         err.alias("recon_err"),
     )
+
+
+def _pq_dist_tables(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_sub: int,
+    num_centroids: int,
+    sub_dim: int,
+) -> DataFrame:
+    """(_id, _d0.._d{num_sub-1}): per-subspace arrays of squared
+    distances to every codebook centroid — the shared kernel of PQ
+    encoding (argmin per table) and ADC search (the query-side lookup
+    tables ARE these arrays)."""
+    book = pq_codebook(num_sub, num_centroids, sub_dim)
+
+    def dist_sql(b: int, k: int) -> str:
+        lits = ",".join(f"{x}D" for x in book[b][k])
+        return (
+            f"aggregate(zip_with(slice(_v, {b * sub_dim + 1}, {sub_dim}), "
+            f"array({lits}), (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    dists = [
+        F.expr("array(" + ",".join(dist_sql(b, k) for k in range(num_centroids)) + ")")
+        for b in range(num_sub)
+    ]
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select("_id", *[dists[b].alias(f"_d{b}") for b in range(num_sub)])
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    nprobe: int = 2,
+    num_sub: int = 8,
+    num_centroids: int = 16,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """IVF-PQ search — the billion-vector ANN layout end-to-end:
+    corpus vectors live in coarse inverted lists (IVF) and are stored
+    as PQ codes; a query probes its ``nprobe`` closest lists and ranks
+    candidates by ASYMMETRIC DISTANCE (ADC): per subspace it builds a
+    lookup table of squared distances to all codebook centroids once,
+    then each candidate costs ``num_sub`` table lookups + adds — no
+    raw-vector math per pair. Approximate twice over (list pruning ×
+    code quantization); recall is bought with nprobe and a TRAINED
+    codebook (production trains per-subspace k-means; the fixed
+    codebook here keeps the path deterministic).
+
+    Scale shape: the corpus side carries only (id, list, 8 codes) —
+    the 64× compression is exactly what makes the candidate shuffle
+    and the resident index small; query tables broadcast; ranking is
+    the same per-query top-k window as ivf_topk."""
+    assigned = assign_centroids(corpus, centroids, corpus_id, corpus_vec).select(
+        F.col(corpus_id), F.col("_v"), F.col("centroid_id")
+    )
+    codes = _pq_dist_tables(
+        assigned.select(F.col(corpus_id), "_v"),
+        corpus_id, "_v", num_sub, num_centroids, sub_dim,
+    ).select(
+        F.col("_id").alias(corpus_id),
+        *[
+            (
+                F.array_position(F.col(f"_d{b}"), F.array_min(F.col(f"_d{b}"))) - 1
+            ).cast("int").alias(f"_c{b}")
+            for b in range(num_sub)
+        ],
+    )
+    index = assigned.select(corpus_id, "centroid_id").join(codes, corpus_id)
+
+    q_assigned = assign_centroids(
+        queries, centroids, query_id, query_vec, nprobe=nprobe
+    ).select(F.col(query_id), F.col("_v"), F.col("centroid_id"))
+    q_tables = _pq_dist_tables(
+        q_assigned.select(query_id, "_v").dropDuplicates([query_id]),
+        query_id, "_v", num_sub, num_centroids, sub_dim,
+    ).withColumnRenamed("_id", query_id)
+    probes = q_assigned.select(query_id, "centroid_id").join(q_tables, query_id)
+
+    cand = index.join(F.broadcast(probes), "centroid_id")
+    adc = None
+    for b in range(num_sub):
+        term = F.element_at(F.col(f"_d{b}"), F.col(f"_c{b}") + 1)
+        adc = term if adc is None else adc + term
+    scored = cand.select(query_id, corpus_id, adc.alias("adc"))
+    w = Window.partitionBy(query_id).orderBy(F.col("adc").asc(), F.col(corpus_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

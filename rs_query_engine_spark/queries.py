@@ -4957,6 +4957,32 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ivf_pq_topk")  # rows-only: the ADC lookup-table
+# SQL mirror would be a page of generated literals per query row; the
+# computation is instead pinned exactly by the NumPy recomputation in
+# tests/unit/test_similarity_recall.py
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN end-to-end (``operators.similarity.ivf_pq_topk``):
+    coarse inverted lists prune the corpus (nprobe=2 of 8 lists), PQ
+    codes compress candidates 64×, and ranking is asymmetric distance
+    — per query a table of subspace-centroid distances is built once
+    and every candidate costs 8 lookups + adds, never raw-vector math.
+    This is the layout billion-vector search actually ships; the
+    standalone pieces are oracle-checked (similarity_ivf_probed,
+    embedding_pq_codes) and this composition is NumPy-pinned."""
+    from rs_query_engine_spark.operators.similarity import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_pq_topk(e, cent, q, 10)
+
+
 def _pq_oracle_sql(num_sub: int = 8, num_centroids: int = 16, sub_dim: int = 8) -> str:
     """DuckDB oracle for PQ encoding — same codebook literals as the
     Spark operator (operators/similarity.pq_codebook), same per-

@@ -72,3 +72,60 @@ def test_pq_codes_match_numpy_argmin(spark):
         got = out[i]
         assert [int(c) for c in got["codes"].split(",")] == want_codes
         assert abs(got["recon_err"] - want_err) < 1e-12
+
+
+def test_ivf_pq_adc_matches_numpy(spark):
+    """IVF-PQ ADC scores must equal a from-scratch NumPy pipeline:
+    same coarse assignment, same codes, same lookup-table sums."""
+    import numpy as np
+
+    from rs_query_engine_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebook,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, (40, 8)).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(4)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])], "query_id long, query_vec array<double>"
+    )
+    out = ivf_pq_topk(
+        corpus, cent, q, 5, nprobe=2, num_sub=2, num_centroids=4, sub_dim=4
+    ).collect()
+    assert len(out) == 5
+
+    # NumPy reference
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    book = np.array(pq_codebook(2, 4, 4))
+    cvecs = vecs[:4]
+    assign = [
+        max(range(4), key=lambda c: (cos(v, cvecs[c]), -c)) for v in vecs
+    ]
+    qsims = sorted(range(4), key=lambda c: (-cos(vecs[0], cvecs[c]), c))[:2]
+    tables = [((book[b] - vecs[0].reshape(2, 4)[b]) ** 2).sum(axis=1) for b in range(2)]
+    want = {}
+    for i, v in enumerate(vecs):
+        if assign[i] not in qsims:
+            continue
+        sv = v.reshape(2, 4)
+        adc = 0.0
+        for b in range(2):
+            d = ((book[b] - sv[b]) ** 2).sum(axis=1)
+            adc += tables[b][int(d.argmin())]
+        want[i] = adc
+    got = {r["vec_id"]: r["adc"] for r in out}
+    for vid, adc in got.items():
+        assert abs(want[vid] - adc) < 1e-9, (vid, want[vid], adc)
+    # the returned 5 are the smallest ADC candidates
+    top5 = sorted(want, key=lambda i: (want[i], i))[:5]
+    assert sorted(got) == sorted(top5)
