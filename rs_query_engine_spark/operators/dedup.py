@@ -606,7 +606,14 @@ def containment_pairs(
     a plain shuffle join on the shingle (posting-list sizes come from
     a pre-aggregated frame, NOT broadcast — shingle cardinality grows
     with the corpus), and verification joins the shingle arrays back
-    for the deduped candidate set only."""
+    for the deduped candidate set only. Probe order here is the
+    md5-stable order; production prefix filtering orders probes by
+    ASCENDING document frequency instead (any fixed global order
+    preserves the pigeonhole guarantee, and rarest-first minimizes
+    candidates on Zipfian shingle distributions — measured only 1.7×
+    on this synthetic flat-vocabulary corpus, which is why the
+    simpler engine-portable order ships; the df frame to order by is
+    the ``max_df`` aggregation already computed)."""
     from rs_query_engine_spark.functions.text import shingles
     from rs_query_engine_spark.sources.corpus import spread
 
