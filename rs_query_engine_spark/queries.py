@@ -4957,6 +4957,71 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_sketch_merge")  # rows-only: sketch estimates are
+# engine-specific registers; the exact column rides along and the unit
+# test bounds the estimate against it
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern that makes distinct counts
+    tractable at 100 TB: per-(source, lang) HyperLogLog sketches of the
+    document fingerprints are built in one pass (map-side partial, a
+    few KB each), then UNIONED per source without touching the data
+    again (``hll_union_agg``) — re-aggregating along a different
+    hierarchy costs sketch-merge, not a second corpus scan, which is
+    how daily partial sketches roll up to monthly uniques. The exact
+    distinct count rides along to expose the sketch error; the unit
+    test gates it at 5%."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    per = d.groupBy("source", "lang").agg(
+        F.expr("hll_sketch_agg(md5(text))").alias("sk"),
+        F.count_distinct(fp).alias("exact_part"),
+    )
+    return per.groupBy("source").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_docs"),
+        F.sum("exact_part").alias("sum_part_exact"),
+    )
+
+
+@register(
+    "sql_entry_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice > 300000.0)
+    """,
+)
+def sql_entry_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point
+    (§3 depth beyond sql_entry_q6's scan-agg): Catalyst decorrelates
+    the subqueries into a LEFT SEMI and a LEFT ANTI join — the
+    scale-correct rewrite (no per-row subquery execution, both joins
+    broadcast the filtered orders side here) — plan-asserted in
+    tests/unit/test_plan_properties.py. Identical SQL runs on DuckDB
+    as the oracle."""
+    from rs_query_engine_spark.sources.corpus import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice > 300000.0)
+        """
+    )
+
+
 @register("similarity_ivf_pq_topk")  # rows-only: the ADC lookup-table
 # SQL mirror would be a page of generated literals per query row; the
 # computation is instead pinned exactly by the NumPy recomputation in

@@ -333,3 +333,12 @@ def test_containment_no_all_pairs_join(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_exists_decorrelates_to_semi_anti(spark):
+    """Correlated EXISTS/NOT EXISTS must decorrelate into semi + anti
+    joins — never per-row subquery execution."""
+    df = registry.sql_entry_exists(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

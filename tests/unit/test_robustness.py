@@ -466,3 +466,25 @@ def test_domain_mixture_rates_bounded(spark):
         .collect()
     }
     assert rates and all(0.0 < v <= 1.0 for v in rates.values())
+
+
+def test_hll_sketch_merge_error_bound(spark):
+    """The merged-sketch estimate must be within 5% of the true
+    per-source distinct count (HLL lgK=12 typical error ~1.6%)."""
+    from rs_query_engine_spark.queries import queries
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = queries()["agg_hll_sketch_merge"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    truth = {
+        r["source"]: r["nd"]
+        for r in d.groupBy("source")
+        .agg(F.count_distinct(F.md5("text")).alias("nd"))
+        .collect()
+    }
+    for r in rows:
+        t = truth[r["source"]]
+        assert abs(r["approx_docs"] - t) <= max(1, 0.05 * t), (r, t)
