@@ -4957,6 +4957,86 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_constraint_audit",
+    oracle="""
+    SELECT 'quantity_range' AS rule,
+           COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+               AS violations,
+           COUNT(*) AS checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive',
+           COUNT(CASE WHEN l_extendedprice <= 0 THEN 1 END), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_bounds',
+           COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_not_null',
+           COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_fk',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           COUNT(*)
+    FROM lineitem
+    """,
+)
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the pre-training gate a corpus
+    pipeline runs before a table is promoted: range rules, null rules,
+    and referential integrity evaluated into one (rule, violations,
+    checked) report. The four row-local rules share ONE scan (a single
+    aggregate of conditional counts, exploded into report rows — the
+    profile_columns stacking pattern); the FK rule is a LEFT ANTI join
+    against the parent keys (count of orphans), the scale-correct
+    spelling of NOT EXISTS. At 100 TB the audit costs one pass over
+    the fact table plus one key-projected join — not one scan per
+    rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    one = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("quantity_range"),
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("price_positive"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).alias("discount_bounds"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("orderkey_not_null"),
+        F.count(F.lit(1)).alias("checked"),
+    )
+    rules = ["quantity_range", "price_positive", "discount_bounds", "orderkey_not_null"]
+    report = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"),
+                        F.col(r).alias("violations"),
+                        F.col("checked").alias("checked"),
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    fk = one.select(F.col("checked")).crossJoin(orphans).select(
+        F.lit("orderkey_fk").alias("rule"), "violations", "checked"
+    )
+    return report.unionByName(fk)
+
+
 @register("agg_hll_sketch_merge")  # rows-only: sketch estimates are
 # engine-specific registers; the exact column rides along and the unit
 # test bounds the estimate against it
