@@ -201,3 +201,47 @@ def asof_join_cogrouped(
         .cogroup(right.groupBy(*by))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — the generalization of
+    :func:`range_join_bands` (point-in-interval) to two interval sets:
+    rows pair when ``[l_lo, l_hi)`` and ``[r_lo, r_hi)`` overlap.
+
+    The naive spelling is a non-equi theta join (nested-loop at any
+    scale); instead both sides explode into the ``bucket_width``-sized
+    grid cells their interval covers, the join is cell-EQUI + residual
+    overlap predicate, and duplicate matches (pairs sharing several
+    cells) collapse with a distinct. Bucket columns are numeric —
+    callers with timestamp intervals pass epoch seconds. Pick a width
+    near the typical interval length: each row then explodes into O(1)
+    cells, the shuffle is hash-partitioned by cell (time-local at
+    100 TB, where a theta join is a cross product)."""
+    wlit = F.lit(bucket_width)
+    lb = left.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(F.floor(F.col(l_lo) / wlit), F.floor(F.col(l_hi) / wlit))
+        ),
+    )
+    rb = right.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(F.floor(F.col(r_lo) / wlit), F.floor(F.col(r_hi) / wlit))
+        ),
+    )
+    joined = lb.join(
+        rb,
+        (lb["_cell"] == rb["_cell"])
+        & (F.col(l_lo) < F.col(r_hi))
+        & (F.col(r_lo) < F.col(l_hi)),
+    )
+    return joined.drop(lb["_cell"]).drop(rb["_cell"]).distinct()

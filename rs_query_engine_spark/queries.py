@@ -4958,6 +4958,86 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_overlap",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS sess_id
+        FROM o
+    ), sess AS (
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS s_lo,
+               CAST(MAX(ts) + INTERVAL 5 MINUTE AS TIMESTAMP) AS s_hi
+        FROM s GROUP BY user_id, sess_id
+    ), inc AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS w_lo,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                    + INTERVAL 1 HOUR AS TIMESTAMP) AS w_hi
+        FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+    )
+    SELECT se.user_id, se.s_lo AS session_start, i.event_type,
+           i.w_lo AS window_start
+    FROM sess se JOIN inc i ON se.s_lo < i.w_hi AND i.w_lo < se.s_hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join via grid-cell decomposition
+    (``operators.joins.interval_overlap_join``): which user sessions
+    overlapped a high-activity incident window (an hour where one
+    event type fired ≥ 3 times). The theta predicate (s_lo < w_hi AND
+    w_lo < s_hi) would plan a nested-loop cross product; exploding
+    both interval sets into hour-grid cells turns it into a cell-equi
+    join + residual filter — time-local shuffles that scale, the
+    temporal twin of the range-band join. Sessions come from the same
+    session_window whose semantics the sessionization oracle pins;
+    incident windows from the epoch-aligned hourly tumble."""
+    from rs_query_engine_spark.operators.joins import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("_s_hi"),
+        )
+        # unix_micros, not unix_timestamp: seconds truncation would
+        # flip overlap comparisons at window boundaries (a session
+        # ending at 11:00:00.5 must still overlap the 11:00 window)
+        .withColumn("_lo_s", F.unix_micros("session_start"))
+        .withColumn("_hi_s", F.unix_micros("_s_hi"))
+    )
+    inc = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("_w_hi"),
+        )
+        .withColumn("_lo_w", F.unix_micros("window_start"))
+        .withColumn("_hi_w", F.unix_micros("_w_hi"))
+    )
+    out = interval_overlap_join(
+        sess, inc, "_lo_s", "_hi_s", "_lo_w", "_hi_w", 3600 * 1_000_000
+    )
+    return out.select("user_id", "session_start", "event_type", "window_start")
+
+
+@register(
     "quality_constraint_audit",
     oracle="""
     SELECT 'quantity_range' AS rule,

@@ -342,3 +342,12 @@ def test_sql_exists_decorrelates_to_semi_anti(spark):
     plan = explain_str(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_equi_not_nested_loop(spark):
+    """Interval×interval overlap must join on grid cells (hash equi),
+    never plan the raw theta predicate as a nested loop."""
+    df = registry.join_interval_overlap(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
