@@ -606,14 +606,13 @@ def containment_pairs(
     a plain shuffle join on the shingle (posting-list sizes come from
     a pre-aggregated frame, NOT broadcast — shingle cardinality grows
     with the corpus), and verification joins the shingle arrays back
-    for the deduped candidate set only. Probe order here is the
-    md5-stable order; production prefix filtering orders probes by
-    ASCENDING document frequency instead (any fixed global order
-    preserves the pigeonhole guarantee, and rarest-first minimizes
-    candidates on Zipfian shingle distributions — measured only 1.7×
-    on this synthetic flat-vocabulary corpus, which is why the
-    simpler engine-portable order ships; the df frame to order by is
-    the ``max_df`` aggregation already computed)."""
+    for the deduped candidate set only. Probes are selected in
+    ASCENDING document-frequency order (ties by shingle) — the
+    canonical prefix-filtering order: any fixed global order preserves
+    the pigeonhole guarantee, and rarest-first minimizes the candidate
+    set (1.7× fewer even on this synthetic flat-vocabulary corpus;
+    orders of magnitude on Zipfian real text). The df frame doubles as
+    the ``max_df`` stop-shingle cap."""
     from rs_query_engine_spark.functions.text import shingles
     from rs_query_engine_spark.sources.corpus import spread
 
@@ -626,23 +625,26 @@ def containment_pairs(
         .filter(F.size("_sh") > 0)
         .localCheckpoint()  # consumed 3× (probes, index, verify)
     )
-    # stable-hash shingle order: md5 is fixed-width hex, so sorting the
-    # concatenated (md5 || shingle) strings sorts by (hash, shingle) —
-    # engine-portable (ASCII binary order both sides). probe_frac is a
-    # SEPARATE literal (not 1.0 - threshold): both engines must floor
-    # the same double product, and 1.0 - 0.8 is not the double 0.2.
-    k = F.floor(F.lit(probe_frac) * F.size("_sh")).cast("int") + F.lit(1)
-    sorted_keys = F.array_sort(
-        F.transform("_sh", lambda s: F.concat(F.md5(s), s))
-    )
-    probes = sh.select(
-        F.col("_id").alias("id_a"),
-        F.size("_sh").alias("_na"),
-        F.explode(F.slice(sorted_keys, F.lit(1), k)).alias("_p"),
-    ).select("id_a", "_na", F.substring("_p", 33, 2**24).alias("shingle"))
     inv = sh.select(F.col("_id").alias("id_b"), F.explode("_sh").alias("shingle"))
-    df_counts = inv.groupBy("shingle").count().filter(F.col("count") <= max_df)
-    inv_ok = inv.join(df_counts.select("shingle"), "shingle")
+    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # rank each doc's shingles by (df, shingle): struct array_sort gives
+    # the identical order in both engines (BIGINT then ASCII VARCHAR).
+    # probe_frac is a SEPARATE literal (not 1.0 - threshold): both
+    # engines must floor the same double product, and 1.0 - 0.8 is not
+    # the double 0.2.
+    ranked = (
+        inv.withColumnRenamed("id_b", "id_a")
+        .join(df_counts, "shingle")
+        .groupBy("id_a")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("_r"))
+    )
+    k = F.floor(F.lit(probe_frac) * F.size("_r")).cast("int") + F.lit(1)
+    probes = ranked.select(
+        "id_a", F.explode(F.slice(F.col("_r"), F.lit(1), k)).alias("_p")
+    ).select("id_a", F.col("_p.shingle").alias("shingle"))
+    inv_ok = inv.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
     cand = (
         probes.join(inv_ok, "shingle")
         .filter(F.col("id_a") != F.col("id_b"))

@@ -5325,19 +5325,24 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    generate_series(1, len(tk) - 2),
                    i -> array_to_string(tk[i:i+2], ' '))) AS s
         FROM toks WHERE len(tk) >= 3
-    ), probe AS (
-        SELECT doc_id AS id_a,
-               unnest(list_sort(list_transform(s, x -> md5(x) || x))
-                      [1 : CAST(floor(CAST(0.2 AS DOUBLE) * len(s)) AS INT) + 1])
-                   AS pk
-        FROM sh
-    ), probes AS (
-        SELECT id_a, pk[33:] AS shingle FROM probe
     ), inv AS (
         SELECT doc_id AS id_b, unnest(s) AS shingle FROM sh
+    ), dfreq AS (
+        SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle
+    ), ranked AS (
+        SELECT i.id_b AS id_a,
+               list_sort(list(struct_pack(df := d.df, shingle := i.shingle)))
+                   AS r
+        FROM inv i JOIN dfreq d USING (shingle) GROUP BY i.id_b
+    ), probes AS (
+        SELECT id_a,
+               unnest(list_transform(
+                   r[1 : CAST(floor(CAST(0.2 AS DOUBLE) * len(r)) AS INT) + 1],
+                   y -> y.shingle)) AS shingle
+        FROM ranked
     ), inv_ok AS (
-        SELECT id_b, shingle FROM inv
-        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+        SELECT i.id_b, i.shingle FROM inv i JOIN dfreq d USING (shingle)
+        WHERE d.df <= 1000
     ), cand AS (
         SELECT DISTINCT p.id_a, i.id_b
         FROM probes p JOIN inv_ok i USING (shingle)
