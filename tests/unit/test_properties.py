@@ -201,3 +201,87 @@ def test_unigram_logprob_matches_duckdb_within_tolerance(sp):
         sce, sn = got[doc_id]
         assert sn == n
         assert abs(sce - ce) <= 1e-9 * max(1.0, abs(ce))
+
+
+# --- interval overlap vs brute force -----------------------------------
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(1, 40)),  # (lo, length)
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(left=intervals, right=intervals)
+def test_interval_overlap_matches_bruteforce(spark, left, right):
+    """Grid-cell interval join must return exactly the pairs a nested
+    loop over the half-open overlap predicate returns, for any bucket
+    width (cells only generate candidates; the residual decides)."""
+    from rs_query_engine_spark.operators.joins import interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(left)] or [(-1, 0, 0)],
+        "lid long, llo long, lhi long",
+    ).filter(F.col("lid") >= 0)
+    rdf = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(right)] or [(-1, 0, 0)],
+        "rid long, rlo long, rhi long",
+    ).filter(F.col("rid") >= 0)
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "llo", "lhi", "rlo", "rhi", 16
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (llo, lln) in enumerate(left)
+        for j, (rlo, rln) in enumerate(right)
+        if llo < rlo + rln and rlo < llo + lln
+    }
+    assert got == want
+
+
+# --- containment pairs vs brute force ----------------------------------
+
+VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+doc_texts = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=doc_texts)
+def test_containment_matches_bruteforce(spark, texts):
+    """Prefix-filtered containment must find EXACTLY the pairs a
+    brute-force all-pairs shingle comparison finds (the pigeonhole
+    probe guarantee is exact, not probabilistic, when no shingle is
+    df-capped)."""
+    from rs_query_engine_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, "doc_id", "text").collect()
+    }
+
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a, ta in enumerate(texts):
+        for b, tb in enumerate(texts):
+            if a == b or not sh(ta):
+                continue
+            c = len(sh(ta) & sh(tb)) / len(sh(ta))
+            if c >= 0.8:
+                want[(a, b)] = c
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-12
