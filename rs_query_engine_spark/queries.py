@@ -4958,6 +4958,82 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+    ), med AS (
+        SELECT event_type, x AS med FROM (
+            SELECT event_type, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM v
+        ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ), d AS (
+        SELECT v.event_type, abs(v.x - m.med) AS dev, m.med
+        FROM v JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, dev AS mad FROM (
+            SELECT event_type, dev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM d
+        ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT d.event_type, d.med, a.mad, COUNT(*) AS n,
+           COUNT(CASE WHEN d.dev > 1.5 * a.mad THEN 1 END) AS n_outliers
+    FROM d JOIN mad a USING (event_type)
+    GROUP BY d.event_type, d.med, a.mad
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier statistics: median and MAD (median
+    absolute deviation) per event type, plus the count of values
+    beyond 1.5·MAD — the outlier gate that, unlike the z-score
+    (agg_zscore_outliers), a few extreme values cannot drag. Medians
+    are RANK-EXACT (the lower median: the value at row ceil(n/2) in
+    value order) rather than interpolated, so both engines select the
+    identical stored double and the whole report hash-matches —
+    tie-order under duplicates is irrelevant because the selected
+    VALUE at that rank is unique. The per-group window sort
+    distributes across groups (partitionBy event_type); at 100 TB a
+    skewed group's exact median upgrades to approx_percentile or a
+    two-pass count-bucket median — the 1.5·MAD gate logic is
+    unchanged."""
+    from pyspark.sql import Window
+
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("x")
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_rn") == F.ceil(F.col("_n") / 2.0).cast("bigint"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(v, "x", "med")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med")).alias("dev"), "med"
+    )
+    mad = lower_median(d.select("event_type", F.col("dev")), "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("dev") > 1.5 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+@register(
     "join_interval_overlap",
     oracle="""
     WITH o AS (
