@@ -86,17 +86,28 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # Also persist the full per-query JSON next to the repo: the
+    # driver's BENCH_r{N}.json truncates stderr to its tail, so
+    # round-over-round comparison needs a complete artifact. Best
+    # effort — never fail the bench over it.
+    try:
+        out = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_full_latest.json"),
         )
-    )
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"# bench artifact write failed: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -591,8 +591,9 @@ def containment_pairs(
     corpus needs alongside symmetric near-dup.
 
     Candidate generation is PREFIX FILTERING (the PPJoin family,
-    Xiao et al., WWW'08): sort each doc's shingles by a stable hash
-    and probe with only the first ⌊(1−t)·|A|⌋+1 — if B contains A at
+    Xiao et al., WWW'08): order each doc's shingles by ascending
+    document frequency (ties by shingle — any fixed global order
+    works) and probe with only the first ⌊(1−t)·|A|⌋+1 — if B contains A at
     ≥ t, it must share at least one probe shingle (pigeonhole), so
     candidates come from an equi-join of A-probes against a (shingle,
     doc) inverted index, never an all-pairs join. Shingles appearing
@@ -616,6 +617,15 @@ def containment_pairs(
     from rs_query_engine_spark.functions.text import shingles
     from rs_query_engine_spark.sources.corpus import spread
 
+    if probe_frac < 1.0 - threshold - 1e-9:
+        # pigeonhole exactness needs ⌊probe_frac·|A|⌋+1 probes to cover
+        # the ⌊(1−t)·|A|⌋ shingles B may miss — fail loudly instead of
+        # silently losing recall (1e-9 slack absorbs the double
+        # representation of 1-t, e.g. 1.0-0.7 = 0.30000000000000004)
+        raise ValueError(
+            f"probe_frac={probe_frac} < 1 - threshold={1.0 - threshold}: "
+            "prefix-filtering would miss qualifying pairs"
+        )
     sh = (
         spread(df)
         .select(

@@ -65,21 +65,28 @@ def register(name: str, oracle: str | None = None):
 # a rotation so hard verification coverage accrues across rounds:
 # queries WITHOUT a green row in ANY prior round go first (new
 # registrations and regressions automatically qualify), then the
-# already-verified ones in registration order — which re-verifies the
-# §2 reference core (scan/filter/project/agg/join/scalar) with the
-# leftover slots. The verified set is read from the driver's own
+# already-verified ones ordered OLDEST-green-first — a query whose last
+# driver-green row is N rounds stale (e.g. because the code under it
+# changed since) cycles back into the window before one re-verified
+# last round. The verified set is read from the driver's own
 # CORRECTNESS_r*.json artifacts at import time, so the rotation
 # advances every round without hand-maintained lists (the round-3
 # freeze bug); a round that turns a green row red demotes that query
 # back to the front of the line.
-def _verified_names() -> frozenset[str]:
+def _latest_green_rounds() -> dict[str, int]:
+    """name -> round number of the most recent driver-green row, for
+    queries whose LATEST driver row is green (a later red row demotes
+    the query back to unverified)."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    status: dict[str, bool] = {}
+    status: dict[str, tuple[bool, int]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -92,23 +99,31 @@ def _verified_names() -> frozenset[str]:
                 continue
             if row.get("err") == "no_oracle":
                 # rows-only check (non-SQL-expressible op): green when
-                # the Spark side ran and produced rows
-                green = (row.get("spark_rows") or 0) > 0
+                # the Spark side executed at all — a legitimately-empty
+                # result (spark_rows == 0) still counts as ran-ok, so
+                # it doesn't pin a front-of-rotation slot forever
+                green = row.get("spark_rows") is not None
+            elif row.get("err") is not None:
+                green = False
             else:
                 green = bool(row.get("rows_match")) and (
                     row.get("hash_match") is None or bool(row.get("hash_match"))
                 )
             # later rounds win: a regression demotes, a fix promotes
-            status[name] = green
-    return frozenset(n for n, ok in status.items() if ok)
+            status[name] = (green, rnd)
+    return {n: rnd for n, (ok, rnd) in status.items() if ok}
 
 
-_VERIFIED = _verified_names()
+_GREEN_ROUND = _latest_green_rounds()
 
 
 def _rotation_order() -> list[str]:
-    unverified = [n for n in _QUERIES if n not in _VERIFIED]
-    verified = [n for n in _QUERIES if n in _VERIFIED]
+    reg_idx = {n: i for i, n in enumerate(_QUERIES)}
+    unverified = [n for n in _QUERIES if n not in _GREEN_ROUND]
+    verified = sorted(
+        (n for n in _QUERIES if n in _GREEN_ROUND),
+        key=lambda n: (_GREEN_ROUND[n], reg_idx[n]),
+    )
     return unverified + verified
 
 
@@ -4858,7 +4873,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(1.0, n_chars / 2000.0) AS keep_p
     FROM documents
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
-          < least(1000000.0, n_chars * 500.0)
+          < least(1.0, n_chars / 2000.0) * 1000000.0
     """,
 )
 def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4868,9 +4883,10 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.sorts.sample_weighted_hash``. Completes the sampling
     family: fixed-rate (bernoulli), per-stratum (stratified), fixed-
     size, fixed-per-group, and now per-row-weighted. Map-only and
-    content-hash deterministic like its siblings; the weight compare
-    stays float-exact cross-engine because n_chars*500.0 and the
-    bigint→double uniform are both exact below 2^53."""
+    content-hash deterministic like its siblings; the oracle mirrors
+    the Spark threshold expression verbatim
+    (least(1.0, n_chars/2000.0) * 1e6) so the compare is float-exact
+    by construction, not by coincidence."""
     from rs_query_engine_spark.operators.sorts import sample_weighted_hash
 
     d = _t(spark, sf_dir, "documents")
@@ -4962,6 +4978,7 @@ def join_bloom_filter_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+        WHERE value IS NOT NULL
     ), med AS (
         SELECT event_type, x AS med FROM (
             SELECT event_type, x,
@@ -5002,8 +5019,13 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     from pyspark.sql import Window
 
-    v = _t(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("double").alias("x")
+    v = (
+        _t(spark, sf_dir, "events")
+        # NULL values are excluded on BOTH sides before the rank-exact
+        # median: Spark's default sort is NULLS FIRST vs DuckDB's NULLS
+        # LAST, so a null would shift the ceil(n/2) row cross-engine
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("double").alias("x"))
     )
 
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
@@ -5437,7 +5459,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators.dedup.containment_pairs``) — the quote/subset/
     boilerplate detector symmetric Jaccard misses (a paragraph quoted
     in a 100× longer doc has Jaccard ≈ 0.01 but containment ≈ 1).
-    Candidates come from probing each doc's ⌊0.2·|sh|⌋+1 smallest-hash
+    Candidates come from probing each doc's ⌊0.2·|sh|⌋+1
+    rarest-first (ascending document-frequency, ties by shingle)
     shingles against a df-capped inverted index — an equi-join, never
     all-pairs; the pigeonhole guarantee makes the probe set exact for
     the threshold, not a recall gamble like LSH."""

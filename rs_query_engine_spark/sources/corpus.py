@@ -9,6 +9,7 @@ parquet scan.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -106,6 +107,15 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     try:
         if len(df.inputFiles()) >= target:
             return df
-    except Exception:
-        pass
+    except AnalysisException as e:
+        # inputFiles() raises only for non-file-based plans (views,
+        # in-memory frames) — those genuinely need the repartition.
+        # Anything else propagating here would mean every caller
+        # silently pays a shuffle, so keep the except narrow and leave
+        # a trace.
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "spread(): inputFiles() probe failed (%s); repartitioning", e
+        )
     return df.repartition(target)

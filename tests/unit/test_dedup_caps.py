@@ -113,3 +113,17 @@ def test_containment_df_cap_drops_stop_shingles(spark):
     # under the cap the mutual containments appear (both directions)
     out = containment_pairs(docs, "doc_id", "text", max_df=1000)
     assert out.count() == N * (N - 1)
+
+
+def test_containment_rejects_underprovisioned_probe_frac(spark):
+    """probe_frac < 1 - threshold breaks the pigeonhole exactness
+    guarantee — must raise instead of silently losing recall."""
+    import pytest
+
+    from rs_query_engine_spark.operators.dedup import containment_pairs
+
+    docs = _identical_docs(spark)
+    with pytest.raises(ValueError, match="probe_frac"):
+        containment_pairs(docs, "doc_id", "text", threshold=0.7, probe_frac=0.2)
+    # exactly-provisioned pairing is accepted
+    containment_pairs(docs, "doc_id", "text", threshold=0.7, probe_frac=0.3)
