@@ -311,29 +311,42 @@ def _pq_dist_tables(
     num_sub: int,
     num_centroids: int,
     sub_dim: int,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(_id, _d0.._d{num_sub-1}): per-subspace arrays of squared
-    distances to every codebook centroid — the shared kernel of PQ
-    encoding (argmin per table) and ADC search (the query-side lookup
-    tables ARE these arrays)."""
+    """(_id, *passthrough, _d0.._d{num_sub-1}): per-subspace arrays of
+    squared distances to every codebook centroid — the shared kernel of
+    PQ encoding (argmin per table) and ADC search (the query-side
+    lookup tables ARE these arrays). ``passthrough`` columns ride along
+    so callers can keep e.g. the coarse-list assignment without a
+    self-join back on the id (a full corpus shuffle at scale)."""
     book = pq_codebook(num_sub, num_centroids, sub_dim)
 
-    def dist_sql(b: int, k: int) -> str:
-        lits = ",".join(f"{x}D" for x in book[b][k])
+    def dist_sql(b: int) -> str:
+        # ONE nested codebook literal + a transform lambda per subspace
+        # (not one fold per centroid): 16× fewer expression nodes, so
+        # per-run analysis/optimization/codegen — the dominant cost of
+        # a literal-heavy plan — stays flat as the codebook grows.
+        # Element order of transform == literal order == centroid id
+        # ascending, so the argmin-by-position code is unchanged.
+        lits = ",".join(
+            "array(" + ",".join(f"{x}D" for x in book[b][k]) + ")"
+            for k in range(num_centroids)
+        )
         return (
+            f"transform(array({lits}), c -> "
             f"aggregate(zip_with(slice(_v, {b * sub_dim + 1}, {sub_dim}), "
-            f"array({lits}), (x, y) -> (x - y) * (x - y)), "
-            "0.0D, (acc, x) -> acc + x)"
+            "c, (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + x))"
         )
 
-    dists = [
-        F.expr("array(" + ",".join(dist_sql(b, k) for k in range(num_centroids)) + ")")
-        for b in range(num_sub)
-    ]
+    dists = [F.expr(dist_sql(b)) for b in range(num_sub)]
     return df.select(
         F.col(id_col).alias("_id"),
+        *passthrough,
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).select("_id", *[dists[b].alias(f"_d{b}") for b in range(num_sub)])
+    ).select(
+        "_id", *passthrough, *[dists[b].alias(f"_d{b}") for b in range(num_sub)]
+    )
 
 
 def ivf_pq_topk(
@@ -368,11 +381,16 @@ def ivf_pq_topk(
     assigned = assign_centroids(corpus, centroids, corpus_id, corpus_vec).select(
         F.col(corpus_id), F.col("_v"), F.col("centroid_id")
     )
-    codes = _pq_dist_tables(
-        assigned.select(F.col(corpus_id), "_v"),
+    # the coarse-list assignment rides through the code computation as
+    # a passthrough column — one map-only pass over the corpus instead
+    # of a self-join back on the id (a full corpus shuffle at scale)
+    index = _pq_dist_tables(
+        assigned,
         corpus_id, "_v", num_sub, num_centroids, sub_dim,
+        passthrough=("centroid_id",),
     ).select(
         F.col("_id").alias(corpus_id),
+        "centroid_id",
         *[
             (
                 F.array_position(F.col(f"_d{b}"), F.array_min(F.col(f"_d{b}"))) - 1
@@ -380,7 +398,6 @@ def ivf_pq_topk(
             for b in range(num_sub)
         ],
     )
-    index = assigned.select(corpus_id, "centroid_id").join(codes, corpus_id)
 
     q_assigned = assign_centroids(
         queries, centroids, query_id, query_vec, nprobe=nprobe
