@@ -4061,23 +4061,41 @@ def stream_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_freq_items")  # no oracle: freqItems is a one-pass
-# streaming-summary sketch whose support set is algorithm-specific;
-# the exactness gate lives in tests/unit/test_properties.py
+@register(
+    "agg_freq_items",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS exact_cnt
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) > 0.1 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM events)
+    """,
+)
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters via ``DataFrame.freqItems`` (Karp/
-    Shenker/Papadimitriou one-pass frequent-items summary): every item
-    with frequency above the support threshold is guaranteed present
-    (possibly with false positives — the classic sketch trade). This
-    is the scale path for "top domains / hot keys" over 100 TB: fixed
-    memory per partition, merged map-side, no value shuffle at all —
-    the exact twin (text_token_freq) shuffles the full vocabulary.
-    Output is exploded + sorted so the row set is stable for the
-    driver's rows-only check."""
-    d = _t(spark, sf_dir, "events")
-    hot = d.select("event_type").freqItems(["event_type"], support=0.1)
-    return hot.select(
-        F.explode(F.array_sort("event_type_freqItems")).alias("item")
+    Shenker/Papadimitriou one-pass frequent-items summary), HARDENED to
+    a hash-verifiable exact answer: every item with frequency strictly
+    above the support threshold is guaranteed in the candidate set (the
+    sketch's no-false-negative side), so joining candidates back to
+    their exact counts and filtering ``exact_cnt > support·n`` yields
+    EXACTLY the true heavy-hitter set — SQL-expressible, while the
+    driver run still exercises the sketch as the candidate pruner.
+    This is the 100-TB shape: the sketch runs in fixed memory with
+    map-side merge and no value shuffle; the exact pass then touches
+    only rows matching the few broadcast candidates instead of
+    shuffling the full key space (the exact twin, text_token_freq,
+    pays the full-vocabulary shuffle)."""
+    d = _t(spark, sf_dir, "events").select("event_type")
+    hot = d.freqItems(["event_type"], support=0.1).select(
+        F.explode("event_type_freqItems").alias("item")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        d.join(F.broadcast(hot), d["event_type"] == hot["item"], "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("exact_cnt") > F.lit(0.1) * F.col("_n").cast("double"))
+        .select(F.col("event_type").alias("item"), "exact_cnt")
     )
 
 
@@ -5219,9 +5237,25 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.unionByName(fk)
 
 
-@register("agg_hll_sketch_merge")  # rows-only: sketch estimates are
-# engine-specific registers; the exact column rides along and the unit
-# test bounds the estimate against it
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang, COUNT(DISTINCT md5(text)) AS part_exact
+        FROM documents GROUP BY source, lang
+    ), m AS (
+        SELECT source, COUNT(*) AS n_parts,
+               CAST(SUM(part_exact) AS BIGINT) AS sum_part_exact
+        FROM per GROUP BY source
+    ), ex AS (
+        SELECT source, COUNT(DISTINCT md5(text)) AS exact_docs
+        FROM documents GROUP BY source
+    )
+    SELECT m.source, m.n_parts, m.sum_part_exact, ex.exact_docs,
+           TRUE AS est_ok
+    FROM m JOIN ex USING (source)
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE-sketch rollup — the pattern that makes distinct counts
     tractable at 100 TB: per-(source, lang) HyperLogLog sketches of the
@@ -5229,18 +5263,43 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     few KB each), then UNIONED per source without touching the data
     again (``hll_union_agg``) — re-aggregating along a different
     hierarchy costs sketch-merge, not a second corpus scan, which is
-    how daily partial sketches roll up to monthly uniques. The exact
-    distinct count rides along to expose the sketch error; the unit
-    test gates it at 5%."""
+    how daily partial sketches roll up to monthly uniques.
+
+    Hash-verified via the MERGE STRUCTURE plus a bounded-error claim:
+    the output carries the exact SQL-expressible rollup facts
+    (partials merged per source, the sum of per-part distincts — which
+    exceeds the true union when fingerprints repeat across langs — and
+    the exact union count) plus ``est_ok``, the sketch estimate's 5%
+    error bound as a boolean (oracle side: literal TRUE; HLL lgK=12
+    typical error ~1.6%, and the estimate stays in-plan because
+    ``est_ok`` consumes it — Catalyst cannot prune the sketch away).
+    The raw estimate value itself stays gated at 5% in
+    tests/unit/test_robustness.py (sketch registers are
+    engine-specific, so the VALUE is not cross-engine hashable)."""
     d = _t(spark, sf_dir, "documents")
     fp = F.md5(F.col("text"))
     per = d.groupBy("source", "lang").agg(
         F.expr("hll_sketch_agg(md5(text))").alias("sk"),
-        F.count_distinct(fp).alias("exact_part"),
+        F.count_distinct(fp).alias("part_exact"),
     )
-    return per.groupBy("source").agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_docs"),
-        F.sum("exact_part").alias("sum_part_exact"),
+    merged = per.groupBy("source").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("part_exact").alias("sum_part_exact"),
+    )
+    ex = d.groupBy("source").agg(F.count_distinct(fp).alias("exact_docs"))
+    # inner join on the group key: both engines drop a NULL source
+    # identically (NULL never equi-joins), so the compare stays fair
+    return merged.join(ex, "source").select(
+        "source",
+        "n_parts",
+        "sum_part_exact",
+        "exact_docs",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_docs"))
+            / F.col("exact_docs")
+            <= F.lit(0.05)
+        ).alias("est_ok"),
     )
 
 
@@ -5284,19 +5343,87 @@ def sql_entry_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf_pq_topk")  # rows-only: the ADC lookup-table
-# SQL mirror would be a page of generated literals per query row; the
-# computation is instead pinned exactly by the NumPy recomputation in
-# tests/unit/test_similarity_recall.py
+def _pq_adc_oracle_sql(
+    nprobe: int = 2, num_sub: int = 8, num_centroids: int = 16, sub_dim: int = 8
+) -> str:
+    """Generated DuckDB oracle for the FULL IVF-PQ pipeline: coarse
+    assignment (same cosine/tiebreak SQL as similarity_ivf_probed), PQ
+    codes and query distance tables from the same codebook literals as
+    the Spark operator (same fold arithmetic the embedding_pq_codes
+    hash pins), ADC as position lookups summed in subspace order, and
+    the same (adc, vec_id) top-k tiebreak — so the composition is
+    hash-verifiable end-to-end, not just its standalone pieces."""
+    from rs_query_engine_spark.operators.similarity import pq_codebook
+
+    book = pq_codebook(num_sub, num_centroids, sub_dim)
+
+    def dist(col: str, b: int, k: int) -> str:
+        lits = "[" + ",".join(str(x) for x in book[b][k]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip("
+            f"{col}[{b * sub_dim + 1}:{b * sub_dim + sub_dim}], "
+            f"{lits}::DOUBLE[]), "
+            "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+        )
+
+    def d_cols(col: str) -> str:
+        return ", ".join(
+            "[" + ",".join(dist(col, b, k) for k in range(num_centroids))
+            + f"] AS d{b}"
+            for b in range(num_sub)
+        )
+
+    codes = ", ".join(
+        f"list_position(d{b}, list_min(d{b})) - 1 AS c{b}" for b in range(num_sub)
+    )
+    adc = " + ".join(f"qt.d{b}[c.c{b} + 1]" for b in range(num_sub))
+    cos = _COS_SQL.format(a="corpus.v", b="cent.cv")
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+        SELECT corpus.vec_id, corpus.v, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY corpus.vec_id
+                   ORDER BY {cos} DESC, cent.centroid_id
+               ) AS rn
+        FROM corpus, cent
+    ), cd AS (
+        SELECT vec_id, centroid_id, {d_cols("v")}
+        FROM ranked WHERE rn = 1
+    ), codes AS (
+        SELECT vec_id, centroid_id, {codes} FROM cd
+    ), qt AS (
+        SELECT vec_id AS query_id, centroid_id, {d_cols("v")}
+        FROM ranked WHERE rn <= {nprobe} AND vec_id % 100 = 0
+    ), scored AS (
+        SELECT qt.query_id, c.vec_id, {adc} AS adc
+        FROM codes c JOIN qt ON c.centroid_id = qt.centroid_id
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, adc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adc, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@register("similarity_ivf_pq_topk", oracle=_pq_adc_oracle_sql())
 def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN end-to-end (``operators.similarity.ivf_pq_topk``):
     coarse inverted lists prune the corpus (nprobe=2 of 8 lists), PQ
     codes compress candidates 64×, and ranking is asymmetric distance
     — per query a table of subspace-centroid distances is built once
     and every candidate costs 8 lookups + adds, never raw-vector math.
-    This is the layout billion-vector search actually ships; the
-    standalone pieces are oracle-checked (similarity_ivf_probed,
-    embedding_pq_codes) and this composition is NumPy-pinned."""
+    This is the layout billion-vector search actually ships; the whole
+    composition is hash-verified against a GENERATED DuckDB oracle
+    (``_pq_adc_oracle_sql`` — same codebook literals, fold order, and
+    tiebreaks), and additionally NumPy-pinned in
+    tests/unit/test_similarity_recall.py."""
     from rs_query_engine_spark.operators.similarity import ivf_pq_topk
 
     e = _t(spark, sf_dir, "embeddings")

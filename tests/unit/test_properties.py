@@ -150,22 +150,23 @@ def test_connected_components_star_matches_union_find(sp, edges):
     assert got == truth
 
 
-def test_freq_items_guarantee_no_false_negatives(sp):
-    """The frequent-items sketch guarantee: every item whose true
-    frequency exceeds the support threshold MUST be in the output
-    (false positives allowed, false negatives not)."""
+def test_freq_items_exact_heavy_hitter_set(sp):
+    """The sketch's no-false-negative guarantee plus the exact-count
+    back-join means the query returns EXACTLY the true heavy-hitter
+    set (items with frequency strictly above the support threshold),
+    with exact counts."""
     from rs_query_engine_spark.queries import agg_freq_items
 
     sf_dir = "/root/testdata/sf0.001"
-    got = {r["item"] for r in agg_freq_items(sp, sf_dir).collect()}
+    got = {(r["item"], r["exact_cnt"]) for r in agg_freq_items(sp, sf_dir).collect()}
     ev = sp.read.parquet(f"{sf_dir}/events.parquet")
     total = ev.count()
     truth = {
-        r["event_type"]
+        (r["event_type"], r["count"])
         for r in ev.groupBy("event_type").count().collect()
         if r["count"] / total > 0.1
     }
-    assert truth <= got
+    assert got == truth
 
 
 def test_unigram_logprob_matches_duckdb_within_tolerance(sp):

