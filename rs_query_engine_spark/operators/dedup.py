@@ -670,3 +670,69 @@ def containment_pairs(
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    cluster the embedding space, then drop within-cluster near-
+    duplicates by pairwise cosine — the dedup family that catches
+    *paraphrases* (same meaning, different tokens), which every
+    lexical method in this module (exact/MinHash/SimHash/containment)
+    structurally misses.
+
+    Returns (id, centroid_id, kept): ``kept`` is false iff a SMALLER id
+    in the SAME cluster has cosine ≥ ``threshold`` — the greedy
+    keep-smallest-id policy, matching the paper's one-representative-
+    per-duplicate-group semantics pairwise (transitive chains are the
+    job of :func:`...graph.connected_components` when cluster-wide
+    grouping is wanted).
+
+    Scale shape: the pair space is an EQUI-JOIN on the cluster id —
+    never an all-pairs join; clustering is what makes SemDeDup linear-
+    ish (k grows ~√n so cluster sizes stay bounded, and a skewed
+    cluster is re-clustered one level down in practice). Centroids are
+    broadcast for assignment; the pair join shuffles on the cluster
+    id. With DETERMINISTIC centroids (caller-supplied, e.g. fixed
+    corpus rows) the whole decision is oracle-expressible; production
+    swaps in ``similarity.kmeans_centroids`` unchanged."""
+    from rs_query_engine_spark.operators.similarity import assign_centroids, dot
+
+    a = assign_centroids(
+        corpus, centroids, id_col, vec_col, centroid_id, centroid_vec
+    )
+    x = a.select(
+        F.col(id_col).alias("_xid"),
+        F.col("_v").alias("_xv"),
+        F.col("_n").alias("_xn"),
+        F.col(centroid_id),
+    )
+    y = a.select(
+        F.col(id_col).alias("_yid"),
+        F.col("_v").alias("_yv"),
+        F.col("_n").alias("_yn"),
+        F.col(centroid_id),
+    )
+    cos = F.try_divide(dot(F.col("_xv"), F.col("_yv")), F.col("_xn") * F.col("_yn"))
+    dropped = (
+        x.join(y, [centroid_id])
+        .filter(F.col("_yid") < F.col("_xid"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("_xid").alias("_did"))
+        .dropDuplicates(["_did"])
+    )
+    return (
+        a.join(dropped, a[id_col] == dropped["_did"], "left")
+        .select(
+            F.col(id_col),
+            F.col(centroid_id),
+            F.col("_did").isNull().alias("kept"),
+        )
+    )

@@ -5437,6 +5437,60 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(e, cent, q, 10)
 
 
+_SEMDEDUP_COS_X = _COS_SQL.format(a="x.v", b="y.v")
+_SEMDEDUP_COS_ASSIGN = _COS_SQL.format(a="corpus.v", b="cent.cv")
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+        SELECT corpus.vec_id, corpus.v, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY corpus.vec_id
+                   ORDER BY {_SEMDEDUP_COS_ASSIGN} DESC, cent.centroid_id
+               ) AS rn
+        FROM corpus, cent
+    ), a AS (
+        SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM a x JOIN a y
+          ON x.centroid_id = y.centroid_id AND y.vec_id < x.vec_id
+        WHERE {_SEMDEDUP_COS_X} >= 0.3
+    )
+    SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS kept
+    FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (``operators.dedup.semantic_dedup``)
+    — the family member that catches paraphrases, which every lexical
+    dedup (exact/MinHash/SimHash/containment) structurally misses:
+    cluster the embedding space, then drop within-cluster near-
+    duplicates by pairwise cosine against the keep-smallest-id policy.
+    The pair space is an equi-join on the cluster id — never all-pairs
+    (plan-asserted); centroids broadcast for assignment. Deterministic
+    fixed centroids (corpus rows vec_id<8, the similarity_ivf_topk
+    pattern) keep the whole decision oracle-expressible; production
+    swaps in kmeans_centroids unchanged. The 0.3 threshold is
+    corpus-specific (synthetic embeddings are near-orthogonal — max
+    pairwise cosine ~0.5; real paraphrase dedup uses ~0.95+)."""
+    from rs_query_engine_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return semantic_dedup(e, cent, "vec_id", "embedding", threshold=0.3)
+
+
 def _pq_oracle_sql(num_sub: int = 8, num_centroids: int = 16, sub_dim: int = 8) -> str:
     """DuckDB oracle for PQ encoding — same codebook literals as the
     Spark operator (operators/similarity.pq_codebook), same per-

@@ -127,3 +127,31 @@ def test_containment_rejects_underprovisioned_probe_frac(spark):
         containment_pairs(docs, "doc_id", "text", threshold=0.7, probe_frac=0.2)
     # exactly-provisioned pairing is accepted
     containment_pairs(docs, "doc_id", "text", threshold=0.7, probe_frac=0.3)
+
+
+def test_semantic_dedup_drops_within_cluster_near_dups(spark):
+    """Hand-built geometry: two clusters along orthogonal axes; vectors
+    1 and 2 are near-identical (cos ~1) in cluster A, vector 3 is in
+    cluster B. Keep-smallest-id drops 2, keeps 1 and 3; a cross-cluster
+    near-dup (vector 4 ~ vector 3 but assigned to A's centroid? no —
+    orthogonal) stays kept."""
+    from rs_query_engine_spark.operators.dedup import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01, 0.0]),   # cluster 0
+            (2, [1.0, 0.011, 0.0]),  # cluster 0, near-dup of 1 -> dropped
+            (3, [0.0, 1.0, 0.02]),   # cluster 1
+            (4, [0.02, 1.0, -0.9]),  # cluster 1, far from 3 -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["kept"])
+        for r in semantic_dedup(vecs, cents, threshold=0.95).collect()
+    }
+    assert out == {1: (0, True), 2: (0, False), 3: (1, True), 4: (1, True)}

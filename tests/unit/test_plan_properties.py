@@ -99,6 +99,19 @@ def test_simhash_pairs_no_all_pairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_pairs_bucketed_by_cluster(spark):
+    # SemDeDup's pair space must be an equi-join on the cluster id —
+    # never an all-pairs self-join over the corpus (the clustering IS
+    # the scale mechanism; only the tiny centroid table may broadcast
+    # into the assignment crossJoin)
+    df = registry.dedup_semantic(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # the corpus-side pair join keys on the cluster id (equi-join);
+    # BNLJ appears only for the 8-row centroid broadcast
+    assert "centroid_id" in plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     # the bucketed rewrite must produce a hash join on _bucket, never
     # a BroadcastNestedLoopJoin over the raw range predicate
