@@ -5653,3 +5653,129 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return containment_pairs(d, "doc_id", "text")
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), m AS (
+        SELECT MIN(n_s) AS n_min FROM c
+    ), r AS (
+        SELECT c.source,
+               sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n_s AS DOUBLE))
+                   AS keep_rate
+        FROM c, m
+    )
+    SELECT d.doc_id, d.source, r.keep_rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000
+          < r.keep_rate * 1000000.0
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled SOURCE MIXING (α = 0.5) — the standard
+    multi-source LLM training mix (multilingual/multi-domain
+    rebalancing a la GPT-3 / XLM-R): per-source keep rate
+    ∝ n_s^(α−1), normalized so the smallest source keeps 100%, which
+    flattens the size distribution toward n_s^α. Unlike the fixed
+    per-stratum rates of sample_stratified_hash, the rates here are
+    DATA-DERIVED inside the query (count → broadcast → map-only
+    hash filter — no second scan, no driver round-trip). α = 0.5
+    keeps the arithmetic on sqrt/division only (both IEEE
+    correctly-rounded, so the threshold compare is float-exact
+    cross-engine; arbitrary α would need libm pow — the
+    float-determinism discipline forbids it in a hash-verified
+    path)."""
+    from rs_query_engine_spark.operators.sorts import sample_weighted_hash
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    m = c.agg(F.min("n_s").alias("n_min"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.sqrt(
+            F.col("n_min").cast("double") / F.col("n_s").cast("double")
+        ).alias("keep_rate"),
+    )
+    return sample_weighted_hash(
+        d.join(F.broadcast(r), "source"),
+        F.col("doc_id").cast("string"),
+        F.col("keep_rate"),
+    ).select("doc_id", "source", "keep_rate")
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' ')
+               ) AS grams
+        FROM t WHERE len(toks) >= 3
+    ), g AS (
+        -- parallel unnest zips positionally (embedding_dim_stats trick)
+        SELECT doc_id, len(grams) AS n_grams,
+               unnest(generate_series(1, len(grams))) AS i,
+               unnest(list_transform(
+                   grams, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS h
+        FROM s
+    ), w AS (
+        SELECT doc_id, i, n_grams,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g
+    )
+    SELECT doc_id, COUNT(DISTINCT fp) AS n_fps,
+           MIN(fp) AS fp_min, MAX(fp) AS fp_max
+    FROM w WHERE i <= n_grams - 3
+    GROUP BY doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word 3-gram, slide a
+    window of 4 consecutive hashes, record each window's minimum. The
+    guarantee the rolling-hash fingerprint (text_fingerprint) lacks:
+    any shared substring of ≥ w+k−1 tokens between two documents
+    yields at least one SHARED fingerprint, with a ~2/(w+1) density
+    bound — the principled plagiarism/near-copy detector. Summarized
+    per doc (count + min/max of selected prints) so the result stays
+    compact; the (doc, fp) pairs feed an inverted index at scale.
+    Plan shape: one shingle pass, per-doc window min (partitions by
+    doc — distributes freely), partial-agg rollup; no shuffle beyond
+    the doc-id window."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.functions.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    g = sh.select(
+        "doc_id",
+        F.size("sh").alias("n_grams"),
+        F.posexplode("sh").alias("i0", "gram"),
+    )
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy("i0").rowsBetween(0, 3)
+    return (
+        g.select(
+            "doc_id", "n_grams", "i0", F.min(h).over(w).alias("fp")
+        )
+        .filter(F.col("i0") <= F.col("n_grams") - 4)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("fp").alias("n_fps"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+        )
+    )

@@ -286,3 +286,45 @@ def test_containment_matches_bruteforce(spark, texts):
     assert set(got) == set(want)
     for k, v in got.items():
         assert abs(v - want[k]) < 1e-12
+
+
+def test_winnowing_shared_substring_guarantee(sp):
+    """Winnowing's defining property: two documents sharing a
+    substring of >= w+k-1 tokens (here 4+3-1 = 6) must share at least
+    one selected fingerprint. Build the (doc, fp) selection directly
+    with the same window-min construction the registry query
+    aggregates over."""
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    from rs_query_engine_spark.functions.text import shingles
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 shared tokens
+    docs = sp.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten eleven twelve"),
+            (3, "totally different words everywhere in this text here"),
+        ],
+        "doc_id long, text string",
+    )
+    g = docs.select(
+        "doc_id",
+        F.size(shingles(F.col("text"), 3)).alias("n_grams"),
+        F.posexplode(shingles(F.col("text"), 3)).alias("i0", "gram"),
+    )
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy("i0").rowsBetween(0, 3)
+    sel = (
+        g.select("doc_id", "n_grams", "i0", F.min(h).over(w).alias("fp"))
+        .filter(F.col("i0") <= F.col("n_grams") - 4)
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    fps = {}
+    for r in sel:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-token substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
