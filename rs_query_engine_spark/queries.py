@@ -5779,3 +5779,175 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("fp_max"),
         )
     )
+
+
+_KNN_COS_ASSIGN = _COS_SQL.format(a="corpus.v", b="cent.cv")
+_KNN_COS_SCORE = _COS_SQL.format(a="a.v", b="q.qv")
+
+
+@register(
+    "similarity_knn_label_vote",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+        SELECT corpus.vec_id, corpus.v, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY corpus.vec_id
+                   ORDER BY {_KNN_COS_ASSIGN} DESC, cent.centroid_id
+               ) AS rn
+        FROM corpus, cent
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id
+        FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, a.vec_id,
+               {_KNN_COS_SCORE} AS cos
+        FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+    ), topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= 10 AND vec_id <> query_id
+    ), votes AS (
+        SELECT t.query_id, c.label, COUNT(*) AS n_votes
+        FROM topk t JOIN corpus c ON t.vec_id = c.vec_id
+        GROUP BY t.query_id, c.label
+    )
+    SELECT query_id, label AS pred_label, n_votes FROM (
+        SELECT query_id, label, n_votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY n_votes DESC, label) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote — weak labeling / label propagation over the ANN
+    index (the embeddings table's ``label`` column): each query takes
+    its 10 nearest IVF neighbors (nprobe=2, self excluded post-rank so
+    both engines rank the identical candidate set) and predicts the
+    majority label, ties to the smallest label. This is the
+    classifier-free auto-labeling pass of a curation pipeline
+    (label known docs, propagate to neighbors) — and it rides the SAME
+    bucketed IVF plan as similarity_ivf_probed (broadcast centroids,
+    list equi-join, never all-pairs), plus one broadcast label join
+    and a per-query vote window."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nn = ivf_topk(e, cent, q, 10, nprobe=2).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    votes = (
+        nn.join(F.broadcast(e.select("vec_id", "label")), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+@register(
+    "quality_k_anonymity",
+    oracle="""
+    WITH g AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n FROM g WHERE n >= 5
+    UNION ALL
+    SELECT '*' AS lang, '*' AS source, CAST(SUM(n) AS BIGINT) AS n
+    FROM g WHERE n < 5 HAVING COUNT(*) > 0
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (k=5) over the (lang, source) quasi-
+    identifier — the privacy gate a training-data release pipeline
+    runs before publishing per-slice statistics: groups meeting the
+    threshold pass through, every below-k group collapses into one
+    '*'-bucket row so no small-population slice is disclosed (the
+    suppressed row still reports its total, which is k-anonymity's
+    aggregate-only disclosure). One shared aggregation feeds both
+    branches (Catalyst reuses the exchange under AQE); map-side
+    partials make the groupBy shuffle group-cardinality-sized, and
+    the union is append-only — the shape survives any scale."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    ok = g.filter(F.col("n") >= 5).select("lang", "source", "n")
+    small = (
+        g.filter(F.col("n") < 5)
+        .agg(F.sum("n").alias("n"), F.count(F.lit(1)).alias("_g"))
+        .filter(F.col("_g") > 0)
+        .select(
+            F.lit("*").alias("lang"),
+            F.lit("*").alias("source"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    return ok.unionAll(small)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+    FROM documents
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations — the source
+    feature a long-lived 100-TB corpus needs: generation v1 wrote
+    (doc_id, n_chars), generation v2 added a ``lang`` column; reading
+    both with ``mergeSchema`` unions the schemas by name and
+    null-fills the column where it predates the writer. Materialized
+    once per sf_dir (the source_csv_roundtrip artifact pattern), and
+    the oracle derives the identical frame from the ORIGINAL table —
+    proving the evolved read loses/invents nothing. At scale
+    mergeSchema's footer sampling is the cheap path (schema from a
+    handful of files), versus a metastore-declared schema which this
+    read does not require."""
+    import os
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"rsqes_evo_{digest}")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    d = _t(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(v1, "_SUCCESS")):
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+            "overwrite"
+        ).parquet(v1)
+    if not os.path.exists(os.path.join(v2, "_SUCCESS")):
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "n_chars", "lang"
+        ).write.mode("overwrite").parquet(v2)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(v1, v2)
+        .select("doc_id", "n_chars", "lang")
+    )
