@@ -637,14 +637,17 @@ def containment_pairs(
     )
     inv = sh.select(F.col("_id").alias("id_b"), F.explode("_sh").alias("shingle"))
     df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # one (posting, df) join feeds BOTH the probe ranking and the
+    # df-capped index — joining inv with df_counts twice would repeat
+    # the largest shuffle in the pipeline (postings ≈ Σ|sh| rows)
+    inv_df = inv.join(df_counts, "shingle").localCheckpoint()
     # rank each doc's shingles by (df, shingle): struct array_sort gives
     # the identical order in both engines (BIGINT then ASCII VARCHAR).
     # probe_frac is a SEPARATE literal (not 1.0 - threshold): both
     # engines must floor the same double product, and 1.0 - 0.8 is not
     # the double 0.2.
     ranked = (
-        inv.withColumnRenamed("id_b", "id_a")
-        .join(df_counts, "shingle")
+        inv_df.withColumnRenamed("id_b", "id_a")
         .groupBy("id_a")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("_r"))
     )
@@ -652,9 +655,7 @@ def containment_pairs(
     probes = ranked.select(
         "id_a", F.explode(F.slice(F.col("_r"), F.lit(1), k)).alias("_p")
     ).select("id_a", F.col("_p.shingle").alias("shingle"))
-    inv_ok = inv.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-    )
+    inv_ok = inv_df.filter(F.col("df") <= max_df).select("id_b", "shingle")
     cand = (
         probes.join(inv_ok, "shingle")
         .filter(F.col("id_a") != F.col("id_b"))

@@ -364,3 +364,21 @@ def test_interval_overlap_is_equi_not_nested_loop(spark):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_rates_broadcast_no_extra_scan_shuffle(spark):
+    # the data-derived rates must reach the corpus via broadcast joins
+    # (source-count + scalar min) — the fact rows themselves never
+    # shuffle on source
+    df = registry.sample_temperature_mix(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_label_vote_rides_bucketed_ivf(spark):
+    # the kNN candidate space must stay the IVF list equi-join —
+    # adding the vote must not reintroduce an all-pairs join
+    df = registry.similarity_knn_label_vote(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
