@@ -5951,3 +5951,118 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(v1, v2)
         .select("doc_id", "n_chars", "lang")
     )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ch AS (
+        SELECT user_id, event_type, ts, event_id FROM o
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS TIMESTAMP) AS valid_to
+    FROM ch
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 reconstruction from an append-
+    only event log: collapse each user's consecutive same-type runs to
+    state-transition rows, then derive half-open validity intervals
+    [valid_from, valid_to) via LEAD (NULL = current state) — the
+    standard warehouse pattern for 'what was each entity's state at
+    time T', joinable with an as-of or interval join downstream. Two
+    window passes over the same (user_id; ts, event_id) ordering —
+    Catalyst reuses one sort+exchange for both (same partitioning and
+    ordering), so the whole reconstruction costs a single shuffle; at
+    100 TB that shuffle is the unavoidable per-entity ordering and
+    nothing more."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events")
+    ch = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       generate_series(1,
+                           len(regexp_split_to_array(lower(text), '\s+')) - 2),
+                       i -> array_to_string(
+                           regexp_split_to_array(lower(text), '\s+')[i:i+2],
+                           ' ')
+                   )
+               ) AS sh
+        FROM documents
+    ), x AS (
+        SELECT doc_id, unnest(sh) AS g FROM t
+    ), dfc AS (
+        SELECT g, COUNT(*) AS df FROM x GROUP BY g
+    )
+    SELECT x.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(CASE WHEN dfc.df = 1 THEN 1 END) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM x JOIN dfc USING (g)
+    GROUP BY x.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    word-3-grams that occur in NO other document — the corpus-level
+    quality signal that separates original text from boilerplate/
+    template families (novelty ~1) vs near-copies (novelty ~0), and
+    the cheap pre-filter that decides which docs even enter near-dup
+    candidate generation. Same inverted-index machinery as containment
+    dedup (explode distinct shingles → document frequency → join back)
+    but aggregated to a per-doc score instead of pairs: two shuffles
+    (df groupBy + per-doc agg), both map-side-partial, shuffle volume
+    bounded by vocabulary and corpus size — never pairwise."""
+    from rs_query_engine_spark.functions.text import shingles
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    x = (
+        spread(d)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("g"),
+        )
+    )
+    dfc = x.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        x.join(dfc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            (
+                F.count(F.when(F.col("df") == 1, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )

@@ -382,3 +382,15 @@ def test_knn_label_vote_rides_bucketed_ivf(spark):
     df = registry.similarity_knn_label_vote(spark, SF_DIR)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_reuses_one_exchange_for_both_windows(spark):
+    # the change-detection lag and the interval lead share the same
+    # (user_id; ts, event_id) partitioning+ordering — the whole
+    # reconstruction must cost exactly one hash exchange
+    import re
+
+    df = registry.events_scd2_intervals(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
