@@ -2672,21 +2672,43 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # no oracle: sketch values are
-# engine-specific by design; the driver records the rows-only check
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts — the mergeable-
     sketch aggregate that replaces exact COUNT(DISTINCT) at 100 TB
     (exact needs a full shuffle of the distinct values; the sketch is
-    a fixed-size register set merged map-side). DuckDB's approx HLL
-    differs numerically, so the exact count rides along for a local
-    sanity bound instead of an oracle hash."""
+    a fixed-size register set merged map-side). DuckDB's HLL differs
+    numerically, so the hashable claim is the BOUND, not the value
+    (the agg_hll_sketch_merge pattern): ``approx_ok`` pins the
+    estimate within 3·rsd of the exact count riding alongside —
+    consuming the sketch in the boolean keeps it in-plan, and HLL++
+    is deterministic for a fixed input so the flag cannot flicker.
+    The raw estimate stays gated in tests/unit/test_robustness.py."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(
+                    F.col("approx_parts").cast("double") - F.col("exact_parts")
+                )
+                / F.col("exact_parts")
+                <= F.lit(0.06)
+            ).alias("approx_ok"),
         )
     )
 

@@ -304,17 +304,32 @@ def test_topk_per_group_partial_equivalence(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    """The rows-only HLL query still gets a quantitative gate: the
-    sketch estimate must sit within 3x the configured rsd of the exact
-    count it carries alongside (99.7% bound for HLL++ at rsd=0.02)."""
+    """The query reports the 3·rsd bound as the hashable ``approx_ok``
+    boolean; this test re-derives the RAW HLL estimate and gates its
+    value so a sketch regression can't hide behind the flag."""
+    from pyspark.sql import functions as F
+
     from rs_query_engine_spark.queries import queries
+    from rs_query_engine_spark.sources.corpus import load_table
 
     rows = queries()["agg_approx_distinct"](spark, "/root/testdata/sf0.001").collect()
-    assert rows
-    for r in rows:
-        exact = r["exact_parts"]
+    assert rows and all(r["approx_ok"] for r in rows)
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    raw = {
+        r["l_returnflag"]: (r["approx"], r["exact"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.count_distinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    }
+    for flag, (approx, exact) in raw.items():
         assert exact > 0
-        assert abs(r["approx_parts"] - exact) <= max(1, 3 * 0.02 * exact)
+        assert abs(approx - exact) <= max(1, 3 * 0.02 * exact), (flag, approx, exact)
+    # and the exact column in the query output matches truth
+    for r in rows:
+        assert r["exact_parts"] == raw[r["l_returnflag"]][1]
 
 
 def test_approx_percentile_error_bound(spark):
