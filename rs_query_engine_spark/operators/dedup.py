@@ -450,24 +450,30 @@ def embedding_lsh_pairs(
         F.col(id_col).alias("_id"), v.alias("_v"), F.sqrt(norm_sq(v)).alias("_n")
     )
 
-    # Each band key is ONE F.expr over a generated SQL string rather
-    # than composed Column objects: 32 planes × 64 F.lit() literals is
-    # ~2000 py4j round trips costing ~2s of DRIVER time per query
-    # construction (measured), while one SQL parse is milliseconds.
-    # The expression itself is identical — same zip_with/aggregate
-    # sequential fold, same 0.0D seed — so float semantics and oracle
-    # parity are unchanged.
-    def plane_dot_sql(i: int) -> str:
-        lits = ",".join("1.0D" if x > 0 else "-1.0D" for x in planes[i])
-        return (
-            f"aggregate(zip_with(_v, array({lits}), (x, y) -> x * y), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
-
+    # ALL plane dots come from ONE nested plane-matrix literal + a
+    # transform lambda (the PQ codebook pattern) instead of one
+    # generated fold per plane: 32× fewer expression nodes, so the
+    # per-run analysis/optimization/codegen cost — the dominant cost
+    # of a literal-heavy plan — stays flat as planes grow. (And one
+    # SQL parse, not 2000 py4j literal round trips.) Per-plane float
+    # semantics are unchanged: same zip_with/aggregate sequential
+    # fold, same 0.0D seed, plane order == literal order.
+    plane_lits = ",".join(
+        "array(" + ",".join("1.0D" if x > 0 else "-1.0D" for x in planes[i]) + ")"
+        for i in range(num_planes)
+    )
+    dots = F.expr(
+        f"transform(array({plane_lits}), p -> "
+        "aggregate(zip_with(_v, p, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+    # _d is staged in its own projection: it is referenced by every
+    # band key, and CollapseProject keeps expensive multi-referenced
+    # producer expressions un-inlined (the minhash staging rationale)
     band_keys = [
         F.expr(
             " + ".join(
-                f"(CASE WHEN {plane_dot_sql(b * rows + r)} >= 0.0D "
+                f"(CASE WHEN element_at(_d, {b * rows + r + 1}) >= 0.0D "
                 f"THEN {1 << r} ELSE 0 END)"
                 for r in range(rows)
             )
@@ -479,7 +485,8 @@ def embedding_lsh_pairs(
     # runs the 32-plane-dot projection ONCE instead of per consumer
     # (same staging rationale as minhash_lsh_pairs' shingle frame)
     banded = (
-        base.select("_id", *band_keys)
+        base.select("_id", dots.alias("_d"))
+        .select("_id", *band_keys)
         .select(
             "_id",
             F.explode(
