@@ -6088,3 +6088,24 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# =====================================================================
+# Staged registrations (round-6 activation)
+# =====================================================================
+# ``queries_staged.py`` holds queries implemented and locally
+# oracle-verified in round 5 but deliberately NOT registered: the
+# driver hashes only the first 50 rotation entries per round, and the
+# round-5 window is budgeted so the 17 events-family queries whose
+# last driver-green row predates the Spark-4.1 loader rewrite all get
+# re-hashed (VERDICT r04 priority #1 — the last of them sits at window
+# position 49, so even ONE new registration would evict it). Round 6:
+# flip STAGED_ENABLED to True; the staged queries then merge into the
+# registry and front-load into the driver window as unverified.
+STAGED_ENABLED = False
+
+if STAGED_ENABLED:
+    from rs_query_engine_spark import queries_staged as _staged
+
+    _QUERIES.update(_staged._QUERIES)
+    _ORACLE.update(_staged._ORACLE)

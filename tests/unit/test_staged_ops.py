@@ -1,0 +1,249 @@
+"""Semantic + plan-shape tests for the staged (round-6) operators.
+
+Value-level parity is covered by ``tests/oracle/test_staged_parity.py``;
+these tests pin the properties the oracle compare can NOT express —
+split disjointness, sketch one-sidedness and mergeability, Z-order
+locality vs a naive layout, nucleus mass coverage — and the physical
+plan shapes whose survival at 100 TB is each operator's point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark import queries_staged as staged
+from rs_query_engine_spark.plans.explain import explain_str
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- sample_split_assign ------------------------------------------------
+
+
+def test_split_assign_disjoint_and_covering(spark):
+    res = staged.sample_split_assign(spark, SF_DIR)
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    per = {r["split"]: r["n"] for r in res.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # one split per doc: partition, not sample
+    assert sum(per.values()) == total
+    assert res.select("doc_id").distinct().count() == total
+    # 90/5/5 targets within hash-bucket tolerance
+    assert per["train"] > per["val"] and per["train"] > per["test"]
+    assert set(per) == {"train", "val", "test"}
+
+
+def test_split_assign_is_map_only(spark):
+    plan = explain_str(staged.sample_split_assign(spark, SF_DIR))
+    assert "Exchange" not in plan  # pure scan projection — no shuffle
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    # a doc's split must not depend on which other docs are present:
+    # recompute on a filtered half-corpus and compare assignments
+    full = {
+        r["doc_id"]: r["split"]
+        for r in staged.sample_split_assign(spark, SF_DIR).collect()
+    }
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    from rs_query_engine_spark.operators.sorts import _hash_pct
+
+    b = _hash_pct(F.col("doc_id"))
+    split = (
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    half = {
+        r["doc_id"]: r["split"]
+        for r in d.select("doc_id", split.alias("split")).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+# --- sample_topp_nucleus ------------------------------------------------
+
+
+def test_topp_nucleus_covers_target_mass(spark):
+    kept = staged.sample_topp_nucleus(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("m")).collect()
+    }
+    kept_mass = {
+        r["source"]: r["m"]
+        for r in kept.groupBy("source").agg(F.sum("n_chars").alias("m")).collect()
+    }
+    for src, tot in totals.items():
+        # nucleus semantics: kept mass reaches the 80% target, and
+        # removing the LAST kept doc (the threshold-crosser) drops
+        # below it — i.e. the prefix is minimal
+        assert kept_mass[src] * 100 >= 80 * tot
+    # minimality via the query's own cum_mass: every kept doc's
+    # PREDECESSOR mass is strictly below the target
+    rows = kept.select("source", "n_chars", "cum_mass").collect()
+    assert all(
+        (r["cum_mass"] - r["n_chars"]) * 100 < 80 * totals[r["source"]]
+        for r in rows
+    )
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topp_nucleus_single_window_exchange(spark):
+    plan = _physical(staged.sample_topp_nucleus(spark, SF_DIR))
+    # both frames (running + total) share one partition/order spec →
+    # one Window operator over one hashpartitioning exchange
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+# --- text_quality_calibrate --------------------------------------------
+
+
+def test_quality_calibrate_percentiles_well_formed(spark):
+    rows = staged.text_quality_calibrate(spark, SF_DIR).collect()
+    assert all(0.0 <= r["pctl"] <= 1.0 for r in rows)
+    assert all(0 <= r["decile"] <= 9 for r in rows)
+    # per source: exactly one pctl==0 (the unique minimum under the
+    # doc_id tiebreak) and one pctl==1
+    from collections import Counter
+
+    lo = Counter(r["source"] for r in rows if r["pctl"] == 0.0)
+    hi = Counter(r["source"] for r in rows if r["pctl"] == 1.0)
+    srcs = {r["source"] for r in rows}
+    assert all(lo[s] == 1 and hi[s] == 1 for s in srcs)
+
+
+def test_quality_calibrate_single_window_exchange(spark):
+    plan = _physical(staged.text_quality_calibrate(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+# --- text_dsir_weights --------------------------------------------------
+
+
+def test_dsir_weights_bounds_and_target_ordering(spark):
+    res = staged.text_dsir_weights(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    rows = res.join(docs, "doc_id").collect()
+    assert all(0.0 <= r["weight"] <= 1.0 for r in rows)
+    assert all(r["tgt_mass"] <= r["all_mass"] for r in rows)
+    # the signal exists: English docs score higher on average than
+    # non-English (their vocabulary concentrates in target buckets)
+    en = [r["weight"] for r in rows if r["lang"] == "en"]
+    rest = [r["weight"] for r in rows if r["lang"] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_dsir_feature_table_is_broadcast(spark):
+    plan = explain_str(staged.text_dsir_weights(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # ≤1024-row stats side
+    assert "CartesianProduct" not in plan
+
+
+# --- agg_countmin_heavy -------------------------------------------------
+
+
+def test_countmin_overestimates_never_under(spark):
+    rows = staged.agg_countmin_heavy(spark, SF_DIR).collect()
+    assert rows, "heavy-hitter set must be non-empty on the corpus"
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cm_est"] >= r["exact_n"] for r in rows)
+
+
+def test_countmin_sketch_merges_cellwise(spark):
+    # sketch(A ∪ B) == cellwise-merge(sketch(A), sketch(B)) — the
+    # property that lets per-partition/day sketches roll up without
+    # re-scanning raw data
+    from rs_query_engine_spark.functions.text import tokens
+    from rs_query_engine_spark.operators.sketches import countmin_sketch
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    whole = countmin_sketch(tok.select("t"), "t")
+    a = countmin_sketch(tok.filter(F.col("doc_id") % 2 == 0).select("t"), "t")
+    b = countmin_sketch(tok.filter(F.col("doc_id") % 2 == 1).select("t"), "t")
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_countmin_probe_join_is_broadcast(spark):
+    plan = explain_str(staged.agg_countmin_heavy(spark, SF_DIR))
+    # the ≤192-cell grid and the 1-row total are broadcast; nothing
+    # shuffles proportional to corpus size except the token aggregates
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- layout_zorder_cluster ----------------------------------------------
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from rs_query_engine_spark.operators.layout import zorder_key
+
+    df = spark.range(1).select(
+        zorder_key(F.lit(0b1010), F.lit(0b0110), bits=4).alias("z")
+    )
+    # x=1010, y=0110 → z bits (y3 x3 y2 x2 y1 x1 y0 x0) = 0b01101100
+    assert df.collect()[0]["z"] == 0b01101100
+
+
+def test_zorder_bounds_both_dimension_spans(spark):
+    rows = staged.layout_zorder_cluster(spark, SF_DIR).collect()
+    # 8-bit keys, 256 files ⇒ each file covers a 16×16 tile: both
+    # dimension spans are bounded by 16 in EVERY file — the property
+    # that makes min/max pruning work on either column (a sorted
+    # layout bounds one dimension and leaves the other full-range)
+    assert all(r["max_x"] - r["min_x"] <= 15 for r in rows)
+    assert all(r["max_y"] - r["min_y"] <= 15 for r in rows)
+
+
+def test_zorder_stats_plan_is_scan_plus_one_agg(spark):
+    df = staged.layout_zorder_cluster(spark, SF_DIR)
+    plan = _physical(df)
+    # map-only bit math + one partial/final hash aggregate pair; the
+    # only exchange is the 256-group aggregation shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+
+
+# --- stream_static_enrich ----------------------------------------------
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    res = staged.stream_static_enrich(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    dim = load_table(spark, SF_DIR, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("_nk"), "n_name"
+    )
+    batch = (
+        ev.withColumn("_nk", F.col("user_id") % 25)
+        .join(dim, "_nk")
+        .groupBy("n_name")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
