@@ -108,6 +108,93 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """NEAREST-within-tolerance as-of join (pandas ``merge_asof
+    direction='nearest'`` semantics): for each left row, the single
+    right row per key whose timestamp is CLOSEST to ``left_ts`` —
+    looking both directions — but only if within ``tolerance_us``
+    microseconds; LEFT OUTER (NULL payload) otherwise. Ties in
+    distance prefer the backward (at-or-before) match.
+
+    Output: all left columns, the matched right payload columns,
+    ``matched_side`` ('b'/'f'/NULL) and ``dist_us`` (microseconds,
+    NULL when unmatched).
+
+    Scale shape: like :func:`asof_join`, ONE shuffle on the key and
+    ONE sort — the backward candidate is ``last(right)`` over the
+    preceding frame and the forward candidate ``first(right)`` over
+    the following frame of the SAME sorted window spec, so both
+    resolve in a single Window pass; no pair explosion, no second
+    exchange. (At equal timestamps the backward frame sees the right
+    row and wins with distance 0, so the forward frame's equal-ts
+    exclusion is unobservable.) Pre-dedup the right side per
+    (key, ts) for deterministic results, as with :func:`asof_join`."""
+    by = list(by)
+    right_payload = [c for c in right.columns if c not in by]
+    l_tagged = left.select(
+        *by,
+        F.col(left_ts).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).alias("_r_placeholder"),
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).alias("_l_placeholder"),
+        F.struct(*right_payload).alias("_r"),
+    )
+    l_tagged = l_tagged.withColumnRenamed("_r_placeholder", "_r").withColumn(
+        "_r", F.lit(None).cast(r_tagged.schema["_r"].dataType)
+    )
+    r_tagged = r_tagged.withColumnRenamed("_l_placeholder", "_l").withColumn(
+        "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
+    )
+    u = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+
+    base = Window.partitionBy(*by).orderBy(F.col("_ts").asc(), F.col("_side").asc())
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = u.withColumn("_b", F.last("_r", ignorenulls=True).over(w_back)).withColumn(
+        "_f", F.first("_r", ignorenulls=True).over(w_fwd)
+    )
+    m = u.filter(F.col("_side") == 1)
+
+    here = F.unix_micros(F.col("_ts"))
+    dist_b = here - F.unix_micros(F.col("_b")[right_ts].cast("timestamp"))
+    dist_f = F.unix_micros(F.col("_f")[right_ts].cast("timestamp")) - here
+    ok_b = F.coalesce(
+        F.col("_b").isNotNull() & (dist_b <= F.lit(tolerance_us)), F.lit(False)
+    )
+    ok_f = F.coalesce(
+        F.col("_f").isNotNull() & (dist_f <= F.lit(tolerance_us)), F.lit(False)
+    )
+    side = (
+        F.when(ok_b & (~ok_f | (dist_b <= dist_f)), F.lit("b"))
+        .when(ok_f, F.lit("f"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    m = m.withColumn("_w", side)
+    chosen = F.when(F.col("_w") == "b", F.col("_b")).when(
+        F.col("_w") == "f", F.col("_f")
+    )
+    dist = F.when(F.col("_w") == "b", dist_b).when(F.col("_w") == "f", dist_f)
+    return m.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[chosen[c].alias(c) for c in right_payload],
+        F.col("_w").alias("matched_side"),
+        dist.alias("dist_us"),
+    )
+
+
 def range_join_bands(
     fact: DataFrame,
     bands: DataFrame,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rs_query_engine_spark.queries import D_PRICE, QueryFn, _t
+from rs_query_engine_spark.queries import _MH_BANDS, _MH_SIG, D_PRICE, QueryFn, _t
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
@@ -435,6 +435,435 @@ def _zorder_oracle() -> str:
 
 
 _ORACLE["layout_zorder_cluster"] = _zorder_oracle()
+
+
+# =====================================================================
+# Joins — nearest as-of with tolerance
+# =====================================================================
+
+
+@register_staged(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts AS p_ts,
+               MAX(event_id) AS p_event_id,
+               ARG_MAX(value, event_id) AS p_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    ), e AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), b AS (
+        SELECT e.event_id, p.p_ts, p.p_event_id, p.p_value
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts >= p.p_ts
+    ), f AS (
+        SELECT e.event_id, p.p_ts, p.p_event_id, p.p_value
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts <= p.p_ts
+    ), j AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               b.p_ts AS b_ts, b.p_event_id AS b_eid, b.p_value AS b_val,
+               f.p_ts AS f_ts, f.p_event_id AS f_eid, f.p_value AS f_val,
+               epoch_us(e.ts) - epoch_us(b.p_ts) AS db,
+               epoch_us(f.p_ts) - epoch_us(e.ts) AS df,
+               COALESCE(b.p_ts IS NOT NULL
+                        AND epoch_us(e.ts) - epoch_us(b.p_ts) <= 3600000000,
+                        FALSE) AS ok_b,
+               COALESCE(f.p_ts IS NOT NULL
+                        AND epoch_us(f.p_ts) - epoch_us(e.ts) <= 3600000000,
+                        FALSE) AS ok_f
+        FROM e JOIN b USING (event_id) JOIN f USING (event_id)
+    ), s AS (
+        SELECT *,
+               CASE WHEN ok_b AND (NOT ok_f OR db <= df) THEN 'b'
+                    WHEN ok_f THEN 'f' END AS matched_side
+        FROM j
+    )
+    SELECT event_id, user_id, ts,
+           CASE matched_side WHEN 'b' THEN b_ts WHEN 'f' THEN f_ts END
+               AS p_ts,
+           CASE matched_side WHEN 'b' THEN b_eid WHEN 'f' THEN f_eid END
+               AS p_event_id,
+           CASE matched_side WHEN 'b' THEN b_val WHEN 'f' THEN f_val END
+               AS p_value,
+           matched_side,
+           CASE matched_side WHEN 'b' THEN db WHEN 'f' THEN df END
+               AS dist_us
+    FROM s
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with a tolerance: each purchase event pairs
+    with that user's closest error event within ±1 hour, whichever
+    direction is nearer (ties prefer the earlier side) — the
+    incident-correlation query ("which purchases happened next to an
+    error?") that backward-only as-of cannot express. Uses
+    ``operators.joins.asof_join_nearest``: union + ONE key-partitioned
+    sort, backward candidate as ``last()`` over the preceding frame
+    and forward candidate as ``first()`` over the following frame of
+    the SAME window spec — one exchange, no pair explosion, unlike the
+    naive |Δt|-argmin formulation which builds every (purchase, error)
+    pair per user before aggregating. The oracle replays the decision
+    with two DuckDB ASOF joins + the identical integer-microsecond
+    CASE. Distances are exact epoch-microsecond differences
+    (``unix_micros``, never second-truncating)."""
+    from rs_query_engine_spark.operators.joins import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    p = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    return asof_join_nearest(
+        e, p, by=["user_id"], left_ts="ts", right_ts="p_ts",
+        tolerance_us=3_600_000_000,
+    )
+
+
+# =====================================================================
+# Events — CEP-style sequence pattern over ordered event strings
+# =====================================================================
+
+
+@register_staged(
+    "events_sequence_pattern",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           length(seq) AS seq_len,
+           regexp_matches(seq, '(^|,)signup(,[^,]+)*,purchase(,|$)')
+               AS signup_then_purchase,
+           (length(seq) - length(replace(seq, 'purchase', ''))) // 8
+               AS n_purchases
+    FROM s
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style SEQUENCE-PATTERN match (the MATCH_RECOGNIZE shape):
+    serialize each user's event types in exact event-time order and
+    run a regular expression over the sequence string — here
+    "signup eventually followed by purchase" — plus a purchase count
+    from exact string arithmetic. Complements ``events_funnel`` (which
+    computes per-stage timestamps): the regex form expresses ordering
+    constraints funnels cannot (immediately-follows, bounded gaps via
+    ``(,[^,]+){0,k}``, alternation) with one aggregation.
+
+    Determinism: ``collect_list`` order is partition-dependent, so the
+    struct array is ``array_sort``-ed on (ts, event_id, type) — a
+    total order both engines share — before serialization; the pattern
+    uses no backreferences/lookarounds, the portable regex subset Java
+    and RE2 treat identically; the count is length arithmetic with
+    exact integer division. Scale: one groupBy shuffle; per-user
+    sequence strings are KB-scale state, the same cost class as
+    collect_list session analyses; the regex runs once per user,
+    JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(ordered, lambda x: x["event_type"]), ","
+        ).alias("seq"),
+    )
+    return s.select(
+        "user_id",
+        "n_events",
+        F.length("seq").alias("seq_len"),
+        F.col("seq")
+        .rlike("(^|,)signup(,[^,]+)*,purchase(,|$)")
+        .alias("signup_then_purchase"),
+        F.expr(
+            "(length(seq) - length(replace(seq, 'purchase', ''))) div 8"
+        ).alias("n_purchases"),
+    )
+
+
+# =====================================================================
+# Aggregation — market-basket co-occurrence (association rules)
+# =====================================================================
+
+
+@register_staged(
+    "agg_itemset_pairs",
+    oracle="""
+    WITH i AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM i
+    ), ic AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM i GROUP BY l_partkey
+    ), p AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM i a JOIN i b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), pc AS (
+        SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+        FROM p GROUP BY part_a, part_b
+        HAVING COUNT(*) >= 3
+    )
+    SELECT pc.part_a, pc.part_b, pc.support,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(pc.support AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+               AS confidence,
+           CAST(pc.support * n.n_orders AS DOUBLE)
+               / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+    FROM pc
+    JOIN ic ia ON pc.part_a = ia.l_partkey
+    JOIN ic ib ON pc.part_b = ib.l_partkey
+    CROSS JOIN n
+    """,
+)
+def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET pair mining (frequent itemsets, size 2): parts
+    co-ordered in ≥3 orders, with support, confidence(a→b) and lift —
+    the association-rule primitives (and the A-priori first pass:
+    frequent k-itemsets extend these pairs). Baskets are collected per
+    order and pairs expanded WITHIN each basket array (the
+    ``_pairs_within`` dedup pattern) — one groupBy shuffle, pair
+    blow-up bounded by the per-order item count (≤7 on TPC-H shapes,
+    a contract real catalogs obey), never a corpus-level self-join.
+    Item counts and the order total are exact BIGINTs; confidence and
+    lift are single divisions of exact integer products (< 2^53), so
+    the whole rule table hash-verifies. Item counts are broadcast to
+    the pair table; the scalar order count rides a broadcast literal
+    cross-join (1 row)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()  # feeds baskets, item counts, and the total
+    )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("items"),
+                            i + 2,
+                            F.greatest(F.size("items") - i - 1, F.lit(0)),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("part_a"), b.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ic = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    n = li.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    ia = ic.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = ic.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pc.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_a",
+            "n_b",
+            (F.col("support").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# =====================================================================
+# Dedup — MinHash estimate accuracy audit
+# =====================================================================
+
+
+def _minhash_est_oracle() -> str:
+    est = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    jac = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    return rf"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, len(regexp_split_to_array(lower(text), '\s+')) - 2),
+                       i -> array_to_string(regexp_split_to_array(lower(text), '\s+')[i:i+2], ' ')
+                   )
+               ) AS sh
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+        FROM sh WHERE len(sh) > 0
+    ), sig AS (
+        SELECT doc_id, sh,
+               {_MH_SIG}
+        FROM hashed
+    ), banded AS (
+        SELECT doc_id, b.* FROM sig,
+        LATERAL (VALUES {_MH_BANDS}) AS b(band, key)
+    ), banded_ok AS (
+        SELECT * FROM banded
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) BETWEEN 2 AND 1000
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded_ok a JOIN banded_ok b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           {jac} AS jaccard,
+           ({est}) / 16.0 AS est_jaccard,
+           ({est}) / 16.0 - {jac} AS err
+    FROM cand c
+    JOIN sig a ON c.id_a = a.doc_id
+    JOIN sig b ON c.id_b = b.doc_id
+    """
+
+
+@register_staged("dedup_minhash_estimate", oracle=None)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash SKETCH-ACCURACY audit: for every LSH candidate pair,
+    the signature-based Jaccard estimate (matching components / 16)
+    next to the exact shingle Jaccard and the signed error — the query
+    that answers "is 16 hashes enough for this corpus?" before anyone
+    trusts the sketch at 100 TB (E[est] = J, σ = √(J(1−J)/k); widening
+    k is a config change, and this audit is the regression test for
+    it). Runs on the candidate set the LSH banding already produces —
+    the sampled-but-deterministic subset where near-dup decisions
+    actually happen — so the audit costs one extra signature join, not
+    an all-pairs pass.
+
+    Everything hash-verifies: signatures are the md5-affine family
+    mirrored literal-for-literal by the oracle (same fragments as
+    ``dedup_minhash_lsh``), the estimate divides an integer match
+    count by 16.0 (a power of two — exact), and the error is one
+    double subtraction of two exactly-derived doubles."""
+    from rs_query_engine_spark.functions.text import shingles
+    from rs_query_engine_spark.operators.dedup import _minhash_from_shingles
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    base = (
+        spread(d)
+        .select(
+            F.col("doc_id").alias("_id"),
+            F.array_distinct(shingles(F.col("text"), 3)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .select("_id", "_sh", _minhash_from_shingles(F.col("_sh"), 16).alias("_sig"))
+        .localCheckpoint()  # consumed by banding + both audit joins
+    )
+    rows = 4  # 16 hashes / 4 bands
+    banded = base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-", *[F.col("_sig")[b * rows + r] for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids").between(2, 1000))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda d1, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda d2: F.struct(
+                                F.least(d1, d2).alias("id_a"),
+                                F.greatest(d1, d2).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_sig").alias("sig_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_sig").alias("sig_b")
+    )
+    cand = b.join(a.join(pairs, "id_a"), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = matches / F.lit(16.0)
+    return cand.select(
+        "id_a",
+        "id_b",
+        jac.alias("jaccard"),
+        est.alias("est_jaccard"),
+        (est - jac).alias("err"),
+    )
+
+
+_ORACLE["dedup_minhash_estimate"] = _minhash_est_oracle()
 
 
 # =====================================================================

@@ -222,6 +222,147 @@ def test_zorder_stats_plan_is_scan_plus_one_agg(spark):
     assert "Sort" not in plan.replace("SortMergeJoin", "")
 
 
+# --- join_asof_nearest --------------------------------------------------
+
+
+def test_asof_nearest_matches_bruteforce_argmin(spark):
+    # semantics oracle: pair-explode all (purchase, error) pairs per
+    # user, argmin |Δt| within tolerance with backward preference —
+    # the O(n·m) definition the windowed operator must reproduce
+    res = {
+        r["event_id"]: (r["p_event_id"], r["matched_side"], r["dist_us"])
+        for r in staged.join_asof_nearest(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for r in p.collect():
+        by_user[r["user_id"]].append((r["p_ts"], r["p_event_id"]))
+    tol = 3_600_000_000
+    for r in e.collect():
+        best = None
+        for p_ts, p_eid in by_user.get(r["user_id"], []):
+            d_us = int((r["e_ts"] - p_ts).total_seconds() * 1_000_000)
+            side = "b" if d_us >= 0 else "f"
+            dist = abs(d_us)
+            if dist > tol:
+                continue
+            # nearest; tie prefers backward
+            key = (dist, 0 if side == "b" else 1)
+            if best is None or key < best[0]:
+                best = (key, p_eid, side, dist)
+        got = res[r["event_id"]]
+        want = (best[1], best[2], best[3]) if best else (None, None, None)
+        assert got == want, f"event {r['event_id']}: {got} != {want}"
+
+
+def test_asof_nearest_single_exchange(spark):
+    # operator in isolation: union + ONE key-partitioned exchange;
+    # both direction frames resolve in window passes over it — never
+    # a join, never a pair explosion
+    from rs_query_engine_spark.operators.joins import asof_join_nearest
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    left = ev.select("event_id", "user_id", F.col("ts").cast("timestamp"))
+    right = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    out = asof_join_nearest(
+        left, right, by=["user_id"], left_ts="ts", right_ts="r_ts",
+        tolerance_us=60_000_000,
+    )
+    plan = _physical(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # the full query adds exactly one more exchange: the right-side
+    # per-(key, ts) dedup groupBy
+    full = _physical(staged.join_asof_nearest(spark, SF_DIR))
+    assert full.count("Exchange hashpartitioning") == 2
+    assert "Join" not in full and "CartesianProduct" not in full
+
+
+# --- events_sequence_pattern ---------------------------------------------
+
+
+def test_sequence_pattern_consistency(spark):
+    rows = staged.events_sequence_pattern(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert len(rows) == n_users
+    for r in rows:
+        # a positive pattern match implies at least one purchase
+        if r["signup_then_purchase"]:
+            assert r["n_purchases"] >= 1
+    # spot-check one user against a hand-built sequence
+    uid = rows[0]["user_id"]
+    seq = ",".join(
+        x["event_type"]
+        for x in sorted(
+            ev.filter(F.col("user_id") == uid).collect(),
+            key=lambda x: (x["ts"], x["event_id"]),
+        )
+    )
+    import re
+
+    want = bool(re.search(r"(^|,)signup(,[^,]+)*,purchase(,|$)", seq))
+    got = [r for r in rows if r["user_id"] == uid][0]["signup_then_purchase"]
+    assert got == want
+    assert [r for r in rows if r["user_id"] == uid][0][
+        "n_purchases"
+    ] == seq.split(",").count("purchase")
+
+
+# --- agg_itemset_pairs ---------------------------------------------------
+
+
+def test_itemset_pairs_rule_invariants(spark):
+    rows = staged.agg_itemset_pairs(spark, SF_DIR).collect()
+    assert rows, "support threshold must keep some pairs on this corpus"
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["support"] >= 3
+        assert r["support"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+
+
+def test_itemset_pairs_no_corpus_self_join(spark):
+    plan = _physical(staged.agg_itemset_pairs(spark, SF_DIR))
+    # pair expansion happens inside per-order basket arrays; the only
+    # joins are broadcast (item counts + the 1-row total)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- dedup_minhash_estimate ----------------------------------------------
+
+
+def test_minhash_estimate_identities(spark):
+    rows = staged.dedup_minhash_estimate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        # estimate is a multiple of 1/16 and err is the exact residual
+        assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) == 0
+        assert r["err"] == r["est_jaccard"] - r["jaccard"]
+    # the sketch is informative on this corpus: mean absolute error
+    # well under the k=16 standard deviation bound (~0.125)
+    mae = sum(abs(r["err"]) for r in rows) / len(rows)
+    assert mae < 0.25
+
+
 # --- stream_static_enrich ----------------------------------------------
 
 
