@@ -867,6 +867,206 @@ _ORACLE["dedup_minhash_estimate"] = _minhash_est_oracle()
 
 
 # =====================================================================
+# Graph — triangle counting over the near-dup pair graph
+# =====================================================================
+
+
+def _triangle_oracle() -> str:
+    from rs_query_engine_spark.queries import _MH_PAIRS_CTES
+
+    return rf"""
+    WITH {_MH_PAIRS_CTES},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    tri AS (
+        SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM e ab
+        JOIN e bc ON ab.b = bc.a
+        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ), tn AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT unnest([x, y, z]) AS n FROM tri) GROUP BY n
+    ), deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    )
+    SELECT deg.n AS node, deg.deg,
+           COALESCE(tn.n_tri, 0) AS n_tri,
+           CASE WHEN deg.deg >= 2 THEN
+               CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE)
+                   / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+           END AS clustering_coeff
+    FROM deg LEFT JOIN tn ON deg.n = tn.n
+    """
+
+
+@register_staged("graph_triangle_count", oracle=None)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING + local clustering coefficient over the
+    near-dup pair graph: for every node in the MinHash-LSH edge list,
+    its degree, triangle count, and clustering coefficient
+    2T/(deg·(deg−1)) — the graph statistic that separates template
+    FAMILIES (dup clusters are near-cliques, coefficient → 1) from
+    accidental CHAINS (coefficient → 0), which changes the dedup
+    policy: cliques keep one canonical doc, chains need pairwise
+    review because transitivity was never established.
+
+    The compact-forward algorithm on canonically ORIENTED edges
+    (id_a < id_b, the form LSH pairs already have): wedges from one
+    self-equi-join on the middle node, closed by a second equi-join on
+    the (lo, hi) endpoints — each triangle found exactly once, never
+    an all-pairs expansion. At 100 TB orient by (degree, id) instead
+    of raw id so high-degree hubs terminate wedges (the standard skew
+    fix; the plumbing is identical). One double division for the
+    coefficient; all counts exact BIGINTs."""
+    from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    e = (
+        minhash_lsh_pairs(d, "doc_id", "text")
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint()  # consumed 5× (two join sides, closer, degrees)
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    tn = (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = deg.join(tn, "node", "left").select(
+        "node", "deg", F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri")
+    )
+    coeff = F.when(
+        F.col("deg") >= 2,
+        (2 * F.col("n_tri")).cast("double")
+        / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+    )
+    return j.select("node", "deg", "n_tri", coeff.alias("clustering_coeff"))
+
+
+_ORACLE["graph_triangle_count"] = _triangle_oracle()
+
+
+# =====================================================================
+# Corpus management — DSIR resampling (weights → sampled corpus)
+# =====================================================================
+
+
+@register_staged(
+    "sample_importance_resample",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents
+    ), b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket
+        FROM tok
+    ), stats AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+                   AS n_tgt
+        FROM b GROUP BY bucket
+    ), w AS (
+        SELECT b.doc_id,
+               CAST(CAST(SUM(s.n_tgt) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(s.n_all) AS BIGINT) AS DOUBLE) AS weight
+        FROM b JOIN stats s USING (bucket)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, weight FROM w
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000
+          < weight * 1000000.0
+    """,
+)
+def sample_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR pipeline's SECOND half: turn the target-affinity
+    weights of ``text_dsir_weights`` into an actual resampled corpus —
+    keep each document with probability equal to its weight, via the
+    content-hash Bernoulli of ``operators.sorts.sample_weighted_hash``
+    (u = md5(doc_id) in 1e6 buckets < weight·1e6, the exact expression
+    the oracle mirrors). Composition is the point: weights stage →
+    deterministic resample stage, both engine-portable, so the
+    resampled training mixture is reproducible end-to-end — rerunning
+    on a grown corpus re-keeps the same old docs (weights move only
+    with the bucket statistics). Same plan as the weights query plus
+    one map-side filter; nothing new shuffles."""
+    from rs_query_engine_spark.operators.sorts import sample_weighted_hash
+
+    w = text_dsir_weights(spark, sf_dir)
+    return sample_weighted_hash(
+        w, F.col("doc_id"), F.col("weight")
+    ).select("doc_id", "weight")
+
+
+# =====================================================================
+# SQL entry — window functions through the SQL surface
+# =====================================================================
+
+
+@register_staged(
+    "sql_entry_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn,
+           CAST(cust_total AS DOUBLE) AS cust_total
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rn,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                   OVER (PARTITION BY o_custkey) AS cust_total
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def sql_entry_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the SQL ENTRY POINT: top-3 orders per
+    customer with the customer's decimal-exact lifetime total, issued
+    as a SQL string over registered temp views — proving the second
+    entry surface covers the window family too (the reference's
+    builder has no windows at all; SURVEY §2.6). Both window functions
+    share one (o_custkey) partitioning — one exchange — and the
+    ROW_NUMBER filter is the classic top-k-per-group pattern that at
+    100 TB beats a global sort by never materializing more than k rows
+    per key past the window."""
+    from rs_query_engine_spark.sources.corpus import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn,
+               CAST(cust_total AS DOUBLE) AS cust_total
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rn,
+                   SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                       OVER (PARTITION BY o_custkey) AS cust_total
+            FROM orders
+        )
+        WHERE rn <= 3
+        """
+    )
+
+
+# =====================================================================
 # Streaming — stream-static dimension enrichment
 # =====================================================================
 

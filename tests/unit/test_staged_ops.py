@@ -363,6 +363,86 @@ def test_minhash_estimate_identities(spark):
     assert mae < 0.25
 
 
+# --- graph_triangle_count ------------------------------------------------
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d, "doc_id", "text").collect()
+    }
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = collections.Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if b < c:  # (a<b by construction) count each triangle once
+                for n in (a, b, c):
+                    want[n] += 1
+    rows = staged.graph_triangle_count(spark, SF_DIR).collect()
+    got = {r["node"]: r["n_tri"] for r in rows}
+    assert {n for n, t in got.items() if t} == set(want)
+    assert all(got[n] == t for n, t in want.items())
+    for r in rows:
+        assert r["deg"] >= 1
+        if r["clustering_coeff"] is not None:
+            assert 0.0 <= r["clustering_coeff"] <= 1.0
+        else:
+            assert r["deg"] == 1
+
+
+def test_triangle_plan_no_cartesian(spark):
+    plan = _physical(staged.graph_triangle_count(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- sample_importance_resample -----------------------------------------
+
+
+def test_importance_resample_is_weight_consistent(spark):
+    weights = {
+        r["doc_id"]: r["weight"]
+        for r in staged.text_dsir_weights(spark, SF_DIR).collect()
+    }
+    kept = staged.sample_importance_resample(spark, SF_DIR).collect()
+    assert kept
+    import hashlib
+
+    for r in kept:
+        assert weights[r["doc_id"]] == r["weight"]
+        u = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 1_000_000
+        assert u < r["weight"] * 1_000_000.0  # the keep rule, replayed
+    # roughly weight-proportional: kept fraction within a loose band of
+    # the mean weight (hash buckets are uniform)
+    frac = len(kept) / len(weights)
+    mean_w = sum(weights.values()) / len(weights)
+    assert abs(frac - mean_w) < 0.15
+
+
+# --- sql_entry_window ----------------------------------------------------
+
+
+def test_sql_entry_window_topk_shape(spark):
+    rows = staged.sql_entry_window(spark, SF_DIR).collect()
+    import collections
+
+    per = collections.Counter(r["o_custkey"] for r in rows)
+    assert max(per.values()) <= 3
+    assert all(1 <= r["rn"] <= 3 for r in rows)
+    df = staged.sql_entry_window(spark, SF_DIR)
+    plan = _physical(df)
+    # both window functions share the o_custkey partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 # --- stream_static_enrich ----------------------------------------------
 
 
