@@ -1067,6 +1067,154 @@ def sql_entry_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Similarity — Matryoshka truncation recall audit
+# =====================================================================
+
+
+def _matryoshka_oracle() -> str:
+    from rs_query_engine_spark.queries import _COS_SQL
+
+    def ranked(alias: str, dim: int) -> str:
+        cos = _COS_SQL.format(a=f"corpus.v[1:{dim}]", b=f"q.qv[1:{dim}]")
+        return f"""{alias} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, corpus.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {cos} DESC, corpus.vec_id)
+                       AS rnk
+            FROM corpus, q
+        ) WHERE rnk <= 10
+    )"""
+
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM corpus
+        WHERE vec_id % 100 = 0
+    ), {ranked("t16", 16)}, {ranked("t64", 64)},
+    c AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM t16 JOIN t64 USING (query_id, vec_id)
+        GROUP BY query_id
+    )
+    SELECT q.query_id,
+           COALESCE(c.n_common, 0) AS n_common,
+           CAST(COALESCE(c.n_common, 0) AS DOUBLE) / 10.0 AS recall
+    FROM q LEFT JOIN c USING (query_id)
+    """
+
+
+@register_staged("similarity_matryoshka_recall", oracle=None)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation audit: recall@10 of a 16-dim-PREFIX
+    cosine ranking against the full 64-dim ranking, per query — the
+    measurement that decides whether truncated embeddings (MRL-style
+    prefix dims) can serve as the cheap first-pass filter at 100 TB,
+    where a 4× narrower vector is 4× less scan + shuffle + distance
+    arithmetic for the candidate stage. High recall ⇒ rank-then-rerank
+    with full dims only on the short list; low recall ⇒ this model's
+    prefix dims don't carry the signal (training matters — the audit
+    is the gate).
+
+    Both rankings run the exact ``brute_force_topk`` machinery
+    (broadcast queries, staged norms, deterministic (cos DESC, id)
+    tiebreak) on sliced vectors; recall joins the two id sets — counts
+    and one division by 10.0, hash-exact since the underlying cosine
+    doubles are bit-identical cross-engine (the
+    ``similarity_bruteforce_topk`` precedent)."""
+    from rs_query_engine_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+
+    def topk(dim: int) -> DataFrame:
+        c = e.select(
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        q = c.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return brute_force_topk(c, q, 10).select("query_id", "vec_id")
+
+    t16, t64 = topk(16), topk(64)
+    common = (
+        t16.join(t64, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    qs = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return qs.join(common, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+        (
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / F.lit(10.0)
+        ).alias("recall"),
+    )
+
+
+_ORACLE["similarity_matryoshka_recall"] = _matryoshka_oracle()
+
+
+# =====================================================================
+# Events — Markov transition matrix over event sequences
+# =====================================================================
+
+
+@register_staged(
+    "events_markov_transitions",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS prob
+    FROM c JOIN tot USING (prev_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over user event sequences:
+    (prev_type → next_type) counts and row-normalized probabilities —
+    the sequence-model features behind next-action prediction and the
+    anomaly baseline (a session whose transitions sit in the matrix's
+    tail is suspect). One lag window per user (single key-partitioned
+    exchange), then a hash aggregation to the |types|² matrix — state
+    after the window is 25 cells regardless of corpus size, and the
+    row totals that normalize it are broadcast. Counts exact;
+    probability is one int→double division per cell."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = t.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return c.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
+# =====================================================================
 # Streaming — stream-static dimension enrichment
 # =====================================================================
 

@@ -443,6 +443,71 @@ def test_sql_entry_window_topk_shape(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+# --- similarity_matryoshka_recall ---------------------------------------
+
+
+def test_matryoshka_recall_well_formed_and_self_match(spark):
+    rows = staged.similarity_matryoshka_recall(spark, SF_DIR).collect()
+    n_queries = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") % 100 == 0)
+        .count()
+    )
+    assert len(rows) == n_queries
+    for r in rows:
+        assert 0 <= r["n_common"] <= 10
+        assert r["recall"] == r["n_common"] / 10.0
+        # the query itself has cosine 1.0 under BOTH dims, so top-10
+        # sets always share at least the self-match
+        assert r["n_common"] >= 1
+
+
+def test_matryoshka_full_dim_side_is_exact_topk(spark):
+    # the 64-dim side must equal the registered exact brute-force
+    # baseline's id set (same machinery, so a drift means a bug)
+    from rs_query_engine_spark import queries as registry
+
+    base = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.queries()["similarity_bruteforce_topk"](
+            spark, SF_DIR
+        ).collect()
+    }
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from rs_query_engine_spark.operators.similarity import brute_force_topk
+
+    c = e.select("vec_id", F.slice("embedding", 1, 64).alias("embedding"))
+    q = c.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t64 = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(c, q, 10).collect()
+    }
+    assert t64 == base
+
+
+# --- events_markov_transitions -------------------------------------------
+
+
+def test_markov_transitions_rows_normalize(spark):
+    rows = staged.events_markov_transitions(spark, SF_DIR).collect()
+    import collections
+
+    by_prev = collections.defaultdict(list)
+    for r in rows:
+        assert r["n"] >= 1
+        assert 0.0 < r["prob"] <= 1.0
+        by_prev[r["prev_type"]].append(r)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every non-first event contributes exactly one transition
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    for prev, rs in by_prev.items():
+        assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-12
+
+
 # --- stream_static_enrich ----------------------------------------------
 
 
