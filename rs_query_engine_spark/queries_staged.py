@@ -1215,6 +1215,134 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Text — classifier evaluation + tokenizer fertility
+# =====================================================================
+
+
+@register_staged(
+    "text_langid_confusion",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, lang,
+               len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it')))  AS s_en,
+               len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS s_de,
+               len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','por')))     AS s_es,
+               len(list_filter(t, x -> x IN ('le','la','et','les','des','une','est','que'))) AS s_fr,
+               len(list_filter(t, x -> x IN ('的','是','在','了','和','有','我','不')))        AS s_zh
+        FROM toks
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM scores
+    ), m AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, pred_lang
+    ), tot AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM m GROUP BY lang
+    )
+    SELECT m.lang, m.pred_lang, m.n,
+           CAST(m.n AS DOUBLE) / CAST(tot.n_true AS DOUBLE) AS frac
+    FROM m JOIN tot USING (lang)
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: the marker-word classifier of
+    ``text_lang_id`` evaluated against the corpus's ground-truth
+    ``lang`` column — (true, predicted) counts plus the per-true-class
+    fraction (the recall diagonal and the specific confusion pairs off
+    it). This is the on-engine model-evaluation shape every classifier
+    in the pipeline (lang-ID, quality, topic) needs at corpus scale:
+    one classification pass, one hash aggregation to a |langs|² matrix
+    whose size is independent of corpus size, row totals broadcast
+    back for normalization. Counts exact; fractions are one
+    int→double division per cell."""
+    from rs_query_engine_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    m = (
+        d.select("lang", lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = m.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return m.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / F.col("n_true").cast("double")).alias(
+            "frac"
+        ),
+    )
+
+
+@register_staged(
+    "text_tokenizer_fertility",
+    oracle=r"""
+    WITH x AS (
+        SELECT lang,
+               len(regexp_split_to_array(lower(text), '\s+')) AS words,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               + len(regexp_extract_all(text, '[A-Za-z]{5,8}|[A-Za-z]{9,12}|[A-Za-z]{13,16}'))
+                   AS bpe
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe,
+           CAST(CAST(SUM(bpe) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(words) AS BIGINT) AS DOUBLE) AS fertility
+    FROM x GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: subword-estimate tokens per
+    whitespace word (``token_count_bpe_estimate`` / ``token_count``) —
+    the metric that exposes tokenizer bias across languages (a high-
+    fertility language pays more context budget per word, skewing both
+    training mixture shares and serving cost; fertility audits are how
+    multilingual pipelines catch that before training). One shared
+    scan computes both counts; the aggregation collapses to |langs|
+    rows with map-side partials; sums exact BIGINT, fertility one
+    division."""
+    from rs_query_engine_spark.functions.text import (
+        token_count,
+        token_count_bpe_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    x = d.select(
+        "lang",
+        token_count("text").alias("words"),
+        token_count_bpe_estimate(F.col("text")).alias("bpe"),
+    )
+    return (
+        x.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("n_words"),
+            F.sum("bpe").alias("n_bpe"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe",
+            (
+                F.col("n_bpe").cast("double") / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+# =====================================================================
 # Streaming — stream-static dimension enrichment
 # =====================================================================
 

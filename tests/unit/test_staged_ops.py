@@ -17,6 +17,34 @@ from rs_query_engine_spark.plans.explain import explain_str
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# --- staging mechanics ---------------------------------------------------
+
+
+def test_staged_names_do_not_collide_with_live_registry():
+    # activation does dict.update — a name collision would silently
+    # shadow a live (driver-verified) query
+    import pytest
+
+    from rs_query_engine_spark import queries as registry
+
+    if registry.STAGED_ENABLED:
+        pytest.skip("staged queries already merged into the live registry")
+    assert not set(staged.queries()) & set(registry._QUERIES)
+    assert not set(staged.oracle_sql()) & set(registry._ORACLE)
+
+
+def test_staged_flag_consistent_with_registry():
+    # flag off (round 5): staged names stay out of the driver registry
+    # (window budget); flag on (round 6+): they are all registered
+    from rs_query_engine_spark import queries as registry
+
+    live = set(registry.queries())
+    if registry.STAGED_ENABLED:
+        assert set(staged.queries()) <= live
+    else:
+        assert not set(staged.queries()) & live
+
+
 # --- sample_split_assign ------------------------------------------------
 
 
@@ -506,6 +534,35 @@ def test_markov_transitions_rows_normalize(spark):
     assert sum(r["n"] for r in rows) == n_events - n_users
     for prev, rs in by_prev.items():
         assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-12
+
+
+# --- text_langid_confusion ----------------------------------------------
+
+
+def test_langid_confusion_is_a_partition_of_the_corpus(spark):
+    rows = staged.text_langid_confusion(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r["n"] for r in rows) == docs.count()
+    import collections
+
+    frac_sum = collections.Counter()
+    for r in rows:
+        frac_sum[r["lang"]] += r["frac"]
+    assert all(abs(s - 1.0) < 1e-12 for s in frac_sum.values())
+
+
+# --- text_tokenizer_fertility -------------------------------------------
+
+
+def test_tokenizer_fertility_totals(spark):
+    rows = staged.text_tokenizer_fertility(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {r["lang"] for r in rows} == langs
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["n_words"] > 0 and r["n_bpe"] > 0
+        assert r["fertility"] == r["n_bpe"] / r["n_words"]
 
 
 # --- stream_static_enrich ----------------------------------------------
