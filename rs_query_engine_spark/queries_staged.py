@@ -1343,6 +1343,190 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Time series — grid resampling with linear interpolation
+# =====================================================================
+
+
+@register_staged(
+    "events_resample_interp",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, ARG_MAX(value, event_id) AS value
+        FROM events GROUP BY user_id, ts
+    ), span AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+        FROM e GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g.gts
+        FROM span,
+        LATERAL unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS g(gts)
+    ), p AS (
+        SELECT grid.user_id, grid.gts, e.ts AS prev_ts, e.value AS prev_v
+        FROM grid ASOF LEFT JOIN e
+          ON grid.user_id = e.user_id AND grid.gts >= e.ts
+    ), n AS (
+        SELECT grid.user_id, grid.gts, e.ts AS next_ts, e.value AS next_v
+        FROM grid ASOF LEFT JOIN e
+          ON grid.user_id = e.user_id AND grid.gts <= e.ts
+    )
+    SELECT p.user_id, p.gts AS grid_ts, p.prev_ts, n.next_ts,
+           CASE WHEN p.prev_ts IS NULL OR n.next_ts IS NULL THEN NULL
+                WHEN n.next_ts = p.prev_ts THEN p.prev_v
+                ELSE p.prev_v + (n.next_v - p.prev_v)
+                     * (CAST(epoch_us(p.gts) - epoch_us(p.prev_ts) AS DOUBLE)
+                        / CAST(epoch_us(n.next_ts) - epoch_us(p.prev_ts)
+                               AS DOUBLE))
+           END AS v_interp
+    FROM p JOIN n ON p.user_id = n.user_id AND p.gts = n.gts
+    """,
+)
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLING with linear interpolation: each user's
+    irregular event values resampled onto an hourly grid, every grid
+    point valued by interpolating between its surrounding events — the
+    hypertable ``time_bucket_gapfill + interpolate()`` shape that
+    feature pipelines need to align sensors/users onto one clock
+    (``events_gap_fill`` zero-fills COUNTS; this reconstructs VALUES).
+
+    Built on the same single-sort dual-frame primitive as
+    ``asof_join_nearest``: events and grid points union into one
+    (user)-partitioned (t, side) order, prev = ``last(value)`` over
+    the preceding frame, next = ``first(value)`` over the following —
+    one exchange total for both directions, no per-grid-point join.
+    Events are pre-deduped per (user, ts); a grid point landing ON an
+    event takes the event's value exactly (the equal-ts guard), and
+    leading grid points before the first event stay NULL (no
+    extrapolation). The interpolation arithmetic is the identical
+    IEEE sequence both engines run: one int-microsecond ratio, one
+    multiply, one add."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("gts"),
+    )
+    ue = e.select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col("value").alias("_v"),
+        F.col("ts").alias("_ets"),
+    )
+    ug = grid.select(
+        "user_id",
+        F.col("gts").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(None).cast("timestamp").alias("_ets"),
+    )
+    u = ue.unionByName(ug)
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("_t").asc(), F.col("_side").asc()
+    )
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = (
+        u.withColumn("prev_v", F.last("_v", ignorenulls=True).over(back))
+        .withColumn("prev_ts", F.last("_ets", ignorenulls=True).over(back))
+        .withColumn("next_v", F.first("_v", ignorenulls=True).over(fwd))
+        .withColumn("next_ts", F.first("_ets", ignorenulls=True).over(fwd))
+    )
+    g = u.filter(F.col("_side") == 1)
+    ratio = (
+        (F.unix_micros("_t") - F.unix_micros("prev_ts")).cast("double")
+        / (F.unix_micros("next_ts") - F.unix_micros("prev_ts")).cast("double")
+    )
+    v = (
+        F.when(
+            F.col("prev_ts").isNull() | F.col("next_ts").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .when(F.col("next_ts") == F.col("prev_ts"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * ratio
+        )
+    )
+    return g.select(
+        "user_id",
+        F.col("_t").alias("grid_ts"),
+        "prev_ts",
+        "next_ts",
+        v.alias("v_interp"),
+    )
+
+
+# =====================================================================
+# Graph — hierarchy subtree rollup via ancestor-path explosion
+# =====================================================================
+
+
+@register_staged(
+    "graph_hierarchy_rollup",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, doc_id + 1 AS hh, n_chars FROM documents
+    ), anc AS (
+        SELECT (h.hh >> t.k) AS anc_h, h.n_chars
+        FROM h, LATERAL unnest(range(0, length(bin(h.hh)))) AS t(k)
+    ), roll AS (
+        SELECT anc_h,
+               CAST(COUNT(*) AS BIGINT) AS subtree_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS subtree_chars
+        FROM anc GROUP BY anc_h
+    )
+    SELECT h.doc_id,
+           length(bin(h.hh)) - 1 AS depth,
+           r.subtree_docs, r.subtree_chars
+    FROM h JOIN roll r ON r.anc_h = h.hh
+    """,
+)
+def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL subtree rollup (the BOM/org-chart/category-tree
+    query family): every node's depth plus the document count and
+    character mass of its ENTIRE subtree, on a synthetic binary
+    hierarchy (heap numbering: node h's parent is h >> 1). The scale
+    design is the point — instead of a recursive self-join per level
+    (SQL's RECURSIVE CTE, O(depth) shuffles and unbounded on skewed
+    trees), each node EXPLODES its ancestor PATH (h >> k for k =
+    0..depth, the materialized-path trick made arithmetic by heap
+    numbering) and one hash aggregation rolls every subtree up in a
+    single shuffle — depth×|nodes| intermediate rows, bounded by
+    log(n) per node. Depth itself is closed-form integer arithmetic
+    (bit length − 1), no libm. The DuckDB oracle replays the identical
+    bit arithmetic; in production the ancestor list comes from a
+    stored path column, same plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", (F.col("doc_id") + 1).alias("hh"), "n_chars"
+    )
+    bits = F.length(F.bin("hh"))
+    anc = h.select(
+        "hh",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), bits - 1)).alias("k"),
+    ).select(
+        F.expr("shiftright(hh, CAST(k AS INT))").alias("anc_h"), "n_chars"
+    )
+    roll = anc.groupBy("anc_h").agg(
+        F.count(F.lit(1)).alias("subtree_docs"),
+        F.sum("n_chars").alias("subtree_chars"),
+    )
+    return h.join(roll, h["hh"] == roll["anc_h"]).select(
+        "doc_id",
+        (F.length(F.bin("hh")) - 1).alias("depth"),
+        "subtree_docs",
+        "subtree_chars",
+    )
+
+
+# =====================================================================
 # Streaming — stream-static dimension enrichment
 # =====================================================================
 

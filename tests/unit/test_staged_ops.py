@@ -565,6 +565,78 @@ def test_tokenizer_fertility_totals(spark):
         assert r["fertility"] == r["n_bpe"] / r["n_words"]
 
 
+# --- events_resample_interp ---------------------------------------------
+
+
+def test_resample_interp_values_bounded_and_exact_on_events(spark):
+    rows = staged.events_resample_interp(spark, SF_DIR).collect()
+    assert rows
+    ev = {
+        (r["user_id"], r["ts"]): r["value"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .collect()
+    }
+    n_interior = 0
+    for r in rows:
+        if r["v_interp"] is None:
+            # only leading grid points (before the first event) are null
+            assert r["prev_ts"] is None
+            continue
+        if (r["user_id"], r["grid_ts"]) in ev:
+            # grid point ON an event takes the event value exactly
+            assert r["v_interp"] == ev[(r["user_id"], r["grid_ts"])]
+        else:
+            lo = ev[(r["user_id"], r["prev_ts"])]
+            hi = ev[(r["user_id"], r["next_ts"])]
+            assert min(lo, hi) - 1e-9 <= r["v_interp"] <= max(lo, hi) + 1e-9
+            n_interior += 1
+    assert n_interior > 0
+
+
+def test_resample_interp_plan_has_no_joins(spark):
+    # prev/next come from dual frames over ONE union+sort — the plan
+    # contains windows but not a single join operator
+    plan = _physical(staged.events_resample_interp(spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+# --- graph_hierarchy_rollup ----------------------------------------------
+
+
+def test_hierarchy_rollup_invariants(spark):
+    rows = {r["doc_id"]: r for r in staged.graph_hierarchy_rollup(spark, SF_DIR).collect()}
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert set(rows) == set(docs)
+    # root subtree covers the whole corpus
+    assert rows[0]["depth"] == 0
+    assert rows[0]["subtree_docs"] == len(docs)
+    assert rows[0]["subtree_chars"] == sum(docs.values())
+    # python reference rollup over the heap tree
+    import collections
+
+    sub_docs = collections.Counter()
+    sub_chars = collections.Counter()
+    for d, ch in docs.items():
+        h = d + 1
+        while h >= 1:
+            sub_docs[h] += 1
+            sub_chars[h] += ch
+            if h == 1:
+                break
+            h >>= 1
+    for d, r in rows.items():
+        h = d + 1
+        assert r["subtree_docs"] == sub_docs[h]
+        assert r["subtree_chars"] == sub_chars[h]
+        assert r["depth"] == h.bit_length() - 1
+
+
 # --- stream_static_enrich ----------------------------------------------
 
 
