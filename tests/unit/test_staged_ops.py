@@ -637,6 +637,43 @@ def test_hierarchy_rollup_invariants(spark):
         assert r["depth"] == h.bit_length() - 1
 
 
+# --- remaining plan shapes ----------------------------------------------
+
+
+def test_markov_transitions_matrix_state_is_bounded(spark):
+    plan = _physical(staged.events_markov_transitions(spark, SF_DIR))
+    # lag window on user_id, matrix aggregation with map-side partials,
+    # broadcast row totals — never a sort-merge join on the matrix
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hierarchy_rollup_single_rollup_shuffle(spark):
+    plan = _physical(staged.graph_hierarchy_rollup(spark, SF_DIR))
+    # ancestor explosion is map-side; the rollup is one partial/final
+    # hash aggregate; no recursion, no cartesian
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_static_dim_join_is_broadcast(spark):
+    # inspect the BATCH twin of the streaming plan (streaming physical
+    # plans aren't exposed pre-start): same join, static side broadcast
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    dim = load_table(spark, SF_DIR, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("_nk"), "n_name"
+    )
+    df = ev.withColumn("_nk", F.col("user_id") % 25).join(
+        F.broadcast(dim), "_nk"
+    )
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 # --- stream_static_enrich ----------------------------------------------
 
 
