@@ -61,6 +61,42 @@ def countmin_sketch(
     return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
 
 
+def countmin_sketch_from_counts(
+    freqs: DataFrame,
+    item_col: str,
+    count_col: str,
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Build the identical Count-Min grid from PRE-AGGREGATED term
+    frequencies instead of the raw occurrence stream: cell (j, h_j(t))
+    accumulates Σ count(t) — exactly the grid
+    :func:`countmin_sketch` produces, since addition is associative
+    over the per-item occurrence counts.
+
+    Use this when a term-frequency aggregate already exists (as in
+    verification pipelines that compute exact counts anyway): the
+    explode runs over |vocab| rows instead of N occurrences, so the
+    sketch build costs vocabulary-size work after one shared
+    aggregation. The pure streaming form (:func:`countmin_sketch`)
+    remains the one-pass/mergeable path when no aggregate exists."""
+    cells = freqs.select(
+        F.col(count_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        cm_bucket(j, F.col(item_col), width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_c.row", "_c.bucket", count_col)
+    return cells.groupBy("row", "bucket").agg(F.sum(count_col).alias("c"))
+
+
 def countmin_estimate(
     sketch: DataFrame, probes: DataFrame, item_col: str, depth: int = 3, width: int = 64
 ) -> DataFrame:

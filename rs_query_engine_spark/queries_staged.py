@@ -346,24 +346,36 @@ def agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast for estimation, so probing costs one map-side join. The
     deterministic md5 rows make the whole pipeline — grid AND
     estimates — bit-reproducible, which production monitoring wants
-    (alert thresholds on estimates must not flap across reruns)."""
+    (alert thresholds on estimates must not flap across reruns).
+
+    Plan shape: ONE aggregation over the token stream (term
+    frequencies, map-side partials collapse it to |vocab| rows per
+    task) feeds everything — the grid is rebuilt from the counts
+    (``countmin_sketch_from_counts``, cell-wise identical by
+    associativity), the total is their sum, and the heavy set is a
+    broadcast-scalar filter. The raw stream is never materialized; in
+    a pure streaming context with no exact aggregate, the grid builds
+    directly as the one-pass mergeable partial instead
+    (``countmin_sketch``)."""
     from rs_query_engine_spark.functions.text import tokens
     from rs_query_engine_spark.operators.sketches import (
         countmin_estimate,
-        countmin_sketch,
+        countmin_sketch_from_counts,
     )
     from rs_query_engine_spark.sources.corpus import spread
 
     d = spread(_t(spark, sf_dir, "documents"))
     tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
-    # localCheckpoint: the token stream feeds three consumers (sketch,
-    # exact counts, total) — tokenize once, not thrice
-    tok = tok.localCheckpoint()
-    sketch = countmin_sketch(tok, "t", depth=3, width=64)
-    exact = tok.groupBy(F.col("t").alias("token")).agg(
-        F.count(F.lit(1)).alias("exact_n")
+    # vocab-sized frame, consumed by sketch + total + heavy filter
+    exact = (
+        tok.groupBy(F.col("t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint()
     )
-    total = tok.agg(F.count(F.lit(1)).alias("_total"))
+    sketch = countmin_sketch_from_counts(
+        exact, "token", "exact_n", depth=3, width=64
+    )
+    total = exact.agg(F.sum("exact_n").alias("_total"))
     heavy = exact.join(F.broadcast(total)).filter(
         F.col("exact_n") * 200 >= F.col("_total")
     )
@@ -643,18 +655,22 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift are single divisions of exact integer products (< 2^53), so
     the whole rule table hash-verifies. Item counts are broadcast to
     the pair table; the scalar order count rides a broadcast literal
-    cross-join (1 row)."""
-    li = (
+    cross-join (1 row).
+
+    Plan shape: one distinct + one groupBy(order) shuffle produce the
+    basket frame, and EVERYTHING derives from it — item counts by
+    re-exploding the (order-count-sized) baskets, the order total as
+    its count — so the checkpoint holds |orders| small arrays, never
+    the raw line-item rows."""
+    baskets_all = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()  # feeds baskets, item counts, and the total
-    )
-    baskets = (
-        li.groupBy("l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_list("l_partkey")).alias("items"))
-        .filter(F.size("items") > 1)
+        .localCheckpoint()  # feeds pairs, item counts, and the total
     )
+    baskets = baskets_all.filter(F.size("items") > 1)
     pairs = baskets.select(
         F.explode(
             F.flatten(
@@ -679,10 +695,14 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 3)
     )
-    ic = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    n = li.select(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    # items are distinct per order (the distinct() above), so the
+    # re-explode counts orders-containing-part exactly
+    ic = (
+        baskets_all.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
+    n = baskets_all.select(F.count(F.lit(1)).alias("n_orders"))
     ia = ic.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = ic.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
     return (
