@@ -39,8 +39,11 @@ from rs_query_engine_spark.sources.corpus import spread
 
 def _hash_hex8(expr: Column) -> Column:
     """First 8 md5 hex chars → bigint in [0, 2^32). Identical in
-    DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``."""
-    return F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("bigint")
+    DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``. (Alias of the
+    engine-wide primitive in ``functions.hashing``.)"""
+    from rs_query_engine_spark.functions.hashing import md5_hex8
+
+    return md5_hex8(expr)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -144,6 +147,32 @@ def _pairs_within(docs: Column) -> Column:
     )
 
 
+def pairs_within_ids(
+    ids: Column, a_name: str = "id_a", b_name: str = "id_b"
+) -> Column:
+    """All unordered (i, j>i) pairs from a bucket's id array, as
+    ``array<struct<a_name, b_name>>`` with the SMALLER id first
+    (least/greatest — a no-op when the array is already sorted).
+
+    The id-only sibling of :func:`_pairs_within` (which also carries
+    shingle payloads): positional expansion via a two-arg (element,
+    index) transform + slice. Shared by every bucket-pairing candidate
+    generator (MinHash LSH, the MinHash estimate audit, market-basket
+    pairs) so the slice-bound arithmetic lives in exactly one place."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda d1, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda d2: F.struct(
+                    F.least(d1, d2).alias(a_name),
+                    F.greatest(d1, d2).alias(b_name),
+                ),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -219,26 +248,7 @@ def minhash_lsh_pairs(
         .filter(F.size("ids").between(2, max_bucket))
     )
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda d1, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + 2,
-                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                            ),
-                            lambda d2: F.struct(
-                                F.least(d1, d2).alias("id_a"),
-                                F.greatest(d1, d2).alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(pairs_within_ids(F.col("ids"))).alias("p"))
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )

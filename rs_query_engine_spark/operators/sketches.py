@@ -28,12 +28,9 @@ def cm_bucket(row: int, item: Column, width: int) -> Column:
     """Hash row ``row``'s bucket for ``item``: first 8 hex chars of
     md5("{row}|" + item) mod width — engine-portable (DuckDB:
     ``('0x'||substr(md5(row||'|'||item),1,8))::BIGINT % width``)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{row}|"), item)), 1, 8), 16, 10
-        ).cast("bigint")
-        % width
-    )
+    from rs_query_engine_spark.functions.hashing import md5_bucket
+
+    return md5_bucket(F.concat(F.lit(f"{row}|"), item), width)
 
 
 def countmin_sketch(

@@ -96,9 +96,9 @@ def _hash_pct(key: Column, salt: str = "") -> Column:
     100``), unlike Spark's seeded RNG whose stream depends on
     partitioning. Salting rotates the sample without touching the
     keyspace (different salt → independent-ish sample)."""
-    return F.conv(F.substring(F.md5(_salted_key(key, salt)), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
+    from rs_query_engine_spark.functions.hashing import md5_bucket
+
+    return md5_bucket(_salted_key(key, salt), 100)
 
 
 def sample_hash(df: DataFrame, key: Column, rate_pct: int, salt: str = "") -> DataFrame:
@@ -145,9 +145,9 @@ def sample_weighted_hash(
     fractional weights (e.g. 0.0375) resolve exactly. Map-only — the
     weight expression and the comparison both compile into the scan
     filter; no shuffle, no RNG state, reproducible at any scale."""
-    u = F.conv(F.substring(F.md5(_salted_key(key, salt)), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 1_000_000
+    from rs_query_engine_spark.functions.hashing import md5_bucket
+
+    u = md5_bucket(_salted_key(key, salt), 1_000_000)
     return df.filter(u < weight * F.lit(1_000_000.0))
 
 

@@ -117,22 +117,46 @@ def _latest_green_rounds() -> dict[str, int]:
 _GREEN_ROUND = _latest_green_rounds()
 
 
-def _rotation_order() -> list[str]:
-    reg_idx = {n: i for i, n in enumerate(_QUERIES)}
-    unverified = [n for n in _QUERIES if n not in _GREEN_ROUND]
+def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """The live registries, with staged entries merged in when
+    STAGED_ENABLED is on. The merge is a LAZY read-time view, never an
+    import-time mutation: queries_staged imports this module for its
+    helpers, so an import-time merge would deadlock on whichever
+    module is imported first (partially-initialized-module
+    AttributeError). Reading the flag at call time also lets tests
+    flip it without re-importing. Live registrations win on any name
+    collision (guarded by tests/unit/test_staged_ops.py)."""
+    if not STAGED_ENABLED:
+        return _QUERIES, _ORACLE
+    from rs_query_engine_spark import queries_staged as _staged
+
+    merged_q = dict(_QUERIES)
+    merged_o = dict(_ORACLE)
+    for n, fn in _staged._QUERIES.items():
+        merged_q.setdefault(n, fn)
+    for n, sql in _staged._ORACLE.items():
+        merged_o.setdefault(n, sql)
+    return merged_q, merged_o
+
+
+def _rotation_order(qs: dict[str, QueryFn]) -> list[str]:
+    reg_idx = {n: i for i, n in enumerate(qs)}
+    unverified = [n for n in qs if n not in _GREEN_ROUND]
     verified = sorted(
-        (n for n in _QUERIES if n in _GREEN_ROUND),
+        (n for n in qs if n in _GREEN_ROUND),
         key=lambda n: (_GREEN_ROUND[n], reg_idx[n]),
     )
     return unverified + verified
 
 
 def queries() -> dict[str, QueryFn]:
-    return {n: _QUERIES[n] for n in _rotation_order()}
+    qs, _ = _registries()
+    return {n: qs[n] for n in _rotation_order(qs)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: _ORACLE[n] for n in _rotation_order() if n in _ORACLE}
+    qs, osql = _registries()
+    return {n: osql[n] for n in _rotation_order(qs) if n in osql}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -6100,12 +6124,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last driver-green row predates the Spark-4.1 loader rewrite all get
 # re-hashed (VERDICT r04 priority #1 — the last of them sits at window
 # position 49, so even ONE new registration would evict it). Round 6:
-# flip STAGED_ENABLED to True; the staged queries then merge into the
-# registry and front-load into the driver window as unverified.
+# flip STAGED_ENABLED to True; ``queries()``/``oracle_sql()`` then
+# merge the staged entries in lazily (see ``_registries`` — an
+# import-time merge would crash on the circular import whenever
+# queries_staged is imported first) and they front-load into the
+# driver window as unverified.
 STAGED_ENABLED = False
-
-if STAGED_ENABLED:
-    from rs_query_engine_spark import queries_staged as _staged
-
-    _QUERIES.update(_staged._QUERIES)
-    _ORACLE.update(_staged._ORACLE)

@@ -258,6 +258,7 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token join is map-side; both aggregations are hash aggregates
     with map-side partials. Two passes over the token stream, zero
     all-pairs anything."""
+    from rs_query_engine_spark.functions.hashing import md5_bucket
     from rs_query_engine_spark.functions.text import tokens
     from rs_query_engine_spark.sources.corpus import spread
 
@@ -265,11 +266,9 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint")
-        % 1024
+    b = tok.select(
+        "doc_id", "lang", md5_bucket(F.col("t"), 1024).alias("bucket")
     )
-    b = tok.select("doc_id", "lang", bucket.alias("bucket"))
     stats = b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("n_tgt"),
@@ -671,23 +670,13 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # feeds pairs, item counts, and the total
     )
     baskets = baskets_all.filter(F.size("items") > 1)
+    # items are array_sort-ed, so the helper's least/greatest ordering
+    # is a no-op and each pair is (smaller part, larger part)
+    from rs_query_engine_spark.operators.dedup import pairs_within_ids
+
     pairs = baskets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("items"),
-                    lambda a, i: F.transform(
-                        F.slice(
-                            F.col("items"),
-                            i + 2,
-                            F.greatest(F.size("items") - i - 1, F.lit(0)),
-                        ),
-                        lambda b: F.struct(
-                            a.alias("part_a"), b.alias("part_b")
-                        ),
-                    ),
-                )
-            )
+            pairs_within_ids(F.col("items"), "part_a", "part_b")
         ).alias("p")
     ).select("p.*")
     pc = (
@@ -797,7 +786,10 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count by 16.0 (a power of two — exact), and the error is one
     double subtraction of two exactly-derived doubles."""
     from rs_query_engine_spark.functions.text import shingles
-    from rs_query_engine_spark.operators.dedup import _minhash_from_shingles
+    from rs_query_engine_spark.operators.dedup import (
+        _minhash_from_shingles,
+        pairs_within_ids,
+    )
     from rs_query_engine_spark.sources.corpus import spread
 
     d = _t(spark, sf_dir, "documents")
@@ -834,26 +826,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids").between(2, 1000))
     )
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda d1, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + 2,
-                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                            ),
-                            lambda d2: F.struct(
-                                F.least(d1, d2).alias("id_a"),
-                                F.greatest(d1, d2).alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(pairs_within_ids(F.col("ids"))).alias("p"))
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1409,16 +1382,21 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``events_gap_fill`` zero-fills COUNTS; this reconstructs VALUES).
 
     Built on the same single-sort dual-frame primitive as
-    ``asof_join_nearest``: events and grid points union into one
-    (user)-partitioned (t, side) order, prev = ``last(value)`` over
-    the preceding frame, next = ``first(value)`` over the following —
-    one exchange total for both directions, no per-grid-point join.
-    Events are pre-deduped per (user, ts); a grid point landing ON an
-    event takes the event's value exactly (the equal-ts guard), and
-    leading grid points before the first event stay NULL (no
-    extrapolation). The interpolation arithmetic is the identical
-    IEEE sequence both engines run: one int-microsecond ratio, one
-    multiply, one add."""
+    ``asof_join_nearest``, with one refinement: each event enters the
+    union TWICE — once at side 0 (visible to the backward frame) and
+    once at side 2 (visible to the forward frame), grid points at
+    side 1 between them — so an event at EXACTLY a grid timestamp is
+    seen by BOTH directions, mirroring DuckDB ASOF's inclusive
+    inequality on both sides (a single-copy union can only order the
+    event before or after the grid row, silently excluding it from
+    one frame). prev = ``last()`` over the preceding frame, next =
+    ``first()`` over the following — one exchange and one sort for
+    both directions, no per-grid-point join. Events are pre-deduped
+    per (user, ts); a grid point landing ON an event takes the
+    event's value exactly (prev_ts == next_ts), and leading grid
+    points before the first event stay NULL (no extrapolation). The
+    interpolation arithmetic is the identical IEEE sequence both
+    engines run: one int-microsecond ratio, one multiply, one add."""
     e = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id", F.col("ts").cast("timestamp").alias("ts"))
@@ -1432,31 +1410,46 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("gts"),
     )
-    ue = e.select(
+    null_v = F.lit(None).cast("double")
+    null_t = F.lit(None).cast("timestamp")
+    ep = e.select(
         "user_id",
         F.col("ts").alias("_t"),
         F.lit(0).alias("_side"),
-        F.col("value").alias("_v"),
-        F.col("ts").alias("_ets"),
+        F.col("value").alias("_pv"),
+        F.col("ts").alias("_pts"),
+        null_v.alias("_nv"),
+        null_t.alias("_nts"),
+    )
+    en = e.select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(2).alias("_side"),
+        null_v.alias("_pv"),
+        null_t.alias("_pts"),
+        F.col("value").alias("_nv"),
+        F.col("ts").alias("_nts"),
     )
     ug = grid.select(
         "user_id",
         F.col("gts").alias("_t"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("double").alias("_v"),
-        F.lit(None).cast("timestamp").alias("_ets"),
+        null_v.alias("_pv"),
+        null_t.alias("_pts"),
+        null_v.alias("_nv"),
+        null_t.alias("_nts"),
     )
-    u = ue.unionByName(ug)
+    u = ep.unionByName(ug).unionByName(en)
     base = Window.partitionBy("user_id").orderBy(
         F.col("_t").asc(), F.col("_side").asc()
     )
     back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     u = (
-        u.withColumn("prev_v", F.last("_v", ignorenulls=True).over(back))
-        .withColumn("prev_ts", F.last("_ets", ignorenulls=True).over(back))
-        .withColumn("next_v", F.first("_v", ignorenulls=True).over(fwd))
-        .withColumn("next_ts", F.first("_ets", ignorenulls=True).over(fwd))
+        u.withColumn("prev_v", F.last("_pv", ignorenulls=True).over(back))
+        .withColumn("prev_ts", F.last("_pts", ignorenulls=True).over(back))
+        .withColumn("next_v", F.first("_nv", ignorenulls=True).over(fwd))
+        .withColumn("next_ts", F.first("_nts", ignorenulls=True).over(fwd))
     )
     g = u.filter(F.col("_side") == 1)
     ratio = (

@@ -33,6 +33,29 @@ def test_staged_names_do_not_collide_with_live_registry():
     assert not set(staged.oracle_sql()) & set(registry._ORACLE)
 
 
+def test_staged_activation_is_import_order_safe_and_lazy():
+    # round-6 regression guard: the merge is a lazy read-time view, so
+    # activation works even when queries_staged is imported FIRST (an
+    # import-time merge crashed with a partially-initialized-module
+    # AttributeError), and flipping the flag back un-merges.
+    import subprocess
+    import sys
+
+    code = (
+        "import rs_query_engine_spark.queries_staged as s\n"
+        "import rs_query_engine_spark.queries as q\n"
+        "assert 'sample_split_assign' not in q.queries()\n"
+        "q.STAGED_ENABLED = True\n"
+        "assert 'sample_split_assign' in q.queries()\n"
+        "assert 'sample_split_assign' in q.oracle_sql()\n"
+        "assert set(s.queries()) <= set(q.queries())\n"
+        "assert set(s.oracle_sql()) <= set(q.oracle_sql())\n"
+        "q.STAGED_ENABLED = False\n"
+        "assert 'sample_split_assign' not in q.queries()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
 def test_staged_flag_consistent_with_registry():
     # flag off (round 5): staged names stay out of the driver registry
     # (window budget); flag on (round 6+): they are all registered
@@ -593,6 +616,54 @@ def test_resample_interp_values_bounded_and_exact_on_events(spark):
             assert min(lo, hi) - 1e-9 <= r["v_interp"] <= max(lo, hi) + 1e-9
             n_interior += 1
     assert n_interior > 0
+
+
+def test_resample_interp_hour_aligned_events_match_oracle(spark, tmp_path):
+    # regression: an event at EXACTLY a grid timestamp must be seen by
+    # BOTH direction frames (DuckDB ASOF is inclusive both ways); the
+    # single-copy union excluded it from the forward frame, diverging
+    # on next_ts for interior on-grid events and returning NULL at the
+    # trailing boundary. The corpus has no hour-aligned events, so pin
+    # the case synthetically.
+    import datetime
+
+    import duckdb
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 30), 7, "view", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 12, 0), 7, "view", 5.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 14, 0), 7, "view", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r["user_id"], r["grid_ts"], r["prev_ts"], r["next_ts"], r["v_interp"])
+        for r in staged.events_resample_interp(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        (u, g.replace(tzinfo=None), p and p.replace(tzinfo=None),
+         n and n.replace(tzinfo=None), v)
+        for u, g, p, n, v in con.execute(
+            staged.oracle_sql()["events_resample_interp"]
+        ).fetchall()
+    )
+    assert got == want
+    by_grid = {g: (p, n, v) for _, g, p, n, v in got}
+    noon = datetime.datetime(2024, 1, 1, 12, 0)
+    two = datetime.datetime(2024, 1, 1, 14, 0)
+    # interior on-grid event: takes the event value, next_ts == itself
+    assert by_grid[noon] == (noon, noon, 5.0)
+    # trailing on-grid event (== max ts): value, not NULL
+    assert by_grid[two] == (two, two, 9.0)
 
 
 def test_resample_interp_plan_has_no_joins(spark):
