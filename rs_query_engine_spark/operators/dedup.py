@@ -173,15 +173,67 @@ def pairs_within_ids(
     )
 
 
+# The production MinHash-LSH configuration. Auditing queries (e.g.
+# dedup_minhash_estimate) derive their candidate sets from these SAME
+# constants + helpers, so a tuning change here is automatically what
+# gets audited — never a stale inline copy.
+MINHASH_NUM_HASHES = 16
+MINHASH_BANDS = 4
+MINHASH_MAX_BUCKET = 1000
+
+
+def minhash_band_keys(
+    sig: Column,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> Column:
+    """Explodable array of (band, key) structs from a MinHash
+    signature array: band b's key concatenates its ``num_hashes //
+    bands`` signature components with '-'."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[sig[b * rows + r] for r in range(rows)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def banded_candidate_pairs(
+    banded: DataFrame, max_bucket: int = MINHASH_MAX_BUCKET
+) -> DataFrame:
+    """Distinct candidate pairs from a banded (_id, band, key) frame:
+    bucket by (band, key), cap degenerate buckets at ``max_bucket``
+    (oversized buckets are skipped — true near-dups in them still meet
+    via their other bands, the standard recall/size trade), and pair
+    WITHIN each bucket's id array. Only (id, band, key) rides the
+    shuffle — payloads join back on the (tiny) candidate set."""
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids").between(2, max_bucket))
+    )
+    return (
+        buckets.select(F.explode(pairs_within_ids(F.col("ids"))).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-    max_bucket: int = 1000,
+    max_bucket: int = MINHASH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard
     verification.
@@ -191,7 +243,6 @@ def minhash_lsh_pairs(
     exact Jaccard on shingle sets → threshold filter. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
     """
-    rows = num_hashes // bands
     # stage shingles in their own projection so the expensive shingle
     # construction runs once per row (CollapseProject keeps expensive
     # multi-referenced producer expressions un-inlined), then
@@ -217,41 +268,17 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws("-", *[F.col("_sig")[b * rows + r] for r in range(rows)]).alias(
-                            "key"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(minhash_band_keys(F.col("_sig"), num_hashes, bands)).alias(
+            "bk"
+        ),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     # candidate generation: bucket by (band, key) and pair WITHIN each
-    # bucket, instead of a banded self-join. Only (id, band, key) rides
-    # the shuffle — shingle sets would multiply shuffle bytes by the
-    # document size and dominated the wall clock when carried here.
-    # Bucket sizes track true near-dup cluster sizes, so the per-bucket
-    # pair expansion stays tiny; ``max_bucket`` guards the quadratic
-    # expansion against degenerate band keys (e.g. boilerplate-heavy
-    # shards where one band key captures a huge cohort): oversized
-    # buckets are skipped — true near-dups in them still meet via their
-    # other bands, which is the standard recall/size trade.
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.collect_list("_id").alias("ids"))
-        .filter(F.size("ids").between(2, max_bucket))
-    )
-    pairs = (
-        buckets.select(F.explode(pairs_within_ids(F.col("ids"))).alias("p"))
-        .select("p.*")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # bucket, instead of a banded self-join (banded_candidate_pairs —
+    # bucket sizes track true near-dup cluster sizes, so the per-bucket
+    # pair expansion stays tiny; shingle sets would multiply shuffle
+    # bytes by the document size if carried here)
+    pairs = banded_candidate_pairs(banded, max_bucket)
     # verification: fetch shingle sets for the (tiny) candidate set —
     # exact Jaccard runs only on candidates; AQE turns both joins into
     # broadcasts once it sees the candidate-set size at runtime

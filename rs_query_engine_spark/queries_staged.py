@@ -213,10 +213,12 @@ def text_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
-    "text_dsir_weights",
-    oracle=r"""
-    WITH tok AS (
+# shared CTE chain: tokens → 1024 md5 feature buckets → per-bucket
+# target/total counts → per-doc masses and weight. Used by BOTH the
+# weights oracle and the resampling oracle (whose Spark side composes
+# by calling text_dsir_weights — the oracle side must compose through
+# this single definition too, or the two SQL copies drift).
+_DSIR_WEIGHTS_CTES = r"""tok AS (
         SELECT doc_id, lang,
                unnest(regexp_split_to_array(lower(text), '\s+')) AS t
         FROM documents
@@ -230,14 +232,22 @@ def text_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
                    AS n_tgt
         FROM b GROUP BY bucket
-    )
-    SELECT b.doc_id,
-           CAST(SUM(s.n_tgt) AS BIGINT) AS tgt_mass,
-           CAST(SUM(s.n_all) AS BIGINT) AS all_mass,
-           CAST(CAST(SUM(s.n_tgt) AS BIGINT) AS DOUBLE)
-               / CAST(CAST(SUM(s.n_all) AS BIGINT) AS DOUBLE) AS weight
-    FROM b JOIN stats s USING (bucket)
-    GROUP BY b.doc_id
+    ), w AS (
+        SELECT b.doc_id,
+               CAST(SUM(s.n_tgt) AS BIGINT) AS tgt_mass,
+               CAST(SUM(s.n_all) AS BIGINT) AS all_mass,
+               CAST(CAST(SUM(s.n_tgt) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(s.n_all) AS BIGINT) AS DOUBLE) AS weight
+        FROM b JOIN stats s USING (bucket)
+        GROUP BY b.doc_id
+    )"""
+
+
+@register_staged(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_WEIGHTS_CTES}
+    SELECT doc_id, tgt_mass, all_mass, weight FROM w
     """,
 )
 def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,9 +662,11 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a contract real catalogs obey), never a corpus-level self-join.
     Item counts and the order total are exact BIGINTs; confidence and
     lift are single divisions of exact integer products (< 2^53), so
-    the whole rule table hash-verifies. Item counts are broadcast to
-    the pair table; the scalar order count rides a broadcast literal
-    cross-join (1 row).
+    the whole rule table hash-verifies. The item-count side grows with
+    the CATALOG (one row per distinct part), so it is NOT
+    force-broadcast — AQE broadcasts it while it fits and falls back
+    to a shuffle join at catalog scale; only the 1-row order total
+    rides a broadcast cross-join.
 
     Plan shape: one distinct + one groupBy(order) shuffle produce the
     basket frame, and EVERYTHING derives from it — item counts by
@@ -695,8 +707,8 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = ic.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = ic.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
     return (
-        pc.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pc.join(ia, "part_a")
+        .join(ib, "part_b")
         .join(F.broadcast(n))
         .select(
             "part_a",
@@ -787,12 +799,15 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     double subtraction of two exactly-derived doubles."""
     from rs_query_engine_spark.functions.text import shingles
     from rs_query_engine_spark.operators.dedup import (
+        MINHASH_NUM_HASHES,
         _minhash_from_shingles,
-        pairs_within_ids,
+        banded_candidate_pairs,
+        minhash_band_keys,
     )
     from rs_query_engine_spark.sources.corpus import spread
 
     d = _t(spark, sf_dir, "documents")
+    k = MINHASH_NUM_HASHES
     base = (
         spread(d)
         .select(
@@ -800,36 +815,16 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(shingles(F.col("text"), 3)).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
-        .select("_id", "_sh", _minhash_from_shingles(F.col("_sh"), 16).alias("_sig"))
+        .select("_id", "_sh", _minhash_from_shingles(F.col("_sh"), k).alias("_sig"))
         .localCheckpoint()  # consumed by banding + both audit joins
     )
-    rows = 4  # 16 hashes / 4 bands
+    # the candidate set under audit IS the production one: same band
+    # keys, same bucket cap, same pairing helpers and constants as
+    # minhash_lsh_pairs — a tuning change there is what gets audited
     banded = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-", *[F.col("_sig")[b * rows + r] for r in range(rows)]
-                        ).alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
+        "_id", F.explode(minhash_band_keys(F.col("_sig"))).alias("bk")
     ).select("_id", "bk.band", "bk.key")
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.collect_list("_id").alias("ids"))
-        .filter(F.size("ids").between(2, 1000))
-    )
-    pairs = (
-        buckets.select(F.explode(pairs_within_ids(F.col("ids"))).alias("p"))
-        .select("p.*")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = banded_candidate_pairs(banded)
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_sig").alias("sig_a")
     )
@@ -846,7 +841,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
         )
     )
-    est = matches / F.lit(16.0)
+    est = matches / F.lit(float(k))
     return cand.select(
         "id_a",
         "id_b",
@@ -958,28 +953,8 @@ _ORACLE["graph_triangle_count"] = _triangle_oracle()
 
 @register_staged(
     "sample_importance_resample",
-    oracle=r"""
-    WITH tok AS (
-        SELECT doc_id, lang,
-               unnest(regexp_split_to_array(lower(text), '\s+')) AS t
-        FROM documents
-    ), b AS (
-        SELECT doc_id, lang,
-               ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket
-        FROM tok
-    ), stats AS (
-        SELECT bucket,
-               CAST(COUNT(*) AS BIGINT) AS n_all,
-               CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
-                   AS n_tgt
-        FROM b GROUP BY bucket
-    ), w AS (
-        SELECT b.doc_id,
-               CAST(CAST(SUM(s.n_tgt) AS BIGINT) AS DOUBLE)
-                   / CAST(CAST(SUM(s.n_all) AS BIGINT) AS DOUBLE) AS weight
-        FROM b JOIN stats s USING (bucket)
-        GROUP BY b.doc_id
-    )
+    oracle=f"""
+    WITH {_DSIR_WEIGHTS_CTES}
     SELECT doc_id, weight FROM w
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
               % 1000000
@@ -1011,9 +986,11 @@ def sample_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@register_staged(
-    "sql_entry_window",
-    oracle="""
+# ONE SQL text for both engines — the query's whole point is that the
+# SAME string runs through Spark's SQL entry and the DuckDB oracle, so
+# it is defined once (editing a forked copy would silently turn the
+# same-text check into a two-text check)
+_SQL_WINDOW_TOPK = """
     SELECT o_custkey, o_orderkey, o_totalprice, rn,
            CAST(cust_total AS DOUBLE) AS cust_total
     FROM (
@@ -1026,14 +1003,17 @@ def sample_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     WHERE rn <= 3
-    """,
-)
+    """
+
+
+@register_staged("sql_entry_window", oracle=_SQL_WINDOW_TOPK)
 def sql_entry_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions through the SQL ENTRY POINT: top-3 orders per
     customer with the customer's decimal-exact lifetime total, issued
     as a SQL string over registered temp views — proving the second
     entry surface covers the window family too (the reference's
-    builder has no windows at all; SURVEY §2.6). Both window functions
+    builder has no windows at all; SURVEY §2.6). The IDENTICAL string
+    (``_SQL_WINDOW_TOPK``) is the DuckDB oracle. Both window functions
     share one (o_custkey) partitioning — one exchange — and the
     ROW_NUMBER filter is the classic top-k-per-group pattern that at
     100 TB beats a global sort by never materializing more than k rows
@@ -1041,22 +1021,7 @@ def sql_entry_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.sources.corpus import register_corpus
 
     register_corpus(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_custkey, o_orderkey, o_totalprice, rn,
-               CAST(cust_total AS DOUBLE) AS cust_total
-        FROM (
-            SELECT o_custkey, o_orderkey, o_totalprice,
-                   ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey)
-                       AS rn,
-                   SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-                       OVER (PARTITION BY o_custkey) AS cust_total
-            FROM orders
-        )
-        WHERE rn <= 3
-        """
-    )
+    return spark.sql(_SQL_WINDOW_TOPK)
 
 
 # =====================================================================
@@ -1212,27 +1177,37 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@register_staged(
-    "text_langid_confusion",
-    oracle=r"""
+def _langid_confusion_oracle() -> str:
+    """Generate the confusion-matrix oracle from the SAME
+    ``LANG_MARKERS`` vocabulary the Spark classifier uses (the repo's
+    convention for engine-mirrored constants — cf.
+    ``queries._minhash_sql_parts`` / ``layout.zorder_key_sql``): a
+    vocabulary tweak then changes exactly one definition."""
+    from rs_query_engine_spark.functions.text import LANG_MARKERS, LANGS
+
+    score_cols = ",\n               ".join(
+        "len(list_filter(t, x -> x IN ({words}))) AS s_{lang}".format(
+            words=",".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in LANGS
+    )
+    all_scores = ", ".join(f"s_{lang}" for lang in LANGS)
+    argmax = "\n                    ".join(
+        f"WHEN s_{lang} = GREATEST({all_scores}) THEN '{lang}'"
+        for lang in LANGS[:-1]
+    )
+    return rf"""
     WITH toks AS (
         SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t
         FROM documents
     ), scores AS (
         SELECT doc_id, lang,
-               len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it')))  AS s_en,
-               len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS s_de,
-               len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','por')))     AS s_es,
-               len(list_filter(t, x -> x IN ('le','la','et','les','des','une','est','que'))) AS s_fr,
-               len(list_filter(t, x -> x IN ('的','是','在','了','和','有','我','不')))        AS s_zh
+               {score_cols}
         FROM toks
     ), pred AS (
         SELECT lang,
-               CASE WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-                    WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-                    WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-                    WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-                    ELSE 'zh' END AS pred_lang
+               CASE {argmax}
+                    ELSE '{LANGS[-1]}' END AS pred_lang
         FROM scores
     ), m AS (
         SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
@@ -1243,8 +1218,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.lang, m.pred_lang, m.n,
            CAST(m.n AS DOUBLE) / CAST(tot.n_true AS DOUBLE) AS frac
     FROM m JOIN tot USING (lang)
-    """,
-)
+    """
+
+
+@register_staged("text_langid_confusion", oracle=None)
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID CONFUSION MATRIX: the marker-word classifier of
     ``text_lang_id`` evaluated against the corpus's ground-truth
@@ -1273,6 +1250,9 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac"
         ),
     )
+
+
+_ORACLE["text_langid_confusion"] = _langid_confusion_oracle()
 
 
 @register_staged(

@@ -389,11 +389,15 @@ def test_itemset_pairs_rule_invariants(spark):
 
 
 def test_itemset_pairs_no_corpus_self_join(spark):
-    plan = _physical(staged.agg_itemset_pairs(spark, SF_DIR))
-    # pair expansion happens inside per-order basket arrays; the only
-    # joins are broadcast (item counts + the 1-row total)
-    assert "SortMergeJoin" not in plan
+    df = staged.agg_itemset_pairs(spark, SF_DIR)
+    # the item-count side is deliberately NOT force-broadcast (it
+    # grows with the catalog); at this size AQE must still pick
+    # broadcast at runtime — assert on the executed adaptive plan
+    df.collect()
+    plan = _physical(df)
     assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 # --- dedup_minhash_estimate ----------------------------------------------
