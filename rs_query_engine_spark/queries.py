@@ -73,17 +73,22 @@ def register(name: str, oracle: str | None = None):
 # advances every round without hand-maintained lists (the round-3
 # freeze bug); a round that turns a green row red demotes that query
 # back to the front of the line.
-def _latest_green_rounds() -> dict[str, int]:
-    """name -> round number of the most recent driver-green row, for
-    queries whose LATEST driver row is green (a later red row demotes
-    the query back to unverified)."""
+def _latest_green_rounds() -> tuple[dict[str, int], set[str]]:
+    """(name -> round number of the most recent driver-green row, for
+    queries whose LATEST driver row is green; names whose latest green
+    row was a rows-only ``no_oracle`` check). A later red row demotes
+    the query back to unverified. The second set feeds the rotation's
+    newly-oracled promotion: a query whose only driver evidence is
+    rows-only but which NOW has an oracle registered has never had its
+    hash checked, so it must re-enter the window with the unverified
+    group rather than ranking as merely stale (VERDICT r05 #2)."""
     import glob
     import json
     import os
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    status: dict[str, tuple[bool, int]] = {}
+    status: dict[str, tuple[bool, int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -97,7 +102,8 @@ def _latest_green_rounds() -> dict[str, int]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err") == "no_oracle":
+            rows_only = row.get("err") == "no_oracle"
+            if rows_only:
                 # rows-only check (non-SQL-expressible op): green when
                 # the Spark side executed at all — a legitimately-empty
                 # result (spark_rows == 0) still counts as ran-ok, so
@@ -110,11 +116,13 @@ def _latest_green_rounds() -> dict[str, int]:
                     row.get("hash_match") is None or bool(row.get("hash_match"))
                 )
             # later rounds win: a regression demotes, a fix promotes
-            status[name] = (green, rnd)
-    return {n: rnd for n, (ok, rnd) in status.items() if ok}
+            status[name] = (green, rnd, rows_only)
+    green_round = {n: rnd for n, (ok, rnd, _) in status.items() if ok}
+    rows_only_green = {n for n, (ok, _, ro) in status.items() if ok and ro}
+    return green_round, rows_only_green
 
 
-_GREEN_ROUND = _latest_green_rounds()
+_GREEN_ROUND, _ROWS_ONLY_GREEN = _latest_green_rounds()
 
 
 def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -139,24 +147,33 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return merged_q, merged_o
 
 
-def _rotation_order(qs: dict[str, QueryFn]) -> list[str]:
+def _rotation_order(qs: dict[str, QueryFn], osql: dict[str, str]) -> list[str]:
+    # A query counts as UNVERIFIED when it has no green driver row at
+    # all, OR when its latest green row was rows-only (``no_oracle``)
+    # but an oracle is NOW registered — the hash check has never run
+    # for it, so old rows-only stamps must not grant re-check seniority
+    # (computed at call time: _ORACLE fills after the import-time
+    # _GREEN_ROUND computation, and staged oracles merge in lazily).
+    def _verified(n: str) -> bool:
+        return n in _GREEN_ROUND and not (n in _ROWS_ONLY_GREEN and n in osql)
+
     reg_idx = {n: i for i, n in enumerate(qs)}
-    unverified = [n for n in qs if n not in _GREEN_ROUND]
+    unverified = [n for n in qs if not _verified(n)]
     verified = sorted(
-        (n for n in qs if n in _GREEN_ROUND),
+        (n for n in qs if _verified(n)),
         key=lambda n: (_GREEN_ROUND[n], reg_idx[n]),
     )
     return unverified + verified
 
 
 def queries() -> dict[str, QueryFn]:
-    qs, _ = _registries()
-    return {n: qs[n] for n in _rotation_order(qs)}
+    qs, osql = _registries()
+    return {n: qs[n] for n in _rotation_order(qs, osql)}
 
 
 def oracle_sql() -> dict[str, str]:
     qs, osql = _registries()
-    return {n: osql[n] for n in _rotation_order(qs) if n in osql}
+    return {n: osql[n] for n in _rotation_order(qs, osql) if n in osql}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -6128,5 +6145,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge the staged entries in lazily (see ``_registries`` — an
 # import-time merge would crash on the circular import whenever
 # queries_staged is imported first) and they front-load into the
-# driver window as unverified.
-STAGED_ENABLED = False
+# driver window as unverified. Flipped True in round 6 per the r05
+# brief: all 20 staged queries were locally hash-verified at sf0.001
+# and sf0.01 before activation (tests/oracle/test_staged_parity.py).
+STAGED_ENABLED = True

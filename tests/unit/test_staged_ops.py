@@ -44,6 +44,7 @@ def test_staged_activation_is_import_order_safe_and_lazy():
     code = (
         "import rs_query_engine_spark.queries_staged as s\n"
         "import rs_query_engine_spark.queries as q\n"
+        "q.STAGED_ENABLED = False\n"
         "assert 'sample_split_assign' not in q.queries()\n"
         "q.STAGED_ENABLED = True\n"
         "assert 'sample_split_assign' in q.queries()\n"
