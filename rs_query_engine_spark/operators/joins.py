@@ -29,6 +29,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _guard_reserved(reserved: Sequence[str], *frames: DataFrame) -> None:
+    """Fail fast when an input frame already contains one of the
+    operator's internal working column names — silently proceeding
+    would produce wrong results or an opaque analysis error deep in
+    the plan. Renaming the colliding caller column (it is restored in
+    the output projection anyway) is the caller's one-line fix."""
+    for df in frames:
+        hit = sorted(set(df.columns) & set(reserved))
+        if hit:
+            raise ValueError(
+                f"input columns {hit} collide with internal working "
+                f"names reserved by this operator ({sorted(reserved)}); "
+                "rename them before joining"
+            )
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
     """Left-semi join: left rows with ≥1 match (SQL EXISTS)."""
     return left.join(right, list(on), "left_semi")
@@ -68,6 +84,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
+    _guard_reserved(["_ts", "_side", "_l", "_r", "_m"], left, right)
     right_payload = [c for c in right.columns if c not in by]
     l_tagged = left.select(
         *by,
@@ -137,6 +154,9 @@ def asof_join_nearest(
     exclusion is unobservable.) Pre-dedup the right side per
     (key, ts) for deterministic results, as with :func:`asof_join`."""
     by = list(by)
+    _guard_reserved(
+        ["_ts", "_side", "_l", "_r", "_b", "_f", "_w"], left, right
+    )
     right_payload = [c for c in right.columns if c not in by]
     l_tagged = left.select(
         *by,

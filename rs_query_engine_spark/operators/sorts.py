@@ -144,7 +144,15 @@ def sample_weighted_hash(
     1e6-bucket uniform from md5(key) beats the 100-bucket grid so
     fractional weights (e.g. 0.0375) resolve exactly. Map-only — the
     weight expression and the comparison both compile into the scan
-    filter; no shuffle, no RNG state, reproducible at any scale."""
+    filter; no shuffle, no RNG state, reproducible at any scale.
+
+    Oracle-parity obligation: the comparison is ``u < weight * 1e6``
+    on RAW doubles, so any caller that hash-verifies against a SQL
+    oracle must mirror its exact ``weight`` EXPRESSION (same ops,
+    same order, e.g. the ``least()``-capped form
+    ``sample_weighted_bernoulli`` uses) into the oracle SQL — a
+    mathematically-equal-but-differently-associated expression can
+    land on the other side of the threshold by 1 ULP."""
     from rs_query_engine_spark.functions.hashing import md5_bucket
 
     u = md5_bucket(_salted_key(key, salt), 1_000_000)

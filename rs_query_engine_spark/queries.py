@@ -1441,11 +1441,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "doc_id", "text")
 
 
-def _minhash_sql_parts(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
+def _minhash_sql_parts(
+    num_hashes: int | None = None, bands: int | None = None
+) -> tuple[str, str]:
     """Generate the DuckDB minhash signature + band-key SQL (mirrors
     operators/dedup.py exactly: base hash = first-8-hex(md5(s)) as
     bigint, then affine family h_i(x) = ((2i+1)x + (7919i+17)) mod
-    4294967311 — one md5 per shingle on both engines)."""
+    4294967311 — one md5 per shingle on both engines). Defaults come
+    from the dedup.py production constants so a tuning change there
+    regenerates these fragments too — never a stale inline copy."""
+    from rs_query_engine_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_NUM_HASHES,
+    )
+
+    if num_hashes is None:
+        num_hashes = MINHASH_NUM_HASHES
+    if bands is None:
+        bands = MINHASH_BANDS
     sig_cols = ",\n               ".join(
         f"COALESCE(list_min(list_transform(hs, x -> "
         f"({2 * i + 1} * x + {7919 * i + 17}) % 4294967311)), 8589934592) AS h{i}"

@@ -567,7 +567,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(seq) AS seq_len,
            regexp_matches(seq, '(^|,)signup(,[^,]+)*,purchase(,|$)')
                AS signup_then_purchase,
-           (length(seq) - length(replace(seq, 'purchase', ''))) // 8
+           len(list_filter(regexp_split_to_array(seq, ','),
+                           t -> t = 'purchase'))
                AS n_purchases
     FROM s
     """,
@@ -586,8 +587,9 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct array is ``array_sort``-ed on (ts, event_id, type) — a
     total order both engines share — before serialization; the pattern
     uses no backreferences/lookarounds, the portable regex subset Java
-    and RE2 treat identically; the count is length arithmetic with
-    exact integer division. Scale: one groupBy shuffle; per-user
+    and RE2 treat identically; the count filters delimiter-bounded
+    tokens (robust to event types that contain another type as a
+    substring). Scale: one groupBy shuffle; per-user
     sequence strings are KB-scale state, the same cost class as
     collect_list session analyses; the regex runs once per user,
     JVM-side."""
@@ -608,9 +610,14 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq")
         .rlike("(^|,)signup(,[^,]+)*,purchase(,|$)")
         .alias("signup_then_purchase"),
-        F.expr(
-            "(length(seq) - length(replace(seq, 'purchase', ''))) div 8"
-        ).alias("n_purchases"),
+        # delimiter-bounded token count, NOT substring arithmetic — a
+        # vocabulary containing 'purchase' as a substring of another
+        # type (e.g. 'purchase_refund') must not inflate the count
+        F.size(
+            F.filter(F.split("seq", ","), lambda t: t == F.lit("purchase"))
+        )
+        .cast("bigint")
+        .alias("n_purchases"),
     )
 
 
@@ -733,8 +740,19 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_est_oracle() -> str:
+    # every tunable fragment derives from the dedup.py production
+    # constants (same pattern as layout.zorder_key_sql): changing
+    # MINHASH_NUM_HASHES / MINHASH_MAX_BUCKET regenerates the
+    # signature-match sum, the /k divisor, and the bucket-cap window
+    # by construction instead of desyncing a hand-inlined copy
+    from rs_query_engine_spark.operators.dedup import (
+        MINHASH_MAX_BUCKET,
+        MINHASH_NUM_HASHES,
+    )
+
+    k = MINHASH_NUM_HASHES
     est = " + ".join(
-        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
     jac = (
         "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
@@ -763,7 +781,8 @@ def _minhash_est_oracle() -> str:
         LATERAL (VALUES {_MH_BANDS}) AS b(band, key)
     ), banded_ok AS (
         SELECT * FROM banded
-        QUALIFY COUNT(*) OVER (PARTITION BY band, key) BETWEEN 2 AND 1000
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key)
+                BETWEEN 2 AND {MINHASH_MAX_BUCKET}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded_ok a JOIN banded_ok b
@@ -771,8 +790,8 @@ def _minhash_est_oracle() -> str:
     )
     SELECT c.id_a, c.id_b,
            {jac} AS jaccard,
-           ({est}) / 16.0 AS est_jaccard,
-           ({est}) / 16.0 - {jac} AS err
+           ({est}) / {float(k)} AS est_jaccard,
+           ({est}) / {float(k)} - {jac} AS err
     FROM cand c
     JOIN sig a ON c.id_a = a.doc_id
     JOIN sig b ON c.id_b = b.doc_id

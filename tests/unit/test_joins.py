@@ -131,3 +131,20 @@ def test_asof_cogrouped_matches_jvm(spark):
         def norm(df):
             return sorted((r["tid"], r["qts"], r["px"]) for r in df.collect())
         assert norm(py) == norm(jvm), direction
+
+
+def test_asof_reserved_name_collision_guarded(spark):
+    # a caller frame already containing an internal working name must
+    # fail fast with a clear error, not silently produce wrong results
+    import pytest
+
+    from rs_query_engine_spark.operators.joins import asof_join_nearest
+
+    bad = _trades(spark).withColumn("_side", F.lit(1))
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(bad, _quotes(spark), by=["sym"], left_ts="tts", right_ts="qts")
+    with pytest.raises(ValueError, match="_side"):
+        asof_join_nearest(
+            _trades(spark), _quotes(spark).withColumn("_side", F.lit(0)),
+            by=["sym"], left_ts="tts", right_ts="qts", tolerance_us=1,
+        )
