@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rs_query_engine_spark.functions.text import normalize_text, shingles, tokens
@@ -780,4 +780,96 @@ def semantic_dedup(
             F.col(centroid_id),
             F.col("_did").isNull().alias("kept"),
         )
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 25,
+) -> DataFrame:
+    """EXACT duplicated-substring spans at the character-sequence
+    level — the exact counterpart of the fingerprint approximation in
+    :func:`span_fingerprints`-based dedup, completing the dedup
+    family's exactness spectrum (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": ExactSubstr removes every
+    span whose substring of length ≥ L occurs elsewhere in the
+    corpus).
+
+    Returns one row per MAXIMAL duplicated region: (id, span_start,
+    span_end, span_len) over the NORMALIZED text (0-based, half-open
+    [start, end)) — each region is the union of length-``min_len``
+    windows whose substring occurs at some OTHER (doc, offset) in the
+    corpus (self-repeats within a doc count, as in ExactSubstr).
+
+    Equivalence to the suffix-array formulation (property-tested
+    against a pure-Python suffix-array + LCP reference): a position
+    starts a duplicated ``min_len``-gram iff its suffix shares an
+    LCP ≥ ``min_len`` with a neighbor in suffix order, and a
+    duplicated substring of length M ≥ L contains exactly M−L+1
+    duplicated L-grams at consecutive offsets — so the union of
+    duplicated L-gram windows IS the set of characters covered by
+    some duplicated substring of length ≥ L, and merging overlapping
+    or adjacent windows yields the maximal regions.
+
+    Scale shape: explode every character offset into its L-gram — the
+    shuffle key is the gram STRING itself (exact, no hash collisions)
+    with O(total_chars × L) shuffle volume, the honest cost of
+    exactness (Lee et al. pay the same via sharded suffix arrays);
+    the duplicate test is one map-side-partial groupBy on the gram,
+    the join back is equi on the gram, and the island merge is one
+    window partitioned by doc — every stage hash-distributes, nothing
+    is pairwise in the corpus. Use the MinHash/SimHash operators when
+    approximate spans are acceptable at 1/L the shuffle volume.
+    """
+    L = min_len
+    t = spread(df).select(
+        F.col(id_col).alias("_id"),
+        normalize_text(F.col(text_col)).alias("_txt"),
+    )
+    # substring with a per-row start offset (expr form: F.substring
+    # takes only literal pos)
+    g = (
+        t.filter(F.length("_txt") >= L)
+        .select(
+            "_id",
+            F.explode(F.sequence(F.lit(0), F.length("_txt") - L)).alias("off"),
+            "_txt",
+        )
+        .select("_id", "off", F.expr(f"substring(_txt, off + 1, {L})").alias("gram"))
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gram")
+    )
+    p = g.join(dup, "gram").select("_id", "off")
+    w_prev = (
+        Window.partitionBy("_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("off") + L).over(w_prev)
+    newi = (F.col("off") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    spans = (
+        p.withColumn("_new", newi)
+        .withColumn("_island", F.sum("_new").over(w_run))
+        .groupBy("_id", "_island")
+        .agg(
+            F.min("off").alias("_s"),
+            (F.max("off") + F.lit(L)).alias("_e"),
+        )
+    )
+    return spans.select(
+        F.col("_id").alias(id_col),
+        F.col("_s").cast("bigint").alias("span_start"),
+        F.col("_e").cast("bigint").alias("span_end"),
+        (F.col("_e") - F.col("_s")).cast("bigint").alias("span_len"),
     )

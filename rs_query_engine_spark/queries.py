@@ -134,16 +134,24 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     AttributeError). Reading the flag at call time also lets tests
     flip it without re-importing. Live registrations win on any name
     collision (guarded by tests/unit/test_staged_ops.py)."""
-    if not STAGED_ENABLED:
+    if not (STAGED_ENABLED or STAGED_R7_ENABLED):
         return _QUERIES, _ORACLE
-    from rs_query_engine_spark import queries_staged as _staged
-
     merged_q = dict(_QUERIES)
     merged_o = dict(_ORACLE)
-    for n, fn in _staged._QUERIES.items():
-        merged_q.setdefault(n, fn)
-    for n, sql in _staged._ORACLE.items():
-        merged_o.setdefault(n, sql)
+    staged_mods = []
+    if STAGED_ENABLED:
+        from rs_query_engine_spark import queries_staged as _staged
+
+        staged_mods.append(_staged)
+    if STAGED_R7_ENABLED:
+        from rs_query_engine_spark import queries_staged_r7 as _staged_r7
+
+        staged_mods.append(_staged_r7)
+    for mod in staged_mods:
+        for n, fn in mod._QUERIES.items():
+            merged_q.setdefault(n, fn)
+        for n, sql in mod._ORACLE.items():
+            merged_o.setdefault(n, sql)
     return merged_q, merged_o
 
 
@@ -6162,3 +6170,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brief: all 20 staged queries were locally hash-verified at sf0.001
 # and sf0.01 before activation (tests/oracle/test_staged_parity.py).
 STAGED_ENABLED = True
+
+# Round-7 holding pen (``queries_staged_r7.py``): round 6's window is
+# exactly committed (24 front-loaders + 26 stalest re-checks), so new
+# round-6 operators stage here and activate next round by flipping
+# this flag — same lazy read-time merge, same local parity harness
+# (tests/oracle/test_staged_r7_parity.py at sf0.001 + sf0.01).
+STAGED_R7_ENABLED = False

@@ -394,3 +394,23 @@ def test_scd2_reuses_one_exchange_for_both_windows(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
+
+
+def test_exact_substr_spans_no_pairwise_and_partial_agg(spark):
+    """Exact substring dedup must stay gram-equi: the duplicate test
+    is a partial-aggregated groupBy on the gram string and an
+    equi-join back — never a cartesian/nested-loop pair expansion —
+    and the island merge is one window partitioned by doc (hash-
+    distributes at any corpus size)."""
+    from rs_query_engine_spark.operators.dedup import exact_substring_spans
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    df = exact_substring_spans(d, "doc_id", "text", min_len=25)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    low = plan.lower()
+    # partial + final aggregate around the gram exchange
+    assert low.count("hashaggregate") >= 2
+    assert "window" in low
