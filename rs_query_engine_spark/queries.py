@@ -1484,6 +1484,12 @@ def _minhash_sql_parts(
 
 _MH_SIG, _MH_BANDS = _minhash_sql_parts()
 
+
+def _mh_max_bucket() -> int:
+    from rs_query_engine_spark.operators.dedup import MINHASH_MAX_BUCKET
+
+    return MINHASH_MAX_BUCKET
+
 # shared CTE chain: documents → shingles → minhash sig → LSH bands →
 # verified near-dup pairs (used by the pairs query AND the clusters
 # query's recursive-CTE oracle)
@@ -1509,10 +1515,10 @@ _MH_PAIRS_CTES = rf"""
         SELECT doc_id, sh, b.* FROM sig,
         LATERAL (VALUES {_MH_BANDS}) AS b(band, key)
     ), banded_ok AS (
-        -- bucket-size cap (mirrors max_bucket=1000 in minhash_lsh_pairs):
+        -- bucket-size cap, generated from dedup.py's MINHASH_MAX_BUCKET:
         -- degenerate band keys are skipped before the quadratic pair expansion
         SELECT * FROM banded
-        QUALIFY COUNT(*) OVER (PARTITION BY band, key) BETWEEN 2 AND 1000
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) BETWEEN 2 AND {_mh_max_bucket()}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.sh AS sh_a, b.sh AS sh_b

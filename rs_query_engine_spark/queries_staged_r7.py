@@ -175,3 +175,296 @@ def text_exact_substr_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# =====================================================================
+# Similarity — hybrid retrieval with reciprocal-rank fusion
+# =====================================================================
+
+_RRF_K = 60  # standard RRF damping constant (Cormack et al., 2009)
+_HYBRID_POOL = 20  # per-modality candidate pool fed into the fusion
+_HYBRID_TOPK = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from rs_query_engine_spark.queries import _COS_SQL
+
+    cos = _COS_SQL.format(a="c.v", b="q.qv")
+    return rf"""
+    WITH corpus AS (
+        SELECT d.doc_id AS id, e.embedding::DOUBLE[] AS v, d.text
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), q AS (
+        SELECT id AS query_id, v AS qv, text AS qtext
+        FROM corpus WHERE id % 100 = 0
+    ), vrank AS (
+        SELECT query_id, id, rv FROM (
+            SELECT q.query_id, c.id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cos} DESC, c.id
+                   ) AS rv
+            FROM corpus c, q
+        ) WHERE rv <= {_HYBRID_POOL}
+    ), terms AS (
+        SELECT DISTINCT id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        FROM corpus
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+    ), lscore AS (
+        SELECT qt.id AS query_id, dt.id,
+               SUM(1000000 // f.df) AS score
+        FROM (SELECT t.id, t.term FROM terms t JOIN q ON t.id = q.query_id) qt
+        JOIN terms dt ON qt.term = dt.term
+        JOIN dfreq f ON qt.term = f.term
+        GROUP BY qt.id, dt.id
+    ), lrank AS (
+        SELECT query_id, id, rl FROM (
+            SELECT query_id, id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, id
+                   ) AS rl
+            FROM lscore
+        ) WHERE rl <= {_HYBRID_POOL}
+    ), fused AS (
+        SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+               COALESCE(v.id, l.id) AS doc_id,
+               COALESCE(1.0 / ({_RRF_K} + v.rv), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + l.rl), 0.0) AS rrf
+        FROM vrank v FULL OUTER JOIN lrank l
+          ON v.query_id = l.query_id AND v.id = l.id
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+        SELECT query_id, doc_id, rrf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rrf DESC, doc_id
+               ) AS rank
+        FROM fused
+    ) WHERE rank <= {_HYBRID_TOPK}
+    """
+
+
+@register_staged("similarity_hybrid_rrf", oracle=None)
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — dense + lexical with reciprocal-rank fusion
+    (the production RAG/retrieval shape: embedding cosine catches
+    paraphrase, term overlap catches exact identifiers, RRF combines
+    them without score calibration; Cormack et al. 2009). For each
+    query doc (every 100th id with both a text and an embedding):
+    top-20 by brute-force cosine, top-20 by idf-weighted term overlap,
+    fuse with sum of 1/(60+rank) over the pool union, keep top-10.
+
+    Hash-parity discipline: ranks are integers from total-ordered
+    windows (score DESC, id); the lexical score is a SUM of exact
+    integers (idf weight = 1_000_000 // df — integer division, so the
+    sum is order-independent); each RRF term is one correctly-rounded
+    IEEE division and the fusion is a single double add — both
+    engines execute the identical op sequence.
+
+    Scale shape: the query set broadcasts (map-only cosine pass, same
+    plan as similarity_bruteforce_topk — swap in the IVF bucket probe
+    at 100 TB); the lexical leg is the inverted-index equi-join on
+    the term (query-side posting list is tiny — |queries| × terms);
+    fusion joins two rank tables keyed (query, doc) — both already
+    pool-capped at 20 rows per query."""
+    from rs_query_engine_spark.functions.text import tokens
+    from rs_query_engine_spark.operators.similarity import cosine
+    from rs_query_engine_spark.sources.corpus import spread
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = (
+        spread(d)
+        .join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+            "text",
+        )
+    )
+    q = corpus.filter(F.col("id") % 100 == 0).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("text").alias("qtext"),
+    )
+    w_v = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id"))
+    vrank = (
+        corpus.crossJoin(F.broadcast(q.select("query_id", "qv")))
+        .select("query_id", "id", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .withColumn("rv", F.row_number().over(w_v))
+        .filter(F.col("rv") <= _HYBRID_POOL)
+        .select("query_id", "id", "rv")
+    )
+    terms = corpus.select(
+        "id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = terms.join(
+        F.broadcast(q.select(F.col("query_id"))),
+        terms["id"] == F.col("query_id"),
+    ).select("query_id", "term")
+    lscore = (
+        qterms.join(dfreq, "term")
+        .join(terms.select(F.col("id"), F.col("term")), "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum(F.expr("1000000 div df")).alias("score"))
+    )
+    w_l = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))
+    lrank = (
+        lscore.withColumn("rl", F.row_number().over(w_l))
+        .filter(F.col("rl") <= _HYBRID_POOL)
+        .select("query_id", "id", "rl")
+    )
+    fused = (
+        vrank.withColumnRenamed("query_id", "vq").withColumnRenamed("id", "vid")
+        .join(
+            lrank.withColumnRenamed("query_id", "lq").withColumnRenamed("id", "lid"),
+            (F.col("vq") == F.col("lq")) & (F.col("vid") == F.col("lid")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("vq", "lq").alias("query_id"),
+            F.coalesce("vid", "lid").alias("doc_id"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rv")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rl")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= _HYBRID_TOPK)
+    )
+
+
+_ORACLE["similarity_hybrid_rrf"] = _hybrid_rrf_oracle()
+
+
+# =====================================================================
+# Layout — deterministic epoch shuffle into training shards
+# =====================================================================
+
+_N_SHARDS = 8
+_EPOCH_SALT = "epoch0"
+
+
+@register_staged(
+    "layout_training_shards",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5(doc_id || ':{_EPOCH_SALT}') AS hkey
+        FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(hkey, 1, 8))::BIGINT % {_N_SHARDS} AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(hkey, 1, 8))::BIGINT % {_N_SHARDS}
+               ORDER BY hkey, doc_id
+           ) AS pos
+    FROM k
+    """,
+)
+def layout_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: assign every document a (shard,
+    position) for one training epoch — the global-permutation step
+    every data loader needs (seeded by the epoch salt, so epoch 2 is
+    a different but equally reproducible order; re-running the
+    pipeline yields byte-identical shards, the property that makes
+    training runs comparable). shard = content-hash bucket; position
+    = rank of the md5 key within the shard.
+
+    Scale shape: the permutation is hash-order, so there is NO global
+    sort — one hash-partitioned exchange on the shard id and a
+    per-shard window sort (each shard ~N/shards rows, spill-safe and
+    embarrassingly parallel; contrast with ORDER BY rand() which is a
+    full-range sort AND non-reproducible). At 100 TB this is the
+    write-side of `df.repartition(shard).sortWithinPartitions` — the
+    plan Spark already executes for bucketed writes."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    k = spread(d).select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_EPOCH_SALT}"))).alias(
+            "hkey"
+        ),
+    )
+    shard = (
+        F.conv(F.substring("hkey", 1, 8), 16, 10).cast("bigint") % _N_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        k.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+# =====================================================================
+# Dedup — cross-source near-duplicate contamination matrix
+# =====================================================================
+
+
+def _cross_source_oracle() -> str:
+    from rs_query_engine_spark.queries import _MH_PAIRS_CTES
+
+    return rf"""
+    WITH {_MH_PAIRS_CTES}
+    SELECT least(da.source, db.source) AS src_lo,
+           greatest(da.source, db.source) AS src_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(p.jaccard) AS min_jaccard,
+           MAX(p.jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+    """
+
+
+@register_staged("dedup_cross_source_matrix", oracle=None)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE near-dup contamination matrix: aggregate the
+    MinHash-LSH verified pair set by unordered source pair — the
+    corpus-curation dashboard that answers "how much of source A is a
+    copy of source B?" before anyone sets per-source mixture weights
+    (double-counting mass across overlapping crawls silently skews
+    the mixture). Matrix cells are (src_lo, src_hi) with least/
+    greatest normalization so A×B and B×A land in one cell; diagonal
+    cells are within-source duplication.
+
+    Reuses the production LSH pipeline verbatim (same constants, same
+    helpers — a tuning change there is what gets aggregated here);
+    the per-cell stats are COUNT/MIN/MAX only — exact selections, no
+    float summation, so the whole result hash-verifies. Source lookup
+    is a broadcast join onto the (tiny) verified pair set."""
+    from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+_ORACLE["dedup_cross_source_matrix"] = _cross_source_oracle()

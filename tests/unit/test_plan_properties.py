@@ -414,3 +414,41 @@ def test_exact_substr_spans_no_pairwise_and_partial_agg(spark):
     # partial + final aggregate around the gram exchange
     assert low.count("hashaggregate") >= 2
     assert "window" in low
+
+
+def test_hybrid_rrf_broadcasts_query_set_no_corpus_pairs(spark):
+    """Hybrid RRF's dense leg must broadcast the (tiny) query set —
+    a map-only pass over the corpus like similarity_bruteforce_topk —
+    and the lexical leg must ride the term equi-join; the corpus is
+    never paired with itself."""
+    from rs_query_engine_spark import queries_staged_r7 as r7
+
+    df = r7.similarity_hybrid_rrf(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan
+    # the only nested-loop allowed is the documented broadcast
+    # query-set expansion; a non-broadcast cartesian is a scale bug
+    assert "CartesianProduct" not in plan
+
+
+def test_training_shards_no_global_sort(spark):
+    """The epoch shuffle must be hash-partitioned by shard with a
+    per-shard window sort — never a global range sort."""
+    from rs_query_engine_spark import queries_staged_r7 as r7
+
+    df = r7.layout_training_shards(spark, SF_DIR)
+    plan = explain_str(df)
+    low = plan.lower()
+    assert "hashpartitioning(shard" in low
+    assert "rangepartitioning" not in low
+
+
+def test_cross_source_matrix_broadcasts_source_lookup(spark):
+    """Source decode joins onto the (tiny) verified pair set must be
+    broadcast; the pair generation itself is the LSH equi-join."""
+    from rs_query_engine_spark import queries_staged_r7 as r7
+
+    df = r7.dedup_cross_source_matrix(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
