@@ -135,3 +135,60 @@ def sample_frames(
     return spread(df.select(F.col(id_col), F.col(payload_col)), min_partitions=8).mapInPandas(
         sample, schema=FRAME_SCHEMA
     )
+
+
+BINARY_SIMHASH_SCHEMA = "id bigint, n_grams bigint, simhash bigint"
+
+
+def binary_simhash(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    gram: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash signature over the raw BYTES of a binary payload — the
+    perceptual-hash-style near-dup primitive for opaque media columns
+    (re-encoded or trivially-mutated assets keep most byte 4-grams, so
+    their signatures land within small hamming distance; pair them
+    with the same hamming-block LSH as ``dedup.simhash_pairs``).
+
+    Byte-level twin of the token SimHash in ``operators/dedup.py``:
+    per overlapping ``gram``-byte window, a 32-bit md5-derived hash;
+    signature bit j set when the majority of gram hashes have bit j
+    set. Runs in ``mapInPandas`` (NumPy bit-matrix fold per Arrow
+    batch) because payloads are opaque bytes the JVM expression engine
+    has no functions for — the deliberate Python-tier pattern of this
+    module. Map-only, no shuffle; metadata filters belong BEFORE this
+    stage so pruned payloads never cross the JVM→Python boundary."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        jbits = np.arange(bits, dtype=np.uint64)
+        weights = (1 << jbits.astype(np.int64)).astype(np.int64)
+        for pdf in batches:
+            ids, ngrams, sigs = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                bs = bytes(b)
+                n = max(len(bs) - gram + 1, 0)
+                if n == 0:
+                    ids.append(i); ngrams.append(0); sigs.append(0)
+                    continue
+                hs = np.array(
+                    [
+                        int(hashlib.md5(bs[k : k + gram]).hexdigest()[:8], 16)
+                        for k in range(n)
+                    ],
+                    dtype=np.uint64,
+                )
+                counts = ((hs[:, None] >> jbits) & 1).sum(axis=0).astype(np.int64)
+                sig = int(weights[2 * counts > n].sum())
+                ids.append(i); ngrams.append(n); sigs.append(sig)
+            yield pd.DataFrame(
+                {"id": ids, "n_grams": ngrams, "simhash": sigs}
+            ).astype({"id": "int64", "n_grams": "int64", "simhash": "int64"})
+
+    return spread(df, 8).mapInPandas(extract, schema=BINARY_SIMHASH_SCHEMA)

@@ -468,3 +468,95 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE["dedup_cross_source_matrix"] = _cross_source_oracle()
+
+
+# =====================================================================
+# Multimodal — byte-level SimHash over binary payloads
+# =====================================================================
+
+
+def _binary_simhash_oracle() -> str:
+    from rs_query_engine_spark.queries import _simhash_sql
+
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, length(text) - 3),
+                   i -> ('0x' || substr(md5(substr(text, i, 4)), 1, 8))::BIGINT
+               ) AS h,
+               greatest(length(text) - 3, 0) AS n
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id AS id,
+           CAST(n AS BIGINT) AS n_grams,
+           {_simhash_sql()} AS simhash
+    FROM t
+    """
+
+
+@register_staged("multimodal_binary_simhash", oracle=None)
+def multimodal_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level SimHash over BINARY payloads through the multimodal
+    Python tier — the near-dup primitive for opaque media columns
+    (image/audio assets that were re-encoded or trivially mutated keep
+    most byte 4-grams; the signatures then pair via the same
+    hamming-block LSH as the token SimHash family). The payload is the
+    utf-8 encoding of the text column (the corpus is ASCII), so the
+    DuckDB oracle reproduces the identical md5-per-4-gram majority
+    vote from codepoints — every value is an exact integer and the
+    whole result hash-verifies through the mapInPandas boundary.
+
+    Extends the multimodal family (byte_stats / frame_sample /
+    pair_align) with dedup semantics; the Arrow plumbing is the
+    product, the byte math stands in for a real perceptual hash."""
+    from rs_query_engine_spark.operators.multimodal import binary_simhash
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return binary_simhash(payloads)
+
+
+_ORACLE["multimodal_binary_simhash"] = _binary_simhash_oracle()
+
+
+# =====================================================================
+# SQL entry — correlated scalar subquery (TPC-H Q17 shape)
+# =====================================================================
+
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+@register_staged("sql_entry_q17_corr", oracle=_Q17_SQL)
+def sql_entry_q17_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's CORRELATED SCALAR SUBQUERY through the SQL entry:
+    small-quantity-order revenue where each lineitem compares against
+    0.2 × the average quantity OF ITS OWN PART. The per-row correlated
+    aggregate is the shape naive engines execute as one subquery per
+    row (quadratic); Catalyst decorrelates it into a per-part
+    aggregate + equi-join — plan-asserted: no cartesian, no per-row
+    subquery, one partial/final aggregate pair over lineitem feeding a
+    join (the same rewrite DuckDB applies, which is why the identical
+    SQL is the oracle).
+
+    Float discipline: both engines evaluate the identical expression
+    tree — decimal-exact sums cast to double, one correctly-rounded
+    division by the count, one multiply by 0.2, one compare; the outer
+    sum is decimal-exact before its single division by 7.0."""
+    from rs_query_engine_spark.sources.corpus import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(_Q17_SQL)

@@ -452,3 +452,17 @@ def test_cross_source_matrix_broadcasts_source_lookup(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q17_correlated_subquery_decorrelates(spark):
+    """The correlated scalar subquery (per-part avg quantity) must
+    decorrelate into a per-part aggregate + equi-join — never per-row
+    subquery execution or a cartesian pairing."""
+    from rs_query_engine_spark import queries_staged_r7 as r7
+
+    df = r7.sql_entry_q17_corr(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    low = plan.lower()
+    assert low.count("hashaggregate") >= 2  # partial+final per-part avg

@@ -115,3 +115,20 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     got = {r["event_type"]: r["count"] for r in back.select("event_type", "count").collect()}
     assert got == truth
     assert "_batch_id" in back.columns
+
+
+def test_binary_simhash_edge_payloads(spark):
+    # payloads shorter than the gram width must yield sig 0 / 0 grams,
+    # and equal payloads identical signatures, through mapInPandas
+    from rs_query_engine_spark.operators.multimodal import binary_simhash
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"abcdefgh"), (3, b"abcdefgh"), (4, b"x" * 4)],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in binary_simhash(df).collect()}
+    assert rows[1]["n_grams"] == 0 and rows[1]["simhash"] == 0
+    assert rows[2]["n_grams"] == 5
+    assert rows[2]["simhash"] == rows[3]["simhash"]
+    assert rows[4]["n_grams"] == 1
+    assert rows[4]["simhash"] > 0
