@@ -560,3 +560,158 @@ def sql_entry_q17_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_corpus(spark, sf_dir)
     return spark.sql(_Q17_SQL)
+
+
+# =====================================================================
+# Streaming — windowed top-k (the live-dashboard shape)
+# =====================================================================
+
+
+@register_staged(
+    "stream_window_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rnk FROM (
+        SELECT window_start, event_type, n_events,
+               ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type
+               ) AS rnk
+        FROM counts
+    ) WHERE rnk <= 2
+    """,
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WINDOWED TOP-K — the live-dashboard query ("top event
+    types per hour, right now"): hourly tumbling-window counts with a
+    watermark, driven through the streaming engine in update mode,
+    then ranked per finalized window. Counts are monotone across
+    update emissions so max() per (window, type) is the final state
+    (same finalization contract as stream_sliding_window), and the
+    rank step runs over finalized counts — giving an exact batch
+    oracle via epoch-aligned time_bucket. At 100 TB-of-stream the
+    windowed count is the only stateful stage (state = windows × types
+    per partition, watermark-bounded); the top-k is a tiny
+    per-window-keyed window function downstream of it."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = run_stream_to_memory(agg, "stream_window_topk", output_mode="update")
+    counts = res.groupBy(
+        F.col("w.start").alias("window_start"), "event_type"
+    ).agg(F.max("n").alias("n_events"))
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+# =====================================================================
+# Events — arrival-order disorder audit (watermark sizing input)
+# =====================================================================
+
+
+@register_staged(
+    "events_disorder_audit",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN ts < prev_ts THEN 1 END) AS n_inversions,
+           COALESCE(MAX(CASE WHEN ts < prev_ts
+                             THEN epoch_us(prev_ts) - epoch_us(ts) END), 0)
+               AS max_disorder_us
+    FROM o
+    GROUP BY user_id
+    """,
+)
+def events_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time DISORDER audit: per user, how often events arrive
+    out of event-time order (arrival order = event_id) and the worst
+    regression in microseconds — the measurement that SIZES the
+    watermark for every stateful streaming query over this feed (a
+    watermark below max_disorder drops those events late; one far
+    above holds state needlessly). One window over the (user, arrival)
+    sort + one groupBy — both on the same key, so AQE reuses the
+    exchange; exact integers throughout (unix_micros, not
+    unix_timestamp, which truncates sub-second precision)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    o = e.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    inv = F.col("ts") < F.col("prev_ts")
+    return o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(inv, 1)).alias("n_inversions"),
+        F.coalesce(
+            F.max(
+                F.when(inv, F.unix_micros("prev_ts") - F.unix_micros("ts"))
+            ),
+            F.lit(0),
+        ).alias("max_disorder_us"),
+    )
+
+
+# =====================================================================
+# Privacy — l-diversity audit (k-anonymity's companion)
+# =====================================================================
+
+
+@register_staged(
+    "quality_l_diversity",
+    oracle="""
+    SELECT d.lang, d.source,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT e.label) AS l_distinct,
+           COUNT(DISTINCT e.label) >= 3 AS l_diverse
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, d.source
+    """,
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit over (lang, source) quasi-identifiers with
+    the embedding label as the sensitive attribute — k-anonymity's
+    necessary companion (a group can be k-anonymous yet leak the
+    sensitive value when every member shares it; l-diversity requires
+    ≥l distinct sensitive values per equivalence class). Exact
+    distinct count per group (two-level aggregate: Spark plans
+    count(DISTINCT) as a partial-deduped expand — no row explosion);
+    the release gate at l=3 is the standard curation threshold.
+    Joins the sensitive table on the shared id, dims broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("label").alias("l_distinct"),
+            (F.countDistinct("label") >= 3).alias("l_diverse"),
+        )
+    )
