@@ -62,6 +62,11 @@ class Catalog:
             reader = reader.option("inferSchema", True)
         return self._register(name, reader.csv(path))
 
+    def register_orc(self, name: str, path: str) -> DataFrame:
+        """Register an ORC-backed table (vectorized scan + pushdown,
+        Spark's second built-in columnar format)."""
+        return self._register(name, self.spark.read.orc(path))
+
     def register_json(self, name: str, path: str, schema=None) -> DataFrame:
         reader = self.spark.read
         if schema is not None:

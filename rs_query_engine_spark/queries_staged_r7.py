@@ -715,3 +715,43 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("label") >= 3).alias("l_diverse"),
         )
     )
+
+
+# =====================================================================
+# Sources — ORC round trip (second built-in columnar format)
+# =====================================================================
+
+
+@register_staged(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part WHERE p_retailprice > 1500.0
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC end-to-end through the catalog — Spark's SECOND built-in
+    columnar format (the Hive-lineage interchange format; same
+    vectorized reader, predicate pushdown, and column-pruning story
+    as parquet): the part table is materialized as ORC once (stable
+    temp dir, skipped when present), registered via
+    ``Catalog.register_orc``, filtered, and compared against the
+    parquet original — proving the ORC round trip preserves every
+    value and type exactly (bigint/string/int/double all survive).
+    Completes the source matrix: parquet, CSV, JSON, memory, ORC.
+    Plan test asserts the filter reaches the ORC scan's pushdown."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.catalog import Catalog
+    from rs_query_engine_spark.sources.sinks import write_orc
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"rsqes_orc_{digest}", "part")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_orc(_t(spark, sf_dir, "part"), path, coalesce_files=4)
+    cat = Catalog(spark)
+    orc_df = cat.register_orc(f"part_orc_{digest}", path)
+    return orc_df.filter(F.col("p_retailprice") > 1500.0)

@@ -63,6 +63,17 @@ def write_json(
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", coalesce_files: int | None = None
+) -> None:
+    """Write ORC (Spark's second built-in columnar format — same
+    vectorized reader, predicate pushdown, and column pruning story as
+    parquet; the interchange format for Hive-lineage warehouses)."""
+    if coalesce_files:
+        df = df.coalesce(coalesce_files)
+    df.write.mode(mode).orc(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Re-open a written dataset (partition columns come back as
     regular columns; filters on them prune directories)."""

@@ -466,3 +466,15 @@ def test_q17_correlated_subquery_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     low = plan.lower()
     assert low.count("hashaggregate") >= 2  # partial+final per-part avg
+
+
+def test_orc_scan_gets_pushdown_and_pruning(spark):
+    """The ORC read path must behave like parquet: the retailprice
+    filter reaches the ORC scan's pushed filters."""
+    from rs_query_engine_spark import queries_staged_r7 as r7
+
+    df = r7.source_orc_roundtrip(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "OrcScan" in plan or "orc" in plan.lower()
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(p_retailprice,1500.0)" in plan
