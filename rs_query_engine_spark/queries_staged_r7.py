@@ -727,7 +727,7 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_type, p_size,
            CAST(p_retailprice AS DOUBLE) AS p_retailprice
-    FROM part WHERE p_retailprice > 1500.0
+    FROM part WHERE p_retailprice > 950.0
     """,
 )
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,4 +754,4 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_orc(_t(spark, sf_dir, "part"), path, coalesce_files=4)
     cat = Catalog(spark)
     orc_df = cat.register_orc(f"part_orc_{digest}", path)
-    return orc_df.filter(F.col("p_retailprice") > 1500.0)
+    return orc_df.filter(F.col("p_retailprice") > 950.0)

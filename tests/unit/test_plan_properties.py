@@ -477,4 +477,4 @@ def test_orc_scan_gets_pushdown_and_pruning(spark):
     plan = explain_str(df)
     assert "OrcScan" in plan or "orc" in plan.lower()
     assert "PushedFilters:" in plan
-    assert "GreaterThan(p_retailprice,1500.0)" in plan
+    assert "GreaterThan(p_retailprice,950.0)" in plan
