@@ -755,3 +755,159 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark)
     orc_df = cat.register_orc(f"part_orc_{digest}", path)
     return orc_df.filter(F.col("p_retailprice") > 950.0)
+
+
+# =====================================================================
+# Join — fuzzy entity-name matching (edit distance with blocking)
+# =====================================================================
+
+
+@register_staged(
+    "join_fuzzy_names",
+    oracle="""
+    WITH names AS (
+        SELECT p_name AS name,
+               MIN(p_partkey) AS rep_key,
+               COUNT(*) AS n_rows
+        FROM part GROUP BY p_name
+    ), blocked AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               a.rep_key AS rep_a, b.rep_key AS rep_b,
+               a.n_rows AS n_a, b.n_rows AS n_b
+        FROM names a JOIN names b
+          ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+         AND a.name < b.name
+        WHERE abs(length(a.name) - length(b.name)) <= 2
+    )
+    SELECT name_a, name_b, rep_a, rep_b, n_a, n_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM blocked
+    WHERE levenshtein(name_a, name_b) <= 3
+    """,
+)
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY entity-name matching — the MDM/entity-resolution join
+    (typo'd vendor names, OCR'd product titles): pairs of part names
+    within edit distance ≤ 3, with blocking so the comparison space
+    is never all-pairs. The production pattern at 100 TB: collapse to
+    the DISTINCT name vocabulary first (entity dictionaries are
+    orders of magnitude smaller than the fact rows referencing them —
+    here 2 000 rows → ~60 names), fuzzy-join the vocabulary, then map
+    matches back to rows via the representative key. Blocking =
+    first-character equi-join + length-band residual; like LSH
+    banding this trades recall (a distance-1 edit CAN change the
+    first character) for a hash-partitionable equi-join — widen to
+    multiple blocking keys (first char of each token, soundex) when
+    recall matters more.
+
+    levenshtein() is the classic integer DP in both engines, so every
+    output value is exact. Plan-asserted: the pair space comes from
+    the blocking equi-join, never a cartesian."""
+    d = _t(spark, sf_dir, "part")
+    names = d.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("rep_key"), F.count(F.lit(1)).alias("n_rows")
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("rep_key").alias("rep_a"),
+        F.col("n_rows").alias("n_a"),
+        F.substring("name", 1, 1).alias("blk"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("rep_key").alias("rep_b"),
+        F.col("n_rows").alias("n_b"),
+        F.substring("name", 1, 1).alias("blk"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+            & (dist <= 3)
+        )
+        .select(
+            "name_a", "name_b", "rep_a", "rep_b", "n_a", "n_b",
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+# =====================================================================
+# Dedup — survivorship merge (MDM golden-record rules)
+# =====================================================================
+
+
+@register_staged(
+    "dedup_survivorship_merge",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, source, lang, n_chars,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY fp ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM f
+    ), agg AS (
+        SELECT fp,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(doc_id) AS first_id,
+               MIN(source) AS src_priority,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM f GROUP BY fp
+    )
+    SELECT a.fp, a.n_members, a.first_id,
+           r.doc_id AS longest_id,
+           a.src_priority, a.n_langs, a.total_chars
+    FROM agg a JOIN ranked r ON a.fp = r.fp AND r.rn = 1
+    """,
+)
+def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP merge — the MDM golden-record step that follows
+    dedup: per exact-duplicate cluster, merge metadata by FIELD-LEVEL
+    rules instead of keeping one row wholesale (keep the LONGEST
+    text's doc as content survivor, the EARLIEST id as lineage
+    anchor, the highest-priority source, union the language set, sum
+    the size stats). ``dedup_keep_canonical`` answers "which rows
+    survive"; this answers "what the merged record looks like" — both
+    are needed to rebuild a corpus from duplicates.
+
+    One fingerprint groupBy (map-side partials) + one per-cluster
+    window for the deterministic longest-text pick (total order:
+    n_chars DESC, doc_id) joined back on the cluster key — the window
+    and the join reuse the same fp partitioning. Every output is an
+    exact integer/string selection."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.functions.text import normalize_text
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    f = spread(d).select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    longest = (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("doc_id").alias("longest_id"))
+    )
+    agg = f.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("first_id"),
+        F.min("source").alias("src_priority"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.join(longest, "fp").select(
+        "fp", "n_members", "first_id", "longest_id",
+        "src_priority", "n_langs", "total_chars",
+    )

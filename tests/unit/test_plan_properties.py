@@ -478,3 +478,27 @@ def test_orc_scan_gets_pushdown_and_pruning(spark):
     assert "OrcScan" in plan or "orc" in plan.lower()
     assert "PushedFilters:" in plan
     assert "GreaterThan(p_retailprice,950.0)" in plan
+
+
+def test_fuzzy_names_pair_space_is_blocked_equi_join(spark):
+    """Fuzzy name matching must pair via the blocking equi-join on
+    the first character — never a cartesian over the vocabulary."""
+    from rs_query_engine_spark import queries_staged_r7 as r7
+
+    df = r7.join_fuzzy_names(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_survivorship_window_reuses_fp_partitioning(spark):
+    """The longest-text pick and the cluster aggregate both key on
+    the fingerprint; no cartesian, partial aggregation present."""
+    from rs_query_engine_spark import queries_staged_r7 as r7
+
+    df = r7.dedup_survivorship_merge(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # countDistinct plans the aggregate as SortAggregate; what matters
+    # is the map-side partial before the fp exchange
+    assert "partial_count" in plan and "merge_count" in plan
