@@ -911,3 +911,57 @@ def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp", "n_members", "first_id", "longest_id",
         "src_priority", "n_langs", "total_chars",
     )
+
+
+# =====================================================================
+# SQL entry — RECURSIVE CTE ancestor walk (Spark 4.x surface)
+# =====================================================================
+
+
+@register_staged(
+    "sql_entry_recursive_walk",
+    oracle="""
+    WITH RECURSIVE walk(doc_id, node, steps) AS (
+        SELECT doc_id, doc_id + 1, 0 FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id, node // 2, steps + 1 FROM walk WHERE node > 1
+    )
+    SELECT doc_id,
+           MAX(steps) AS depth,
+           COUNT(*) AS n_path_nodes,
+           CAST(SUM(node) AS BIGINT) AS path_sum
+    FROM walk GROUP BY doc_id
+    """,
+)
+def sql_entry_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE through the SQL entry — the iterative-SQL surface
+    Spark gained in 4.x (UnionLoop execution): walk every seed node's
+    ancestor chain to the root of the heap-numbered hierarchy (parent
+    = node // 2, the same synthetic tree as graph_hierarchy_rollup)
+    and aggregate the path. Complements the rollup's single-shuffle
+    ancestor-explosion design: the recursive form is O(depth)
+    iterations — the right tool when the step function is opaque
+    (arbitrary edge table) rather than arithmetic; having BOTH lets
+    the engine cross-check them. Seeds are capped (doc_id < 200) the
+    way production recursive queries bound their frontier; depth is
+    log2(node) ≈ 9 here, far under the recursion limit. All outputs
+    are exact integers; DuckDB executes the semantically identical
+    recursion (only the integer-division spelling differs: ``//``
+    there, ``div`` here — both exact BIGINT floor division)."""
+    from rs_query_engine_spark.sources.corpus import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(doc_id, node, steps) AS (
+            SELECT doc_id, doc_id + 1, 0 FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT doc_id, node div 2, steps + 1 FROM walk WHERE node > 1
+        )
+        SELECT doc_id,
+               MAX(steps) AS depth,
+               COUNT(*) AS n_path_nodes,
+               SUM(node) AS path_sum
+        FROM walk GROUP BY doc_id
+        """
+    )
