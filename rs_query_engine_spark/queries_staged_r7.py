@@ -965,3 +965,56 @@ def sql_entry_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY doc_id
         """
     )
+
+
+# =====================================================================
+# Events — EWMA feature smoothing (truncated, power-of-two alpha)
+# =====================================================================
+
+_EWMA_K = 8  # truncation depth: weights 2^-1 .. 2^-8, tail mass 2^-8
+
+
+@register_staged(
+    "events_ewma_smoothing",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, value,
+               {" + ".join(
+                   f"COALESCE(LAG(value, {k}) OVER "
+                   f"(PARTITION BY user_id ORDER BY ts, event_id)"
+                   f" * {2.0 ** -(k + 1)!r}, 0.0)"
+                   for k in range(8)
+               )} AS ewma
+        FROM events
+    )
+    SELECT user_id, event_id, ts, value, ewma
+    FROM o
+    """,
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA feature smoothing — the exponentially-weighted rolling
+    feature every event-ML pipeline derives (recent behavior weighted
+    over history): per user in event-time order, ewma_t =
+    Σ_{{k=0..7}} 2^-(k+1) · value_{{t-k}} (missing lags contribute 0).
+
+    True EWMA is a recurrence no window function expresses; the
+    TRUNCATED form (depth 8, tail mass 2^-8) is one window pass of 8
+    lag() terms — and with α = 1/2 every weight is a POWER OF TWO, so
+    each product is an exact binary scaling and the fixed
+    left-to-right sum is the identical IEEE sequence in both engines:
+    the float-determinism discipline turns an approximation-prone
+    feature into a hash-verifiable one. One exchange on user_id, all
+    8 lags share the single sorted window — the same plan cost as one
+    lag. At 100 TB this is the feature-store backfill shape: partition
+    by entity, sort once, emit every horizon from the same pass."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ewma = None
+    for k in range(_EWMA_K):
+        term = F.coalesce(
+            F.lag("value", k).over(w) * F.lit(2.0 ** -(k + 1)), F.lit(0.0)
+        )
+        ewma = term if ewma is None else ewma + term
+    return e.select("user_id", "event_id", "ts", "value", ewma.alias("ewma"))
