@@ -79,7 +79,16 @@ def main() -> None:
             except Exception as exc:
                 print(f"# setup {name} failed: {exc}", file=sys.stderr)
 
+    import gc
+
     for name, fn in sorted(qs.items()):
+        # release py4j handles BETWEEN queries (outside the timer):
+        # localCheckpoint blocks and broadcast pieces stay pinned until
+        # the Python-side refs are collected and the JVM ContextCleaner
+        # runs; without this, block-manager pressure from earlier
+        # queries inflates later ones' in-run times well above their
+        # isolated cost (measured up to ~2x on the heaviest)
+        gc.collect()
         t0 = time.perf_counter()
         run_full(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
