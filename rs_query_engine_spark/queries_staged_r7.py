@@ -1018,3 +1018,108 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ewma = term if ewma is None else ewma + term
     return e.select("user_id", "event_id", "ts", "value", ewma.alias("ewma"))
+
+
+# =====================================================================
+# Text — blocklist content filter (C4-style badwords pass)
+# =====================================================================
+
+_BADWORDS = ("slow", "dup", "error")  # demo lexicon; production swaps a real list
+
+
+@register_staged(
+    "text_badwords_filter",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(text), '\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(t, x -> x IN {tuple(_BADWORDS)!r})) AS BIGINT)
+               AS n_flagged,
+           CAST(len(list_filter(t, x -> x IN {tuple(_BADWORDS)!r})) AS DOUBLE)
+               / len(t) AS flagged_frac,
+           CAST(len(list_filter(t, x -> x IN {tuple(_BADWORDS)!r})) AS DOUBLE)
+               / len(t) < 0.1 AS keep
+    FROM toks
+    """,
+)
+def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKLIST content filter — the C4-style badwords pass every web
+    corpus runs before training (drop or down-weight documents whose
+    flagged-token fraction crosses a threshold). The lexicon is a
+    broadcast literal set folded into the token filter — map-only, no
+    shuffle, the filter compiles into the scan projection; production
+    swaps the demo lexicon for a real blocklist without changing the
+    plan. Counts are exact integers; the fraction is one double
+    division; the keep verdict one comparison — all hash-verifiable.
+    Pair with ``text_redact_pii`` (rewrites content) — this one GATES
+    documents instead."""
+    from rs_query_engine_spark.functions.text import tokens
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        spread(d)
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+    )
+    bad = F.array(*[F.lit(w) for w in _BADWORDS])
+    n_flagged = F.size(F.filter("t", lambda x: F.array_contains(bad, x)))
+    frac = n_flagged.cast("double") / F.size("t")
+    return t.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        n_flagged.cast("bigint").alias("n_flagged"),
+        frac.alias("flagged_frac"),
+        (frac < 0.1).alias("keep"),
+    )
+
+
+# =====================================================================
+# Events — RFM behavioral features
+# =====================================================================
+
+
+@register_staged(
+    "events_rfm_features",
+    oracle="""
+    WITH now_ts AS (
+        SELECT MAX(ts) AS corpus_max FROM events
+    )
+    SELECT e.user_id,
+           epoch_us(n.corpus_max) - epoch_us(MAX(e.ts)) AS recency_us,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+    FROM events e CROSS JOIN now_ts n
+    GROUP BY e.user_id, n.corpus_max
+    """,
+)
+def events_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral features — the classic per-entity feature triple
+    (Recency: microseconds since the user's last event, relative to
+    the corpus max so the feature set is reproducible; Frequency:
+    event count; Monetary: decimal-exact value sum) that seeds churn/
+    LTV models and the first segmentation every events warehouse
+    ships. One groupBy on user_id (map-side partials); the corpus-max
+    timestamp is a 1-row broadcast fold — the deterministic "now"
+    every backfill needs instead of wall-clock. unix_micros keeps
+    sub-second precision (unix_timestamp truncates); the value sum
+    rides the 2-decimal grid through DECIMAL, so all three features
+    hash-verify."""
+    e = _t(spark, sf_dir, "events")
+    now = e.agg(F.max("ts").alias("corpus_max"))
+    return (
+        e.crossJoin(F.broadcast(now))
+        .groupBy("user_id", "corpus_max")
+        .agg(
+            (
+                F.unix_micros(F.max("corpus_max")) - F.unix_micros(F.max("ts"))
+            ).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("monetary"),
+        )
+        .select("user_id", "recency_us", "frequency", "monetary")
+    )
