@@ -671,12 +671,21 @@ def test_resample_interp_hour_aligned_events_match_oracle(spark, tmp_path):
     assert by_grid[two] == (two, two, 9.0)
 
 
-def test_resample_interp_plan_has_no_joins(spark):
-    # prev/next come from dual frames over ONE union+sort — the plan
-    # contains windows but not a single join operator
+def test_resample_interp_grid_rows_never_sorted_or_shuffled(spark):
+    # round-6 segment rewrite: interior grid points are generated
+    # map-only from each event segment (sequence explode AFTER the
+    # event-level lag window + broadcast anchor join) — grid rows
+    # must never enter a sort/shuffle, and the only join is the
+    # broadcast of the 1-row-per-user grid anchor
     plan = _physical(staged.events_resample_interp(spark, SF_DIR))
+    # the event-level lag window + broadcast anchor join ran once at
+    # checkpoint time; everything downstream of the checkpoint scans
+    # is map-only: Generate (the sequence explode) + Project + Union,
+    # with NO exchange, sort, or join touching a single grid row
+    assert "Generate explode(sequence" in plan
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
-    assert "Window" in plan
 
 
 # --- graph_hierarchy_rollup ----------------------------------------------
