@@ -62,3 +62,22 @@ def test_live_window_front_loads_round6_targets():
     # the window — the staged front-load may not evict them.
     assert "multimodal_byte_stats" in names
     assert "multimodal_frame_sample" in names
+
+
+def test_r7_activation_front_loads_staged_queries():
+    # round-7 rehearsal: flipping STAGED_R7_ENABLED must merge the r7
+    # pen into the registry AND front-load every r7 name into the
+    # driver's 50-row window (they have no driver row yet)
+    from rs_query_engine_spark import queries_staged_r7 as r7
+
+    saved = registry.STAGED_R7_ENABLED
+    try:
+        registry.STAGED_R7_ENABLED = True
+        names = list(registry.queries())
+        window = set(names[:50])
+        for n in r7.queries():
+            assert n in window, n
+        assert set(registry.oracle_sql()) >= set(r7.oracle_sql())
+    finally:
+        registry.STAGED_R7_ENABLED = saved
+    assert not set(r7.queries()) & set(registry.queries())
