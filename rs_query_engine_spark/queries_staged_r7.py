@@ -1123,3 +1123,73 @@ def events_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "recency_us", "frequency", "monetary")
     )
+
+
+# =====================================================================
+# Events — conversion touch attribution (first/last touch)
+# =====================================================================
+
+
+@register_staged(
+    "events_attribution_touch",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS) OVER w
+                   AS first_touch_type,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                                THEN ts END IGNORE NULLS) OVER w
+                   AS first_touch_ts,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS last_touch_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS) OVER w
+                   AS last_touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts,
+           first_touch_type, first_touch_ts,
+           last_touch_type, last_touch_ts
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION ATTRIBUTION — first-touch and last-touch: for every
+    purchase, the user's first and most recent NON-purchase events
+    strictly before it (the two standard credit-assignment models of
+    marketing analytics; the same shape assigns a training example's
+    provenance to its earliest/latest upstream pipeline stage). All
+    four attributed columns ride ONE window over (user, event-time)
+    with ignore-null first/last over the preceding-rows frame — the
+    per-column CASE masks null out non-touch rows, so all columns
+    resolve to the SAME touch row by construction; no self-join, no
+    per-purchase scan. Purchases with no prior touch stay NULL.
+    One exchange on user_id; total order (ts, event_id) makes every
+    value deterministic and hash-verifiable."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.col("event_type") != "purchase"
+    t_type = F.when(touch, F.col("event_type"))
+    t_ts = F.when(touch, F.col("ts"))
+    return (
+        e.withColumn("first_touch_type", F.first(t_type, ignorenulls=True).over(w))
+        .withColumn("first_touch_ts", F.first(t_ts, ignorenulls=True).over(w))
+        .withColumn("last_touch_type", F.last(t_type, ignorenulls=True).over(w))
+        .withColumn("last_touch_ts", F.last(t_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id", "ts",
+            "first_touch_type", "first_touch_ts",
+            "last_touch_type", "last_touch_ts",
+        )
+    )
