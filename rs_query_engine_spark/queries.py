@@ -73,7 +73,9 @@ def register(name: str, oracle: str | None = None):
 # advances every round without hand-maintained lists (the round-3
 # freeze bug); a round that turns a green row red demotes that query
 # back to the front of the line.
-def _latest_green_rounds() -> tuple[dict[str, int], set[str]]:
+def _latest_green_rounds(
+    artifact_paths: list[str] | None = None,
+) -> tuple[dict[str, int], set[str]]:
     """(name -> round number of the most recent driver-green row, for
     queries whose LATEST driver row is green; names whose latest green
     row was a rows-only ``no_oracle`` check). A later red row demotes
@@ -81,15 +83,23 @@ def _latest_green_rounds() -> tuple[dict[str, int], set[str]]:
     newly-oracled promotion: a query whose only driver evidence is
     rows-only but which NOW has an oracle registered has never had its
     hash checked, so it must re-enter the window with the unverified
-    group rather than ranking as merely stale (VERDICT r05 #2)."""
+    group rather than ranking as merely stale (VERDICT r05 #2).
+
+    ``artifact_paths`` defaults to every ``CORRECTNESS_r*.json`` in the
+    repo root (the live state the driver sees); tests pass an explicit
+    frozen subset (e.g. rounds ≤ N−1) so round-N window-composition
+    assertions stay true after later artifacts land (VERDICT r06 #2 —
+    never assert window composition against live artifacts)."""
     import glob
     import json
     import os
     import re
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if artifact_paths is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        artifact_paths = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     status: dict[str, tuple[bool, int, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in sorted(artifact_paths):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
@@ -134,7 +144,7 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     AttributeError). Reading the flag at call time also lets tests
     flip it without re-importing. Live registrations win on any name
     collision (guarded by tests/unit/test_staged_ops.py)."""
-    if not (STAGED_ENABLED or STAGED_R7_ENABLED):
+    if not (STAGED_ENABLED or STAGED_R7_ENABLED or STAGED_R8_ENABLED):
         return _QUERIES, _ORACLE
     merged_q = dict(_QUERIES)
     merged_o = dict(_ORACLE)
@@ -147,6 +157,10 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         from rs_query_engine_spark import queries_staged_r7 as _staged_r7
 
         staged_mods.append(_staged_r7)
+    if STAGED_R8_ENABLED:
+        from rs_query_engine_spark import queries_staged_r8 as _staged_r8
+
+        staged_mods.append(_staged_r8)
     for mod in staged_mods:
         for n, fn in mod._QUERIES.items():
             merged_q.setdefault(n, fn)
@@ -6177,9 +6191,20 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and sf0.01 before activation (tests/oracle/test_staged_parity.py).
 STAGED_ENABLED = True
 
-# Round-7 holding pen (``queries_staged_r7.py``): round 6's window is
+# Round-7 holding pen (``queries_staged_r7.py``): round 6's window was
 # exactly committed (24 front-loaders + 26 stalest re-checks), so new
-# round-6 operators stage here and activate next round by flipping
+# round-6 operators staged here and activated in round 7 by flipping
 # this flag — same lazy read-time merge, same local parity harness
-# (tests/oracle/test_staged_r7_parity.py at sf0.001 + sf0.01).
-STAGED_R7_ENABLED = False
+# (tests/oracle/test_staged_r7_parity.py at sf0.001 + sf0.01). Flipped
+# True in round 7 per the r06 brief: all 18 staged queries were locally
+# hash-verified at sf0.001 and sf0.01 before activation; they
+# front-load the driver window as unverified (18 + 32 re-check slots,
+# covering the 17 r3-stamped rows).
+STAGED_R7_ENABLED = True
+
+# Round-8 holding pen (``queries_staged_r8.py``): round 7's window is
+# committed (18 r7 activations + re-checks), so new round-7 operators
+# stage here and activate next round by flipping this flag — same lazy
+# read-time merge, same local parity harness
+# (tests/oracle/test_staged_r8_parity.py at sf0.001 + sf0.01).
+STAGED_R8_ENABLED = False

@@ -43,41 +43,101 @@ def test_verified_ordering_is_oldest_green_first_then_registration():
         registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = saved
 
 
-def test_live_window_front_loads_round6_targets():
-    # the real registry, real driver artifacts: the 4 queries that
-    # gained oracles in round 5 plus all 20 staged activations must
+def _frozen_fixture(max_round: int):
+    """(_GREEN_ROUND, _ROWS_ONLY_GREEN) computed from the FROZEN
+    artifact set of rounds ≤ max_round. Driver artifacts are
+    append-only (a round writes CORRECTNESS_r{N}.json once, never
+    rewrites earlier ones), so this is a stable fixture: assertions
+    about the round-(max_round+1) window composition stay true no
+    matter how many later artifacts land (VERDICT r06 #2 / ADVICE r06
+    — the previous live-artifact version of these tests self-expired
+    the moment the driver wrote the next round's file)."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    paths = [
+        p
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if int(p.rsplit("_r", 1)[1].split(".")[0]) <= max_round
+    ]
+    assert len(paths) == max_round, f"expected rounds 1..{max_round}, got {paths}"
+    return registry._latest_green_rounds(paths)
+
+
+def test_live_window_is_unverified_first_then_stalest():
+    # property that holds for ANY artifact state (never self-expires):
+    # the live window is exactly [all unverified] + [verified,
+    # oldest-green-first] — i.e. no verified query outranks an
+    # unverified one, and verified green-rounds are monotone.
+    names = list(registry.queries())
+    _, osql = registry._registries()
+    green = registry._GREEN_ROUND
+    rows_only = registry._ROWS_ONLY_GREEN
+
+    def verified(n):
+        return n in green and not (n in rows_only and n in osql)
+
+    flags = [verified(n) for n in names]
+    first_verified = flags.index(True) if True in flags else len(names)
+    assert all(flags[first_verified:]), "unverified query after a verified one"
+    rounds = [green[n] for n in names[first_verified:]]
+    assert rounds == sorted(rounds), "verified tail not oldest-green-first"
+
+
+def test_round6_window_front_loaded_round6_targets_fixture():
+    # round-6 composition, pinned against the FROZEN artifact set of
+    # rounds ≤ 5 (what the driver saw entering round 6): the 4 queries
+    # that gained oracles in round 5 plus the staged activations had to
     # sit inside the first 50 rotation slots.
-    names = list(registry.queries())[:50]
-    for n in [
-        "agg_freq_items",
-        "agg_hll_sketch_merge",
-        "similarity_ivf_pq_topk",
-        "agg_approx_distinct",
-        "sample_split_assign",
-        "join_asof_nearest",
-        "agg_countmin_heavy",
-    ]:
-        assert n in names, n
-    # the stalest verified rows (r01 multimodal pair) must also make
-    # the window — the staged front-load may not evict them.
-    assert "multimodal_byte_stats" in names
-    assert "multimodal_frame_sample" in names
+    saved = (registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN)
+    try:
+        registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = _frozen_fixture(5)
+        qs, osql = registry._registries()
+        # the r7 pen did not exist in round 6 — exclude it so the
+        # window matches what the round-6 driver actually saw
+        from rs_query_engine_spark import queries_staged_r7 as r7
+
+        qs = {n: f for n, f in qs.items() if n not in r7.queries()}
+        names = registry._rotation_order(qs, osql)[:50]
+        for n in [
+            "agg_freq_items",
+            "agg_hll_sketch_merge",
+            "similarity_ivf_pq_topk",
+            "agg_approx_distinct",
+            "sample_split_assign",
+            "join_asof_nearest",
+            "agg_countmin_heavy",
+            # the stalest verified rows (r01 multimodal pair) also made
+            # the window — the staged front-load may not evict them
+            "multimodal_byte_stats",
+            "multimodal_frame_sample",
+        ]:
+            assert n in names, n
+    finally:
+        registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = saved
 
 
-def test_r7_activation_front_loads_staged_queries():
-    # round-7 rehearsal: flipping STAGED_R7_ENABLED must merge the r7
-    # pen into the registry AND front-load every r7 name into the
-    # driver's 50-row window (they have no driver row yet)
+def test_round7_window_front_loads_staged_r7_fixture():
+    # round-7 composition, pinned against the FROZEN artifact set of
+    # rounds ≤ 6: with STAGED_R7_ENABLED live (flipped in round 7),
+    # every r7 name front-loads into the driver's 50-row window (no
+    # driver row in rounds ≤ 6), and the remaining re-check slots cover
+    # all 17 r3-stamped rows.
     from rs_query_engine_spark import queries_staged_r7 as r7
 
-    saved = registry.STAGED_R7_ENABLED
+    assert registry.STAGED_R7_ENABLED, "round-7 activation flag must be on"
+    saved = (registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN)
     try:
-        registry.STAGED_R7_ENABLED = True
-        names = list(registry.queries())
+        registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = _frozen_fixture(6)
+        green, _ = registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN
+        qs, osql = registry._registries()
+        names = registry._rotation_order(qs, osql)
         window = set(names[:50])
         for n in r7.queries():
             assert n in window, n
         assert set(registry.oracle_sql()) >= set(r7.oracle_sql())
+        r3_stamped = {n for n, rnd in green.items() if rnd == 3 and n in qs}
+        assert r3_stamped <= window, r3_stamped - window
     finally:
-        registry.STAGED_R7_ENABLED = saved
-    assert not set(r7.queries()) & set(registry.queries())
+        registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = saved
