@@ -24,6 +24,21 @@ Determinism: all hashes derive from md5 hex (engine-independent), so
 every operator here is oracle-checkable in DuckDB with the same
 construction. Hash value = first 8 md5 hex chars as a bigint
 (unsigned 32-bit range — no sign issues).
+
+Fault tolerance of ``localCheckpoint``: several operators here (and
+their callers) use ``DataFrame.localCheckpoint`` to truncate lineage
+between iterative stages. Local checkpoints are stored on EXECUTOR
+block storage, not a reliable filesystem — if an executor holding
+checkpoint blocks is lost (preemption, OOM kill, spot reclaim), the
+truncated lineage cannot be recomputed and Spark FAILS THE JOB, which
+then restarts from scratch. That trade is fine for the local[32]
+harness and short cluster jobs; for multi-hour 100 TB runs on
+preemptible fleets, switch to reliable checkpointing —
+``spark.sparkContext.setCheckpointDir("hdfs://.../ckpt")`` +
+``df.checkpoint()`` — or persist the intermediate explicitly to
+parquet and re-read it, both of which survive executor loss at the
+cost of a distributed-FS write. See SURVEY.md §8 for the
+cluster-deployment notes.
 """
 
 from __future__ import annotations

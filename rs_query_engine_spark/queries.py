@@ -2098,9 +2098,13 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline END-TO-END: MinHash-LSH pairs → connected
     components → drop every cluster member except the canonical
     (min-id) doc — i.e. the deduplicated corpus a training run would
-    actually consume. The drop list is tiny (cluster members only), so
-    the final filter is a broadcast anti-join against the full corpus
-    scan — at 100 TB the corpus is never shuffled."""
+    actually consume. The final filter is a plain left-anti join with
+    NO broadcast hint: at realistic dup rates (10–50 %, Lee et al.) the
+    drop list is corpus-proportional — billions of ids at 100 TB — so
+    the join strategy is left to AQE, which broadcasts only when the
+    runtime-measured side actually fits (and falls back to a shuffled
+    hash anti-join otherwise). A no-cartesian plan test pins the
+    shape."""
     from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
     from rs_query_engine_spark.operators.graph import dedup_clusters
 
@@ -2108,7 +2112,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(d, "doc_id", "text")
     clusters = dedup_clusters(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return d.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "n_chars")
+    return d.join(drop, "doc_id", "left_anti").select("doc_id", "n_chars")
 
 
 # =====================================================================

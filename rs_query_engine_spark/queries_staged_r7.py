@@ -443,8 +443,13 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the production LSH pipeline verbatim (same constants, same
     helpers — a tuning change there is what gets aggregated here);
     the per-cell stats are COUNT/MIN/MAX only — exact selections, no
-    float summation, so the whole result hash-verifies. Source lookup
-    is a broadcast join onto the (tiny) verified pair set."""
+    float summation, so the whole result hash-verifies. Broadcast
+    orientation: the VERIFIED PAIR SET is the broadcast side (it is
+    duplicate-pairs-sized, orders of magnitude below the corpus) and
+    the corpus-sized id→source projection streams — never the other
+    way around, which would ship the whole corpus to every executor
+    at 100 TB. The second lookup broadcasts the pairs⋈sa intermediate,
+    which is still pair-sized."""
     from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -452,9 +457,9 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    with_src_a = sa.join(F.broadcast(pairs), "id_a")
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        sb.join(F.broadcast(with_src_a), "id_b")
         .groupBy(
             F.least("sa", "sb").alias("src_lo"),
             F.greatest("sa", "sb").alias("src_hi"),
@@ -486,7 +491,9 @@ def _binary_simhash_oracle() -> str:
                    i -> ('0x' || substr(md5(substr(text, i, 4)), 1, 8))::BIGINT
                ) AS h,
                greatest(length(text) - 3, 0) AS n
-        FROM documents WHERE length(text) > 0
+        FROM documents
+        WHERE length(text) > 0
+          AND strlen(text) = length(text)  -- pure-ASCII rows only (byte len == char len)
     )
     SELECT doc_id AS id,
            CAST(n AS BIGINT) AS n_grams,
@@ -502,10 +509,16 @@ def multimodal_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (image/audio assets that were re-encoded or trivially mutated keep
     most byte 4-grams; the signatures then pair via the same
     hamming-block LSH as the token SimHash family). The payload is the
-    utf-8 encoding of the text column (the corpus is ASCII), so the
-    DuckDB oracle reproduces the identical md5-per-4-gram majority
-    vote from codepoints — every value is an exact integer and the
-    whole result hash-verifies through the mapInPandas boundary.
+    utf-8 encoding of the text column; BOTH sides restrict to pure-
+    ASCII rows via the identical predicate (byte length == codepoint
+    length — DuckDB ``strlen(text) = length(text)``, Spark
+    ``octet_length == length``), because Spark hashes byte 4-grams
+    while the VARCHAR oracle hashes codepoint windows and the two only
+    coincide for ASCII. With the guard, parity is provably independent
+    of corpus content (non-ASCII rows are excluded identically on both
+    sides; ``tests/unit/test_streaming_multimodal.py`` pins this with
+    a non-ASCII row). Every value is an exact integer and the whole
+    result hash-verifies through the mapInPandas boundary.
 
     Extends the multimodal family (byte_stats / frame_sample /
     pair_align) with dedup semantics; the Arrow plumbing is the
@@ -513,9 +526,9 @@ def multimodal_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.operators.multimodal import binary_simhash
 
     d = _t(spark, sf_dir, "documents")
-    payloads = d.filter(F.length("text") > 0).select(
-        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
-    )
+    payloads = d.filter(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    ).select(F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload"))
     return binary_simhash(payloads)
 
 
@@ -740,18 +753,36 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet original — proving the ORC round trip preserves every
     value and type exactly (bigint/string/int/double all survive).
     Completes the source matrix: parquet, CSV, JSON, memory, ORC.
-    Plan test asserts the filter reaches the ORC scan's pushdown."""
+    Plan test asserts the filter reaches the ORC scan's pushdown.
+
+    Cache keying: the digest folds in the source parquet's mtime_ns
+    and size, so regenerating the parquet invalidates the ORC copy
+    (the path-only key silently served stale data — ADVICE r06).
+    Concurrent runs are race-free: each writer materializes into a
+    private pid-suffixed temp dir and atomically renames it into
+    place; the loser of the rename just uses the winner's copy."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from rs_query_engine_spark.catalog import Catalog
     from rs_query_engine_spark.sources.sinks import write_orc
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    src = os.path.join(os.path.abspath(sf_dir), "part.parquet")
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"rsqes_orc_{digest}", "part")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_orc(_t(spark, sf_dir, "part"), path, coalesce_files=4)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_orc(_t(spark, sf_dir, "part"), tmp, coalesce_files=4)
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            os.rename(tmp, path)  # atomic on POSIX; loser keeps winner's copy
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     cat = Catalog(spark)
     orc_df = cat.register_orc(f"part_orc_{digest}", path)
     return orc_df.filter(F.col("p_retailprice") > 950.0)

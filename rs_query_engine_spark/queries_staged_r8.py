@@ -25,6 +25,12 @@ from rs_query_engine_spark.queries import QueryFn, _t
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
+# Queries deliberately registered WITHOUT a DuckDB oracle (rows-only
+# driver check). Every entry needs a registration-site docstring
+# justifying why SQL can't express it; the r8 parity harness asserts
+# this list is exactly the oracle-less set.
+ROWS_ONLY_BY_DESIGN: frozenset[str] = frozenset()
+
 
 def register_staged(name: str, oracle: str | None = None):
     """Decorator twin of ``queries.register`` writing to the round-8

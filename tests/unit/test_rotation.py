@@ -85,6 +85,24 @@ def test_live_window_is_unverified_first_then_stalest():
     assert rounds == sorted(rounds), "verified tail not oldest-green-first"
 
 
+def _without_pens_newer_than(qs: dict, fixture_round: int) -> dict:
+    """Drop every staged-pen registration that went live AFTER the
+    fixture round, so the window matches what that round's driver
+    actually saw regardless of future STAGED_R{N}_ENABLED flips
+    (ADVICE r07 medium — otherwise a populated newer pen front-loads
+    into the frozen fixture and evicts the asserted rows)."""
+    pens = []  # (activation round, pen module)
+    from rs_query_engine_spark import queries_staged_r7, queries_staged_r8
+
+    pens.append((7, queries_staged_r7))
+    pens.append((8, queries_staged_r8))
+    newer = set()
+    for rnd, mod in pens:
+        if rnd > fixture_round + 1:
+            newer |= set(mod.queries())
+    return {n: f for n, f in qs.items() if n not in newer}
+
+
 def test_round6_window_front_loaded_round6_targets_fixture():
     # round-6 composition, pinned against the FROZEN artifact set of
     # rounds ≤ 5 (what the driver saw entering round 6): the 4 queries
@@ -94,11 +112,8 @@ def test_round6_window_front_loaded_round6_targets_fixture():
     try:
         registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = _frozen_fixture(5)
         qs, osql = registry._registries()
-        # the r7 pen did not exist in round 6 — exclude it so the
-        # window matches what the round-6 driver actually saw
-        from rs_query_engine_spark import queries_staged_r7 as r7
-
-        qs = {n: f for n, f in qs.items() if n not in r7.queries()}
+        # pens activated after round 6 (r7, r8, ...) did not exist then
+        qs = _without_pens_newer_than(qs, 5)
         names = registry._rotation_order(qs, osql)[:50]
         for n in [
             "agg_freq_items",
@@ -132,6 +147,8 @@ def test_round7_window_front_loads_staged_r7_fixture():
         registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = _frozen_fixture(6)
         green, _ = registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN
         qs, osql = registry._registries()
+        # pens activated after round 7 (r8, ...) did not exist then
+        qs = _without_pens_newer_than(qs, 6)
         names = registry._rotation_order(qs, osql)
         window = set(names[:50])
         for n in r7.queries():

@@ -132,3 +132,41 @@ def test_binary_simhash_edge_payloads(spark):
     assert rows[2]["simhash"] == rows[3]["simhash"]
     assert rows[4]["n_grams"] == 1
     assert rows[4]["simhash"] > 0
+
+
+def test_binary_simhash_query_guards_non_ascii(spark):
+    """multimodal_binary_simhash parity must be independent of corpus
+    ASCII-ness (ADVICE r06 / VERDICT r07 #5): Spark hashes utf-8 BYTE
+    4-grams while the VARCHAR oracle hashes CODEPOINT windows, so both
+    sides filter to pure-ASCII rows with the identical
+    byte-length == char-length predicate. Pin: on a mixed corpus the
+    Spark-side filter and DuckDB's ``strlen = length`` keep exactly
+    the same rows."""
+    import duckdb
+
+    rows = [
+        (1, "plain ascii text"),
+        (2, "café au lait"),        # é: 2 utf-8 bytes, 1 codepoint
+        (3, "日本語 corpus"),  # CJK: 3 bytes/codepoint
+        (4, ""),
+        (5, "x" * 10),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_spark = {
+        r["doc_id"]
+        for r in d.filter(
+            (F.length("text") > 0)
+            & (F.octet_length("text") == F.length("text"))
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    kept_duck = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM t WHERE length(text) > 0 "
+            "AND strlen(text) = length(text)"
+        ).fetchall()
+    }
+    assert kept_spark == kept_duck == {1, 5}
