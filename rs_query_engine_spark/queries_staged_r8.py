@@ -51,3 +51,357 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+# =====================================================================
+# TPC-H Q20/Q21-shaped nested correlated semi/anti joins (VERDICT r07
+# next-round #1 — extends sql_entry_q17_corr's correlation family)
+# =====================================================================
+
+
+@register_staged(
+    "tpch_q20_shape",
+    oracle="""
+    WITH per_sp AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type = 'PROMO'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ), per_p AS (
+        SELECT l_partkey, SUM(qty) AS total FROM per_sp GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominant_parts
+    FROM per_sp j
+    JOIN per_p t ON j.l_partkey = t.l_partkey
+    JOIN supplier s ON s.s_suppkey = j.l_suppkey
+    WHERE 2 * j.qty > t.total
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 SHAPE (``dbgen`` Q20 probes partsupp availqty against
+    half the shipped quantity; this corpus has no partsupp table, so
+    the same nested-aggregate + semi-join topology runs on lineitem
+    alone): suppliers that DOMINATE a PROMO part — their shipped
+    quantity of that part exceeds half the part's total shipped
+    quantity — with the count of dominated parts per supplier.
+
+    Scale shape: the inner correlated aggregate ("total per part")
+    decorrelates into a SECOND aggregate over the already-reduced
+    per-(supplier, part) rollup — never a re-scan of lineitem — and
+    the two aggregates join co-partitioned on l_partkey (the per-part
+    shuffle reuses the rollup's key prefix). The PROMO part filter
+    broadcasts into the fact scan; supplier is a broadcast dim.
+    Quantities sum through DECIMAL(12,2) and the dominance test is the
+    all-integer-decimal ``2*qty > total`` — no float rounding anywhere
+    (float-determinism discipline, queries.py module docstring)."""
+    from rs_query_engine_spark.queries import D_PRICE
+
+    li = _t(spark, sf_dir, "lineitem")
+    promo = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"]).select(
+        "l_suppkey", "l_partkey", F.col("l_quantity").cast(D_PRICE).alias("q")
+    )
+    per_sp = j.groupBy("l_suppkey", "l_partkey").agg(F.sum("q").alias("qty"))
+    per_p = per_sp.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    qual = per_sp.join(per_p, "l_partkey").filter(
+        F.lit(2) * F.col("qty") > F.col("total")
+    )
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "n_dominant_parts")
+    )
+
+
+@register_staged(
+    "tpch_q21_shape",
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM l1 l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM l1 l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+    )
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 SHAPE (suppliers-who-kept-waiting; this corpus's
+    lineitem has no receipt/commit dates, so "late" becomes "shipped
+    last"): over finished orders, count lineitems where another
+    supplier ALSO shipped on the order (EXISTS → left-semi join) but
+    NO other supplier shipped later (NOT EXISTS with an inequality →
+    left-anti join) — the full Q21 correlation topology: one fact
+    stream correlated against itself twice with opposite quantifiers.
+
+    Scale shape: the finished-order lineitem projection is computed
+    once and `localCheckpoint`ed (consumed three times: probe + both
+    correlated sides — see operators/dedup.py's module docstring for
+    the executor-loss caveat); the semi and anti joins shuffle on
+    l_orderkey only, carrying three narrow columns; supplier
+    broadcasts; final top-20 is TakeOrderedAndProject (numwait DESC,
+    s_suppkey — deterministic limit), never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .localCheckpoint()
+    )
+    l2 = l1.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3["k3"])
+        & (F.col("l_suppkey") != l3["s3"])
+        & (l3["d3"] > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        waited.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+# =====================================================================
+# SQL entry — correlated LATERAL top-k join
+# =====================================================================
+
+
+@register_staged(
+    "sql_entry_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) t
+    """,
+)
+def sql_entry_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT through the
+    SQL entry point — per-nation top-3 customers by balance. The SQL
+    spells per-row iteration ("for each nation, run this subquery");
+    Catalyst decorrelates it into a window rank over a single customer
+    shuffle + a nation join — never nested-loop re-execution, the same
+    physical plan the window_topk_per_group DataFrame query gets. The
+    surface matters: LATERAL is how analysts express top-k-per-key,
+    and the engine must plan it distributively."""
+    from rs_query_engine_spark.sources.corpus import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) t
+        """
+    )
+
+
+# =====================================================================
+# Window — IGNORE NULLS forward/backward fill (imputation pair)
+# =====================================================================
+
+
+@register_staged(
+    "window_ignore_nulls",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN o_totalprice > 400000.0 THEN o_totalprice END
+                   AS big_price
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, big_price,
+           LAST_VALUE(big_price IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_price,
+           FIRST_VALUE(big_price IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS bfill_price
+    FROM base
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window fills — the imputation pair every feature
+    pipeline needs: forward-fill (last non-null big-order price seen
+    so far per customer) and backward-fill (next non-null ahead),
+    both over one o_custkey shuffle with opposite frames. Values are
+    raw double passthroughs (exact selections, no arithmetic), so the
+    whole result hash-verifies. Completes the window family next to
+    ntile/lead/rank/range-frame with the null-skipping frame
+    semantics none of those exercise."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.when(F.col("o_totalprice") > 400000.0, F.col("o_totalprice")).alias(
+            "big_price"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "big_price",
+        F.last("big_price", ignorenulls=True).over(wf).alias("ffill_price"),
+        F.first("big_price", ignorenulls=True).over(wb).alias("bfill_price"),
+    )
+
+
+# =====================================================================
+# Set ops — multiset EXCEPT ALL / INTERSECT ALL
+# =====================================================================
+
+
+@register_staged(
+    "setop_except_all",
+    oracle="""
+    SELECT 'except_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — EXCEPT ALL / INTERSECT ALL keep
+    per-key multiplicity (a customer with 5 open and 2 finished orders
+    survives EXCEPT ALL 3 times), the semantics ``setop_intersect_
+    except``'s DISTINCT variants deliberately erase. Spark plans both
+    as a single count-compare aggregate per key (replicate rows
+    min/diff of the two counts) — one shuffle each, no join. The
+    driver's order-insensitive multiset hash verifies multiplicities
+    exactly."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.exceptAll(fin).select(
+        F.lit("except_all").alias("op"), "o_custkey"
+    ).unionByName(
+        open_.intersectAll(fin).select(
+            F.lit("intersect_all").alias("op"), "o_custkey"
+        )
+    )
+
+
+# =====================================================================
+# Layout — small-file compaction planner (cumulative-size binning)
+# =====================================================================
+
+_COMPACT_TARGET_CHARS = 2000
+
+
+@register_staged(
+    "layout_compaction_bins",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, n_chars,
+               -- CAST: DuckDB SUM(BIGINT) is HUGEINT and would type
+               -- the division DECIMAL (driver hash is type-sensitive)
+               COALESCE(CAST(SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS cum_before
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars,
+           cum_before // {_COMPACT_TARGET_CHARS} AS bin
+    FROM sized
+    """,
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION PLANNER — the metadata half of the
+    small-files problem (sinks.compact_files is the rewrite half):
+    per source, documents are packed greedily in doc_id order into
+    target-char bins (_COMPACT_TARGET_CHARS) via an exclusive running
+    sum, so each bin maps to one output file of roughly target size.
+    All-bigint arithmetic (cumsum + floor division) — hash-exact.
+
+    Scale shape: ONE hash shuffle on the partition key (source) and a
+    per-source window sort — never a global sort (at 100 TB the
+    real input is the file-listing table, millions of rows, and each
+    source's listing sorts independently). The greedy-cumsum bin
+    assignment is the standard compaction heuristic (bins can
+    overshoot by one file — by design, it keeps assignment a pure
+    window function instead of an iterative packer)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_chars").over(w), F.lit(0).cast("bigint"))
+    return d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        cum.alias("cum_before"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"cum_before div {_COMPACT_TARGET_CHARS}").alias("bin"),
+    )
