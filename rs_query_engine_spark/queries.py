@@ -2841,10 +2841,16 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped composite: 3-way join + predicate pushdown on
     every input + grouped revenue + top-10. The classic plan-quality
-    probe — filters must reach all three scans, the customer dim join
-    broadcasts, and the top-10 runs as TakeOrderedAndProject (no full
-    sort). Revenue terms are exact on a 4-decimal grid (price×(1-disc)
-    stays within 2+2 decimals), so the decimal sum hash-matches."""
+    probe — filters must reach all three scans and the top-10 runs as
+    TakeOrderedAndProject (no full sort). Customer is NOT a fixed-
+    cardinality dim — it is SF-proportional in TPC-H, so the filtered
+    BUILDING segment grows with the corpus and a forced broadcast
+    would OOM / hit the 8 GB broadcast cap at large SF (VERDICT r08
+    #2). No hint: AQE sizes the join at runtime (broadcast when the
+    segment is small, shuffle-hash otherwise) — same standard as
+    dedup_keep_canonical. Revenue terms are exact on a 4-decimal grid
+    (price×(1-disc) stays within 2+2 decimals), so the decimal sum
+    hash-matches."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30")
@@ -2853,7 +2859,7 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -5947,8 +5953,12 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier-free auto-labeling pass of a curation pipeline
     (label known docs, propagate to neighbors) — and it rides the SAME
     bucketed IVF plan as similarity_ivf_probed (broadcast centroids,
-    list equi-join, never all-pairs), plus one broadcast label join
-    and a per-query vote window."""
+    list equi-join, never all-pairs), plus one label join and a
+    per-query vote window. Broadcast ORIENTATION (VERDICT r08 #1): the
+    small side is ``nn`` (queries × k rows); the (vec_id, label)
+    projection is corpus-proportional — billions of rows at 100 TB —
+    so ``nn`` carries the hint and the label side STREAMS (pinned by
+    the registry-wide broadcast lint in test_plan_properties.py)."""
     from pyspark.sql import Window
 
     from rs_query_engine_spark.operators.similarity import ivf_topk
@@ -5965,7 +5975,7 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("query_id")
     )
     votes = (
-        nn.join(F.broadcast(e.select("vec_id", "label")), "vec_id")
+        F.broadcast(nn).join(e.select("vec_id", "label"), "vec_id")
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
@@ -6210,5 +6220,9 @@ STAGED_R7_ENABLED = True
 # committed (18 r7 activations + re-checks), so new round-7 operators
 # stage here and activate next round by flipping this flag — same lazy
 # read-time merge, same local parity harness
-# (tests/oracle/test_staged_r8_parity.py at sf0.001 + sf0.01).
-STAGED_R8_ENABLED = False
+# (tests/oracle/test_staged_r8_parity.py at sf0.001 + sf0.01). Flipped
+# True in round 9 per the r08 brief: all 10 staged queries (incl. the
+# invariant-oracle companions for the rows-only class) were locally
+# hash-verified at sf0.001 and sf0.01 before activation; they
+# front-load the driver window as unverified (10 + 40 re-check slots).
+STAGED_R8_ENABLED = True

@@ -773,16 +773,42 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(src)
     key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
     digest = hashlib.md5(key.encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"rsqes_orc_{digest}", "part")
+    cache_root = os.path.join(tempfile.gettempdir(), f"rsqes_orc_{digest}")
+    path = os.path.join(cache_root, "part")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         write_orc(_t(spark, sf_dir, "part"), tmp, coalesce_files=4)
         try:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
+            os.makedirs(cache_root, exist_ok=True)
+            # marker names the SOURCE so the stale sweep below can tell
+            # an out-of-date generation of THIS source from a live
+            # cache of a different SF dir (which has a different src)
+            with open(os.path.join(cache_root, "source.txt"), "w") as f:
+                f.write(src)
             os.rename(tmp, path)  # atomic on POSIX; loser keeps winner's copy
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            # The except path is only benign when a concurrent winner
+            # actually installed the cache; any OTHER cause (perms,
+            # disk full) must surface here, not as an unrelated
+            # register_orc failure downstream (ADVICE r08).
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+        # sweep stale caches of THIS source left by earlier parquet
+        # generations (old mtime/size → old digest); other sources'
+        # caches (different SF dirs) are live and untouched (ADVICE r08)
+        parent = tempfile.gettempdir()
+        for d in os.listdir(parent):
+            if not d.startswith("rsqes_orc_") or d == f"rsqes_orc_{digest}":
+                continue
+            try:
+                with open(os.path.join(parent, d, "source.txt")) as f:
+                    stale_src = f.read()
+            except OSError:
+                continue
+            if stale_src == src:
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     cat = Catalog(spark)
     orc_df = cat.register_orc(f"part_orc_{digest}", path)
     return orc_df.filter(F.col("p_retailprice") > 950.0)
