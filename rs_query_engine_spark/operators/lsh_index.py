@@ -1,0 +1,165 @@
+"""Persisted MinHash-LSH index — the incremental-ingest shape at
+100 TB.
+
+The batch near-dup pipeline (``operators/dedup.py:minhash_lsh_pairs``)
+recomputes every corpus signature per run. A daily-ingest pipeline
+cannot: at 100 TB the corpus signatures are an *asset*, written once
+and maintained, and each new batch joins its (tiny) signature set
+against the persisted index. This module materializes that asset as
+two parquet tables under one root:
+
+- ``bands``:  (doc_id, key, band)  — the banded LSH postings,
+  partitioned by ``band`` (at cluster scale you'd additionally
+  ``bucketBy(key)`` into a table so probe joins are shuffle-free;
+  plain parquet keeps the harness catalog-free, and the band
+  partitioning already demonstrates partition pruning on probes).
+- ``sigs``:   (doc_id, sig array<bigint>) — one row per indexed doc,
+  used to verify candidates by signature-component agreement without
+  ever re-reading corpus text.
+
+Degenerate buckets (> MINHASH_MAX_BUCKET members) are dropped at
+BUILD time — the standard recall/size trade (a true near-dup inside
+one still meets its match via another band), and it bounds the
+per-probe fan-out so one adversarial boilerplate key cannot explode a
+batch join.
+
+Analogue of the reference's catalog registration surface
+(``src/catalog.rs:16-42``) extended to a *maintained artifact*: the
+index is cache-keyed on the source parquet's (path, mtime, size) just
+like the ORC cache, rebuilt only when the corpus changes, and
+installed with an atomic rename so concurrent builders race safely.
+
+Determinism: signatures/bands derive from md5 (engine-independent),
+so the whole index — and any probe against it — is oracle-checkable
+in DuckDB from the raw documents table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.functions.text import shingles
+from rs_query_engine_spark.operators.dedup import (
+    MINHASH_MAX_BUCKET,
+    MINHASH_NUM_HASHES,
+    _minhash_from_shingles,
+    minhash_band_keys,
+)
+from rs_query_engine_spark.sources.corpus import spread
+
+# The incremental-ingest stand-in split: "today's batch" is every
+# 20th doc; the index holds the other 19/20 ("the corpus as of
+# yesterday"). Shared by the build and the probe queries AND their
+# oracles — keep the three in sync.
+BATCH_MOD = 20
+BATCH_REM = 7
+
+INDEX_VERSION = "lshv1"  # bump to invalidate all cached indexes
+
+
+def doc_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sig) — MinHash signatures for docs with ≥1 shingle
+    (empty-shingle docs share the sentinel signature and can never
+    clear a positive threshold; they are excluded from the index and
+    from batch probing, exactly as in ``minhash_lsh_pairs``)."""
+    sh = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), 3)).alias("_sh"),
+    )
+    return sh.filter(F.size("_sh") > 0).select(
+        "doc_id", _minhash_from_shingles(F.col("_sh"), MINHASH_NUM_HASHES).alias("sig")
+    )
+
+
+def band_postings(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — exploded banded LSH postings."""
+    return sigs.select(
+        "doc_id", F.explode(minhash_band_keys(F.col("sig"))).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _cap_buckets(bands: DataFrame, max_bucket: int = MINHASH_MAX_BUCKET) -> DataFrame:
+    """Drop postings in degenerate (band, key) buckets. A groupBy +
+    equi-join (map-side partials, AQE broadcasts the surviving bucket
+    list when small) — not a window, which would sort every posting."""
+    ok = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "key")
+    )
+    return bands.join(ok, ["band", "key"]).select("doc_id", "band", "key")
+
+
+def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the root path of the persisted LSH
+    index over the non-batch corpus slice of ``{sf_dir}/documents``.
+
+    Cache-keyed on the source parquet's (path, mtime_ns, size) +
+    INDEX_VERSION; installed by atomic rename (loser of a concurrent
+    race uses the winner's copy; any *other* rename failure re-raises
+    — same contract as the ORC cache, ADVICE r08)."""
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{INDEX_VERSION}"
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"rsqes_lshidx_{digest}")
+    if _index_complete(root):
+        return root
+    docs = spark.read.parquet(src).filter(
+        F.col("doc_id") % BATCH_MOD != BATCH_REM
+    )
+    sigs = doc_signatures(docs)
+    bands = _cap_buckets(band_postings(sigs))
+    tmp = f"{root}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # band partitioning: probes for one band prune the other
+    # directories; at cluster scale bands.bucketBy("key") makes the
+    # probe join shuffle-free on the batch side too
+    bands.write.partitionBy("band").parquet(os.path.join(tmp, "bands"))
+    sigs.write.parquet(os.path.join(tmp, "sigs"))
+    with open(os.path.join(tmp, "source.txt"), "w") as f:
+        f.write(src)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not _index_complete(root):
+            raise
+    # sweep stale generations of THIS source (old mtime → old digest)
+    parent = tempfile.gettempdir()
+    for d in os.listdir(parent):
+        if not d.startswith("rsqes_lshidx_") or d == os.path.basename(root):
+            continue
+        try:
+            with open(os.path.join(parent, d, "source.txt")) as f:
+                stale_src = f.read()
+        except OSError:
+            continue
+        if stale_src == src:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return root
+
+
+def _index_complete(root: str) -> bool:
+    return all(
+        os.path.exists(os.path.join(root, sub, "_SUCCESS"))
+        for sub in ("bands", "sigs")
+    )
+
+
+def read_index_bands(spark: SparkSession, root: str) -> DataFrame:
+    # explicit column order: the partition column comes back last
+    return spark.read.parquet(os.path.join(root, "bands")).select(
+        "doc_id", "band", "key"
+    )
+
+
+def read_index_sigs(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "sigs")).select("doc_id", "sig")

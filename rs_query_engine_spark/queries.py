@@ -144,7 +144,12 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     AttributeError). Reading the flag at call time also lets tests
     flip it without re-importing. Live registrations win on any name
     collision (guarded by tests/unit/test_staged_ops.py)."""
-    if not (STAGED_ENABLED or STAGED_R7_ENABLED or STAGED_R8_ENABLED):
+    if not (
+        STAGED_ENABLED
+        or STAGED_R7_ENABLED
+        or STAGED_R8_ENABLED
+        or STAGED_R9_ENABLED
+    ):
         return _QUERIES, _ORACLE
     merged_q = dict(_QUERIES)
     merged_o = dict(_ORACLE)
@@ -161,6 +166,10 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         from rs_query_engine_spark import queries_staged_r8 as _staged_r8
 
         staged_mods.append(_staged_r8)
+    if STAGED_R9_ENABLED:
+        from rs_query_engine_spark import queries_staged_r9 as _staged_r9
+
+        staged_mods.append(_staged_r9)
     for mod in staged_mods:
         for n, fn in mod._QUERIES.items():
             merged_q.setdefault(n, fn)
@@ -6226,3 +6235,12 @@ STAGED_R7_ENABLED = True
 # hash-verified at sf0.001 and sf0.01 before activation; they
 # front-load the driver window as unverified (10 + 40 re-check slots).
 STAGED_R8_ENABLED = True
+
+# Round-9 holding pen (``queries_staged_r9.py``): round 9's window is
+# committed (10 r8 activations + 40 stalest re-checks), so new
+# round-9 operators — led by the persisted LSH index table and the
+# IVF recall-vs-nprobe audit (VERDICT r08 #4) — stage here and
+# activate in round 10 by flipping this flag; same lazy read-time
+# merge, same local parity harness
+# (tests/oracle/test_staged_r9_parity.py at sf0.001 + sf0.01).
+STAGED_R9_ENABLED = False

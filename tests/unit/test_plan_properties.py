@@ -592,6 +592,10 @@ BIG_TABLE_BROADCAST_OK = {
     # per group) — group-cardinality-sized, but the detector only
     # credits Join/Aggregate nodes as reducing.
     "agg_mad_outliers": "rank-filtered window -> one median row per event_type",
+    # Staged for round 10 (queries_staged_r9.py) — pre-listed so the
+    # activation flip doesn't trip the lint: same probe/seed pattern
+    # as the other similarity entries.
+    "similarity_ivf_recall_audit": "seed centroids + probe set broadcast in the IVF and brute arms",
 }
 
 
@@ -610,8 +614,12 @@ def test_registry_no_forced_broadcast_of_unreduced_big_table(spark):
 
     from rs_query_engine_spark import queries as registry
 
-    # keep the allowlist honest: every entry must name a live query
-    assert set(BIG_TABLE_BROADCAST_OK) <= set(registry.queries())
+    # keep the allowlist honest: every entry must name a live query or
+    # one staged in a holding pen awaiting activation
+    from rs_query_engine_spark import queries_staged_r9
+
+    known = set(registry.queries()) | set(queries_staged_r9.queries())
+    assert set(BIG_TABLE_BROADCAST_OK) <= known
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -673,3 +681,98 @@ def test_tpch_q3_customer_join_has_no_forced_broadcast():
     fn = registry.tpch_q3_shape
     code = inspect.getsource(fn).replace(fn.__doc__, "")
     assert "broadcast" not in code.lower()
+
+
+# =====================================================================
+# Round-9 staged operators (queries_staged_r9.py) — plan shapes
+# =====================================================================
+
+
+def test_lsh_index_build_returns_pure_artifact_scan(spark):
+    """The index-build query's RESULT plan must be a bare read of the
+    persisted artifact — no documents scan, no join, no shuffle: the
+    signatures were computed at build time, which is the whole point
+    of a maintained index (VERDICT r08 #4)."""
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.dedup_lsh_index_build(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "rsqes_lshidx_" in plan  # reads the artifact
+    assert "documents.parquet" not in plan  # corpus not re-read
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_incremental_indexed_probes_index_without_corpus_recompute(spark):
+    """The indexed incremental probe must (a) read corpus signatures
+    from the persisted index, never recompute them — documents.parquet
+    appears only under the batch-side doc_id filter — and (b) pair via
+    the (band, key) equi-join, never all-pairs."""
+    import re
+
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.dedup_incremental_indexed(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "rsqes_lshidx_" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every documents scan is a batch scan: its pushed filters carry
+    # the doc_id batch predicate (pmod pushdown shows as detail text;
+    # assert no documents scan lacks a doc_id filter mention nearby)
+    for block in re.split(r"\n\n+", plan):
+        if "documents.parquet" in block and "Scan parquet" in block:
+            assert "doc_id" in block, (
+                "unfiltered corpus-wide documents scan in the probe:\n" + block
+            )
+
+
+def test_cdc_chunks_is_map_only(spark):
+    """Content-defined chunking must be a single map pass: array HOFs
+    only — no hash/range shuffle, no sort, no UDF. (The one Exchange
+    allowed is spread()'s round-robin parallelism shim for the
+    single-row-group test files — a no-op at scale.)"""
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.text_cdc_chunks(spark, SF_DIR)
+    plan = explain_str(df)
+    low = plan.lower()
+    assert "hashpartitioning" not in low
+    assert "rangepartitioning" not in low
+    assert "sort" not in low.replace("array_sort", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skew_diagnostics_topk_and_partial_agg(spark):
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.skew_key_diagnostics(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-10
+    assert "partial_count" in plan  # map-side combine on the key agg
+
+
+def test_q2_shape_no_forced_broadcast_of_scaling_sides():
+    """part and supplier are SF-proportional — only nation/region may
+    carry broadcast hints in tpch_q2_shape (same standard as the r9
+    tpch_q3_shape fix)."""
+    import inspect
+
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    fn = r9.tpch_q2_shape
+    code = inspect.getsource(fn).replace(fn.__doc__, "")
+    hints = [ln for ln in code.splitlines() if "F.broadcast(" in ln]
+    assert len(hints) == 2  # exactly the two fixed-cardinality dims
+    assert all("(n)" in h or "(r)" in h for h in hints)
+
+
+def test_rolling_dau_expands_map_side_no_range_join(spark):
+    """The trailing-7-day expansion must be the map-side explode —
+    never a non-equi day-range join over the activity table."""
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.events_rolling_dau(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Generate" in plan  # explode(sequence(...))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
