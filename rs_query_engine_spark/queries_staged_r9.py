@@ -876,3 +876,44 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(lens).cast("bigint").alias("max_chunk"),
         (F.col("n").cast("double") / (F.size("bpos") + 1)).alias("avg_chunk"),
     )
+
+
+@register_staged(
+    "text_feature_hashing",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
+           COUNT(*) AS cnt
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al.) — each document
+    becomes a fixed-16-dimension sparse count vector by hashing
+    tokens straight into buckets, in long form (doc_id, bucket, cnt).
+    This is the vectorizer that actually works at 100 TB: unlike
+    tf-idf/vocabulary encoders there is NO vocabulary table to build,
+    maintain, or broadcast — the dimension is fixed before the first
+    document arrives, new tokens never change the schema, and two
+    engines (or two cluster runs years apart) agree bucket-for-bucket
+    because the hash is the engine-portable md5 primitive.
+
+    Scale shape: one explode + one groupBy(doc_id, bucket) with
+    map-side partials; since every exploded token carries its own
+    doc_id, the aggregation key is corpus-partitionable and the
+    shuffle carries at most 16 rows per document."""
+    from rs_query_engine_spark.functions.hashing import md5_hex8
+    from rs_query_engine_spark.functions.text import tokens
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.select("doc_id", (md5_hex8(F.col("tok")) % 16).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
