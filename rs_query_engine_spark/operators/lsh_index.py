@@ -97,33 +97,27 @@ def _cap_buckets(bands: DataFrame, max_bucket: int = MINHASH_MAX_BUCKET) -> Data
     return bands.join(ok, ["band", "key"]).select("doc_id", "band", "key")
 
 
-def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once) and return the root path of the persisted LSH
-    index over the non-batch corpus slice of ``{sf_dir}/documents``.
-
-    Cache-keyed on the source parquet's (path, mtime_ns, size) +
-    INDEX_VERSION; installed by atomic rename (loser of a concurrent
-    race uses the winner's copy; any *other* rename failure re-raises
-    — same contract as the ORC cache, ADVICE r08)."""
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+def _artifact_root(src: str, tag: str) -> str:
+    """Cache root for one artifact generation: keyed on the source
+    parquet's (path, mtime_ns, size) + INDEX_VERSION + tag, so a
+    regenerated corpus re-keys every derived artifact (the
+    path-only-key staleness bug of ADVICE r06 cannot recur)."""
     st = os.stat(src)
-    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{INDEX_VERSION}"
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{INDEX_VERSION}|{tag}"
     digest = hashlib.md5(key.encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"rsqes_lshidx_{digest}")
-    if _index_complete(root):
-        return root
-    docs = spark.read.parquet(src).filter(
-        F.col("doc_id") % BATCH_MOD != BATCH_REM
-    )
-    sigs = doc_signatures(docs)
-    bands = _cap_buckets(band_postings(sigs))
+    return os.path.join(tempfile.gettempdir(), f"rsqes_{tag}_{digest}")
+
+
+def _install(root: str, tag: str, src: str, write_fn) -> None:
+    """Build-into-temp + atomic-rename install with stale-generation
+    sweep. ``write_fn(tmp_dir)`` materializes the artifact's content.
+    The rename loser uses the winner's copy; any OTHER rename failure
+    re-raises (same contract as the ORC cache, ADVICE r08); stale
+    generations of the SAME source (old digests under the same tag)
+    are swept, other sources' caches untouched."""
     tmp = f"{root}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    # band partitioning: probes for one band prune the other
-    # directories; at cluster scale bands.bucketBy("key") makes the
-    # probe join shuffle-free on the batch side too
-    bands.write.partitionBy("band").parquet(os.path.join(tmp, "bands"))
-    sigs.write.parquet(os.path.join(tmp, "sigs"))
+    write_fn(tmp)
     with open(os.path.join(tmp, "source.txt"), "w") as f:
         f.write(src)
     try:
@@ -132,10 +126,9 @@ def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         if not _index_complete(root):
             raise
-    # sweep stale generations of THIS source (old mtime → old digest)
     parent = tempfile.gettempdir()
     for d in os.listdir(parent):
-        if not d.startswith("rsqes_lshidx_") or d == os.path.basename(root):
+        if not d.startswith(f"rsqes_{tag}_") or d == os.path.basename(root):
             continue
         try:
             with open(os.path.join(parent, d, "source.txt")) as f:
@@ -144,6 +137,63 @@ def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
             continue
         if stale_src == src:
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
+def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the root path of the persisted LSH
+    index over the non-batch corpus slice of ``{sf_dir}/documents``."""
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    root = _artifact_root(src, "lshidx")
+    if _index_complete(root):
+        return root
+    docs = spark.read.parquet(src).filter(
+        F.col("doc_id") % BATCH_MOD != BATCH_REM
+    )
+    sigs = doc_signatures(docs)
+    bands = _cap_buckets(band_postings(sigs))
+
+    def write(tmp: str) -> None:
+        # band partitioning: probes for one band prune the other
+        # directories; at cluster scale bands.bucketBy("key") makes
+        # the probe join shuffle-free on the batch side too
+        bands.write.partitionBy("band").parquet(os.path.join(tmp, "bands"))
+        sigs.write.parquet(os.path.join(tmp, "sigs"))
+
+    _install(root, "lshidx", src, write)
+    return root
+
+
+def ensure_merged_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """MERGE the admitted batch into the index — the maintenance step
+    that closes the incremental loop: after ``dedup_incremental_indexed``
+    screens a batch, its postings and signatures append to a NEW index
+    generation (LSM-style: the old generation stays immutable and is
+    swept once the new one installs). The merge never recomputes
+    corpus signatures — it unions the persisted postings with the
+    batch-only pipeline and re-applies the degeneracy cap on MERGED
+    bucket sizes (a bucket that turns degenerate after the merge is
+    retired wholesale; postings an earlier cap dropped stay dropped —
+    the standard write-once trade, documented so the oracle mirrors
+    the same two-stage cap)."""
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    root = _artifact_root(src, "lshmrg")
+    if _index_complete(root):
+        return root
+    base = ensure_lsh_index(spark, sf_dir)
+    batch = spark.read.parquet(src).filter(
+        F.col("doc_id") % BATCH_MOD == BATCH_REM
+    )
+    bsigs = doc_signatures(batch)
+    merged_bands = _cap_buckets(
+        read_index_bands(spark, base).unionByName(band_postings(bsigs))
+    )
+    merged_sigs = read_index_sigs(spark, base).unionByName(bsigs)
+
+    def write(tmp: str) -> None:
+        merged_bands.write.partitionBy("band").parquet(os.path.join(tmp, "bands"))
+        merged_sigs.write.parquet(os.path.join(tmp, "sigs"))
+
+    _install(root, "lshmrg", src, write)
     return root
 
 

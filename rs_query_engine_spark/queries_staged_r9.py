@@ -917,3 +917,44 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register_staged(
+    "dedup_lsh_index_merge",
+    oracle=f"""
+    WITH {_LSH_IDX_CTES},
+    bband AS (
+        SELECT doc_id, band, key FROM banded
+        WHERE doc_id % {BATCH_MOD} = {BATCH_REM}
+    ), merged AS (
+        SELECT doc_id, band, key FROM idx
+        UNION ALL
+        SELECT doc_id, band, key FROM bband
+    )
+    SELECT doc_id, band, key FROM merged
+    QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {MINHASH_MAX_BUCKET}
+    """,
+)
+def dedup_lsh_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE — merge the screened batch into a new index
+    generation (operators/lsh_index.py:ensure_merged_lsh_index),
+    closing the incremental-ingest loop: build once, probe each batch,
+    MERGE the batch in, repeat. LSM-style immutable generations: the
+    union of the persisted postings and the batch-only pipeline is
+    re-capped on MERGED bucket sizes and installed as a fresh
+    atomic-rename artifact (the previous generation sweeps after
+    install); corpus signatures are never recomputed. The oracle
+    mirrors the two-stage cap exactly (existing-only cap, union,
+    merged cap) so the write-once semantics — postings dropped by an
+    earlier cap stay dropped, buckets that turn degenerate on merge
+    retire wholesale — are hash-pinned, not just documented.
+
+    Returns the READ-BACK merged postings: a hash-PASS proves the
+    maintained artifact, not the in-memory union."""
+    from rs_query_engine_spark.operators.lsh_index import (
+        ensure_merged_lsh_index,
+        read_index_bands,
+    )
+
+    root = ensure_merged_lsh_index(spark, sf_dir)
+    return read_index_bands(spark, root)

@@ -776,3 +776,15 @@ def test_rolling_dau_expands_map_side_no_range_join(spark):
     assert "Generate" in plan  # explode(sequence(...))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_index_merge_returns_pure_artifact_scan(spark):
+    """Like the build query: the merge RESULT plan is a bare read of
+    the new generation — the union/cap work happened at install time."""
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.dedup_lsh_index_merge(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "rsqes_lshmrg_" in plan
+    assert "documents.parquet" not in plan
+    assert "Join" not in plan and "Exchange" not in plan
