@@ -213,3 +213,73 @@ def read_index_bands(spark: SparkSession, root: str) -> DataFrame:
 
 def read_index_sigs(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "sigs")).select("doc_id", "sig")
+
+
+def probe_index(
+    spark: SparkSession,
+    root: str,
+    batch_docs: DataFrame,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Screen a batch of (doc_id, text, …) documents against the
+    persisted index: batch-only signatures → (band, key) equi-join
+    against the postings → candidate verification by MinHash
+    component agreement (integer threshold: ≥ half the components,
+    the estimated-Jaccard ≥ 0.5 gate) against the stored signature
+    table. Returns one row per batch doc:
+    (doc_id, n_matches, admitted) — docs with no shingles never match
+    and are admitted.
+
+    Corpus text is never re-read and corpus signatures never
+    recomputed: per-batch cost is O(batch + candidates), independent
+    of corpus size. No broadcast hint on the probe join — AQE picks
+    (it broadcasts the batch side at any realistic batch:corpus
+    ratio). ``checkpoint`` materializes the batch signatures once
+    (they feed both the band probe and the verify join); callers
+    probing tiny micro-batches can skip it."""
+    from rs_query_engine_spark.operators.dedup import MINHASH_NUM_HASHES
+
+    bands_idx = read_index_bands(spark, root).select(
+        F.col("doc_id").alias("match_id"), "band", "key"
+    )
+    sigs_idx = read_index_sigs(spark, root).select(
+        F.col("doc_id").alias("match_id"), F.col("sig").alias("idx_sig")
+    )
+    bsigs = doc_signatures(batch_docs)
+    if checkpoint:
+        bsigs = bsigs.localCheckpoint()
+    bbands = band_postings(bsigs).select(
+        F.col("doc_id").alias("batch_id"), "band", "key"
+    )
+    cand = (
+        bbands.join(bands_idx, ["band", "key"])
+        .select("batch_id", "match_id")
+        .distinct()
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            F.col("b_sig"),
+            F.col("idx_sig"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    matches = (
+        cand.join(
+            bsigs.select(
+                F.col("doc_id").alias("batch_id"), F.col("sig").alias("b_sig")
+            ),
+            "batch_id",
+        )
+        .join(sigs_idx, "match_id")
+        .filter(2 * n_match >= MINHASH_NUM_HASHES)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .withColumnRenamed("batch_id", "doc_id")
+    )
+    return batch_docs.select("doc_id").join(matches, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias("n_matches"),
+        F.col("n_matches").isNull().alias("admitted"),
+    )

@@ -195,62 +195,21 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any realistic batch:corpus ratio); the integer component-match
     threshold keeps the gate float-free on both engines."""
     from rs_query_engine_spark.operators.lsh_index import (
-        band_postings,
-        doc_signatures,
         ensure_lsh_index,
-        read_index_bands,
-        read_index_sigs,
+        probe_index,
     )
 
     root = ensure_lsh_index(spark, sf_dir)
-    bands_idx = read_index_bands(spark, root).select(
-        F.col("doc_id").alias("match_id"), "band", "key"
-    )
-    sigs_idx = read_index_sigs(spark, root).select(
-        F.col("doc_id").alias("match_id"), F.col("sig").alias("idx_sig")
-    )
     batch = _t(spark, sf_dir, "documents").filter(
         F.col("doc_id") % BATCH_MOD == BATCH_REM
     )
-    # checkpoint: the batch signature projection (the expensive md5
-    # work) feeds BOTH the band probe and the component-match verify —
-    # one materialization instead of hashing the batch text twice
-    # (same localCheckpoint trade documented in dedup.py's module
-    # docstring; batch-sized, so the executor-storage risk is small)
-    bsigs = doc_signatures(batch).localCheckpoint()
-    bbands = band_postings(bsigs).select(
-        F.col("doc_id").alias("batch_id"), "band", "key"
-    )
-    cand = (
-        bbands.join(bands_idx, ["band", "key"])
-        .select("batch_id", "match_id")
-        .distinct()
-    )
-    n_match = F.aggregate(
-        F.zip_with(
-            F.col("b_sig"),
-            F.col("idx_sig"),
-            lambda a, b: F.when(a == b, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    matches = (
-        cand.join(
-            bsigs.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("b_sig")),
-            "batch_id",
-        )
-        .join(sigs_idx, "match_id")
-        .filter(2 * n_match >= MINHASH_NUM_HASHES)
-        .groupBy("batch_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .withColumnRenamed("batch_id", "doc_id")
-    )
-    return batch.select("doc_id").join(matches, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias("n_matches"),
-        F.col("n_matches").isNull().alias("admitted"),
-    )
+    # checkpoint=True: the batch signature projection (the expensive
+    # md5 work) feeds BOTH the band probe and the component-match
+    # verify — one materialization instead of hashing the batch text
+    # twice (same localCheckpoint trade documented in dedup.py's
+    # module docstring; batch-sized, so the executor-storage risk is
+    # small)
+    return probe_index(spark, root, batch, checkpoint=True)
 
 
 # =====================================================================
@@ -958,3 +917,90 @@ def dedup_lsh_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = ensure_merged_lsh_index(spark, sf_dir)
     return read_index_bands(spark, root)
+
+
+# The streaming probe screens the SAME batch against the SAME index,
+# one micro-batch at a time — per-document decisions are independent,
+# so the union of all micro-batch outputs equals the one-shot batch
+# probe and the two queries share one oracle by construction.
+@register_staged("stream_index_probe", oracle=_ORACLE["dedup_incremental_indexed"])
+def stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-ingest dedup — the streaming face of the persisted
+    LSH index: new documents arrive as a stream, each micro-batch is
+    screened against the index inside ``foreachBatch`` (the arbitrary-
+    batch-logic escape hatch: the probe is ordinary batch code — the
+    same ``probe_index`` the batch query calls — so index probing,
+    exactly-once parquet output and checkpoint-tracked offsets
+    compose without a streaming-specific join implementation), and
+    decisions land batch-id-partitioned for idempotent retries.
+
+    Per-document decisions are independent of micro-batch boundaries,
+    so the streamed output is hash-identical to the one-shot probe —
+    THE invariant that makes continuous ingest trustworthy, pinned
+    here against the same oracle as ``dedup_incremental_indexed``.
+    At 100 TB this is the landing-zone listener: the index streams
+    from the object store per micro-batch (or is cached executor-side
+    between batches), and the checkpoint makes crash recovery replay
+    only unconsumed files."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from rs_query_engine_spark.operators.lsh_index import (
+        ensure_lsh_index,
+        probe_index,
+    )
+
+    root = ensure_lsh_index(spark, sf_dir)
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    # probe the batch schema — never hardcode (events.ts lesson)
+    schema = spark.read.parquet(src).schema
+    # the file-stream source tails a DIRECTORY (the production drop-
+    # directory layout); the corpus ships one file, so expose it via
+    # the same stable symlink shim read_events_stream uses
+    if os.path.isfile(src):
+        digest = _hashlib.md5(src.encode()).hexdigest()[:16]
+        shim = os.path.join(tempfile.gettempdir(), f"rsqes_docstream_{digest}")
+        os.makedirs(shim, exist_ok=True)
+        link = os.path.join(shim, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        stream_src = shim
+    else:
+        stream_src = src
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+        .filter(F.col("doc_id") % BATCH_MOD == BATCH_REM)
+    )
+    digest = _hashlib.md5(src.encode()).hexdigest()[:16]
+    run_root = os.path.join(tempfile.gettempdir(), f"rsqes_streamprobe_{digest}")
+    out, ckpt = os.path.join(run_root, "out"), os.path.join(run_root, "ckpt")
+    # fresh run per invocation: a reused checkpoint would make the
+    # next run a no-op with stale files alongside (stream_parquet_sink
+    # pattern)
+    shutil.rmtree(run_root, ignore_errors=True)
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            probe_index(spark, root, batch_df, checkpoint=False)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(screen)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select("doc_id", "n_matches", "admitted")
