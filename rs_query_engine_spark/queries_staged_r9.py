@@ -1004,3 +1004,52 @@ def stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out).select("doc_id", "n_matches", "admitted")
+
+
+@register_staged(
+    "dedup_lsh_index_stats",
+    oracle=f"""
+    WITH {_LSH_IDX_CTES},
+    buckets AS (
+        SELECT band, key, COUNT(*) AS sz FROM idx GROUP BY band, key
+    )
+    SELECT band,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(sz) AS BIGINT) AS n_postings,
+           COUNT(CASE WHEN sz = 1 THEN 1 END) AS singleton_buckets,
+           COUNT(CASE WHEN sz >= 2 THEN 1 END) AS collision_buckets,
+           MAX(sz) AS max_bucket,
+           CAST(SUM(sz) AS DOUBLE) / COUNT(*) AS mean_bucket
+    FROM buckets GROUP BY band
+    """,
+)
+def dedup_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index HEALTH metrics — what an operator monitors on a
+    maintained LSH index: per band, the bucket count, posting count,
+    singleton/collision split, the largest bucket (headroom against
+    the degeneracy cap) and the mean bucket size. Rising max_bucket
+    means boilerplate keys drifting toward the cap (recall silently
+    degrades when they cross it); a collapsing collision count means
+    the banding no longer groups near-dups (wrong shingle size for
+    the corpus). Reads ONLY the persisted artifact — auditing the
+    index costs an index scan + a (band,key) aggregate, never a
+    corpus pass; mean_bucket is one exact int division."""
+    from rs_query_engine_spark.operators.lsh_index import (
+        ensure_lsh_index,
+        read_index_bands,
+    )
+
+    root = ensure_lsh_index(spark, sf_dir)
+    buckets = (
+        read_index_bands(spark, root)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("sz").alias("n_postings"),
+        F.count(F.when(F.col("sz") == 1, 1)).alias("singleton_buckets"),
+        F.count(F.when(F.col("sz") >= 2, 1)).alias("collision_buckets"),
+        F.max("sz").alias("max_bucket"),
+        (F.sum("sz").cast("double") / F.count(F.lit(1))).alias("mean_bucket"),
+    )

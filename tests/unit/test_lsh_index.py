@@ -130,3 +130,29 @@ def test_merged_generation_contains_batch_and_respects_cap(spark):
         .count()
         == 0
     )
+
+
+def test_probe_flags_exact_duplicate_and_admits_novel(spark, tmp_path):
+    """Semantic check the hash-parity tests can't express: a batch doc
+    that is an exact copy of an indexed doc MUST be rejected (all 16
+    MinHash components agree), and a novel doc must be admitted."""
+    base_text = "the quick brown fox jumps over the lazy dog again and again " * 5
+    corpus = spark.createDataFrame(
+        [(i, f"{base_text} corpus document number {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    sigs = li.doc_signatures(corpus)
+    bands = li._cap_buckets(li.band_postings(sigs))
+    root = str(tmp_path / "idx")
+    bands.write.partitionBy("band").parquet(os.path.join(root, "bands"))
+    sigs.write.parquet(os.path.join(root, "sigs"))
+    batch = spark.createDataFrame(
+        [
+            (100, f"{base_text} corpus document number 3"),  # exact dup of doc 3
+            (101, "completely different content about spark query engines and parquet files with nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    res = {r["doc_id"]: r for r in li.probe_index(spark, root, batch).collect()}
+    assert res[100]["admitted"] is False and res[100]["n_matches"] >= 1
+    assert res[101]["admitted"] is True and res[101]["n_matches"] == 0
