@@ -92,7 +92,10 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(supplier, part) rollup — never a re-scan of lineitem — and
     the two aggregates join co-partitioned on l_partkey (the per-part
     shuffle reuses the rollup's key prefix). The PROMO part filter
-    broadcasts into the fact scan; supplier is a broadcast dim.
+    carries NO broadcast hint (part is SF-proportional — bigger than
+    customer in TPC-H — so a forced hint is the r08 q3 bug class;
+    AQE broadcasts the filtered set while it fits, r9 fix); supplier
+    is a broadcast dim per sources/corpus.py BROADCAST_DIMS.
     Quantities sum through DECIMAL(12,2) and the dominance test is the
     all-integer-decimal ``2*qty > total`` — no float rounding anywhere
     (float-determinism discipline, queries.py module docstring)."""
@@ -105,7 +108,7 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    j = li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"]).select(
+    j = li.join(promo, li["l_partkey"] == promo["p_partkey"]).select(
         "l_suppkey", "l_partkey", F.col("l_quantity").cast(D_PRICE).alias("q")
     )
     per_sp = j.groupBy("l_suppkey", "l_partkey").agg(F.sum("q").alias("qty"))

@@ -563,8 +563,18 @@ def test_survivorship_window_reuses_fp_partitioning(spark):
 # Tables whose size is corpus-proportional: a FORCED broadcast of an
 # unreduced subset of one of these is the recurring 100-TB bug class
 # (r7 found two, r8 fixed those and missed a third — this gate turns
-# the class into a CI failure instead of a judge find).
-BIG_TABLES = ("lineitem", "orders", "customer", "documents", "embeddings", "events")
+# the class into a CI failure instead of a judge find). part is
+# included (it outgrows customer in TPC-H); supplier/nation/region
+# stay out per sources/corpus.py BROADCAST_DIMS.
+BIG_TABLES = (
+    "lineitem",
+    "orders",
+    "customer",
+    "part",
+    "documents",
+    "embeddings",
+    "events",
+)
 
 # Queries whose plans legitimately hint-broadcast a SELECTIVE subset of
 # a big table with no reducing join/aggregate inside the broadcast
