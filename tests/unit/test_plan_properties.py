@@ -798,3 +798,30 @@ def test_lsh_index_merge_returns_pure_artifact_scan(spark):
     assert "rsqes_lshmrg_" in plan
     assert "documents.parquet" not in plan
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_q21_shape_semi_anti_and_topk(spark):
+    """Q21's correlation topology must plan as semi + anti joins over
+    the checkpointed projection, with the final top-20 as
+    TakeOrderedAndProject — never per-row subqueries or a global
+    sort (pins the activated r8 query's docstring claims)."""
+    from rs_query_engine_spark import queries_staged_r8 as r8
+
+    df = r8.tpch_q21_shape(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_shape_no_forced_part_broadcast():
+    """part is SF-proportional — the PROMO filter join must carry no
+    hint (r9 fix; AQE decides). Source-level pin alongside the
+    plan-level registry lint."""
+    import inspect
+
+    from rs_query_engine_spark import queries_staged_r8 as r8
+
+    fn = r8.tpch_q20_shape
+    code = inspect.getsource(fn).replace(fn.__doc__, "")
+    assert "F.broadcast(promo" not in code
