@@ -149,6 +149,7 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         or STAGED_R7_ENABLED
         or STAGED_R8_ENABLED
         or STAGED_R9_ENABLED
+        or STAGED_R10_ENABLED
     ):
         return _QUERIES, _ORACLE
     merged_q = dict(_QUERIES)
@@ -170,6 +171,10 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         from rs_query_engine_spark import queries_staged_r9 as _staged_r9
 
         staged_mods.append(_staged_r9)
+    if STAGED_R10_ENABLED:
+        from rs_query_engine_spark import queries_staged_r10 as _staged_r10
+
+        staged_mods.append(_staged_r10)
     for mod in staged_mods:
         for n, fn in mod._QUERIES.items():
             merged_q.setdefault(n, fn)
@@ -6244,3 +6249,10 @@ STAGED_R8_ENABLED = True
 # merge, same local parity harness
 # (tests/oracle/test_staged_r9_parity.py at sf0.001 + sf0.01).
 STAGED_R9_ENABLED = False
+
+# Round-10 holding pen (``queries_staged_r10.py``): EMPTY at round-9
+# end by design — the gate (flag + test_staged_r10_parity.py) exists
+# before the first round-10 query lands (ADVICE r07 precedent), so
+# round 10 fills it while activating the r9 pen, and round 11 flips
+# this flag.
+STAGED_R10_ENABLED = False
