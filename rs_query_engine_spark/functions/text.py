@@ -250,3 +250,55 @@ def redact_pii(text: Column) -> tuple[Column, Column]:
         c = F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
         n = c if n is None else n + c
     return clean, n
+
+
+def cdc_chunk_stats(
+    df, id_col: str = "doc_id", text_col: str = "text", mask: int = 8
+):
+    """Content-defined chunking statistics (rolling-hash boundaries,
+    the FastCDC/rsync idea at token granularity): cut after token i
+    (1-indexed, i < n) when md5 of the 3-token window ending at i
+    falls in ``1/mask`` of hash space. Returns one row per doc:
+    (id, n_tokens, n_chunks, max_chunk, avg_chunk).
+
+    ENTIRELY map-side: boundary positions, chunk lengths and their
+    max all come from array higher-order functions over the token
+    list — no explode, no shuffle, no UDF. Docs with fewer than 3
+    tokens (no complete window) are a single chunk; the i < n guard
+    keeps the final chunk non-empty. The boundary hash is the
+    engine-portable md5 primitive, so every chunk edge is
+    oracle-checkable in DuckDB (see text_cdc_chunks), and
+    ``tests/unit/test_cdc_chunks.py`` pins the short-doc and
+    boundary-position edge cases against a pure-Python reference."""
+    from rs_query_engine_spark.functions.hashing import md5_hex8
+
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("tok"))
+    n = F.size("tok")
+    # Spark's sequence(start, stop) REVERSES when start > stop (it
+    # never returns empty) — short docs need the explicit guard
+    idx = F.when(n >= 3, F.sequence(F.lit(3), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    is_boundary = (
+        lambda i: (i < n)
+        & (
+            md5_hex8(F.concat_ws(" ", F.slice(F.col("tok"), i - 2, F.lit(3))))
+            % mask
+            == 0
+        )
+    )
+    b = t.select(
+        F.col(id_col), n.alias("n"), F.filter(idx, is_boundary).alias("bpos")
+    )
+    lens = F.zip_with(
+        F.concat(F.col("bpos"), F.array(F.col("n"))),
+        F.concat(F.array(F.lit(0)), F.col("bpos")),
+        lambda a, p: a - p,
+    )
+    return b.select(
+        F.col(id_col),
+        F.col("n").cast("bigint").alias("n_tokens"),
+        (F.size("bpos") + 1).cast("bigint").alias("n_chunks"),
+        F.array_max(lens).cast("bigint").alias("max_chunk"),
+        (F.col("n").cast("double") / (F.size("bpos") + 1)).alias("avg_chunk"),
+    )

@@ -803,38 +803,11 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     has. The boundary hash is the engine-portable md5 primitive, so
     every chunk edge is oracle-checkable; the trailing window guard
     (i < n) keeps the final chunk non-empty."""
-    from rs_query_engine_spark.functions.hashing import md5_hex8
-    from rs_query_engine_spark.functions.text import tokens
+    from rs_query_engine_spark.functions.text import cdc_chunk_stats
     from rs_query_engine_spark.sources.corpus import spread
 
     d = spread(_t(spark, sf_dir, "documents"))
-    t = d.select("doc_id", tokens(F.col("text")).alias("tok"))
-    n = F.size("tok")
-    idx = F.when(n >= 3, F.sequence(F.lit(3), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    is_boundary = (
-        lambda i: (i < n)
-        & (
-            md5_hex8(F.concat_ws(" ", F.slice(F.col("tok"), i - 2, F.lit(3)))) % 8
-            == 0
-        )
-    )
-    b = t.select(
-        "doc_id", n.alias("n"), F.filter(idx, is_boundary).alias("bpos")
-    )
-    lens = F.zip_with(
-        F.concat(F.col("bpos"), F.array(F.col("n"))),
-        F.concat(F.array(F.lit(0)), F.col("bpos")),
-        lambda a, p: a - p,
-    )
-    return b.select(
-        "doc_id",
-        F.col("n").cast("bigint").alias("n_tokens"),
-        (F.size("bpos") + 1).cast("bigint").alias("n_chunks"),
-        F.array_max(lens).cast("bigint").alias("max_chunk"),
-        (F.col("n").cast("double") / (F.size("bpos") + 1)).alias("avg_chunk"),
-    )
+    return cdc_chunk_stats(d, "doc_id", "text", mask=8)
 
 
 @register_staged(
