@@ -156,3 +156,21 @@ def test_probe_flags_exact_duplicate_and_admits_novel(spark, tmp_path):
     res = {r["doc_id"]: r for r in li.probe_index(spark, root, batch).collect()}
     assert res[100]["admitted"] is False and res[100]["n_matches"] >= 1
     assert res[101]["admitted"] is True and res[101]["n_matches"] == 0
+
+
+def test_probe_flags_near_duplicate_with_small_edit(spark, tmp_path):
+    """A batch doc that differs from an indexed doc by one token in a
+    long text shares almost all shingles — the banded probe must
+    surface it and the signature gate must keep it (deterministic for
+    these fixed strings and the production constants)."""
+    body = " ".join(f"word{i}" for i in range(80))
+    corpus = spark.createDataFrame([(1, body)], ["doc_id", "text"])
+    sigs = li.doc_signatures(corpus)
+    bands = li._cap_buckets(li.band_postings(sigs))
+    root = str(tmp_path / "idx")
+    bands.write.partitionBy("band").parquet(os.path.join(root, "bands"))
+    sigs.write.parquet(os.path.join(root, "sigs"))
+    edited = body.replace("word40", "EDITED")
+    batch = spark.createDataFrame([(2, edited)], ["doc_id", "text"])
+    row = li.probe_index(spark, root, batch).collect()[0]
+    assert row["admitted"] is False and row["n_matches"] == 1
