@@ -11,14 +11,19 @@ oracle-parity harness (``tests/oracle/test_staged_r9_parity.py``,
 sf0.001 + sf0.01) and activate in round 10 by flipping
 ``STAGED_R9_ENABLED`` in ``queries.py``.
 
-Round-9 pen focus (VERDICT r08 next-round #4): the two candidates the
-r7 brief named and r8 skipped — the PERSISTED bucketed LSH index
-table (``operators/lsh_index.py``: signatures/bands written once, new
-batches join the index with no corpus recompute — the real
-incremental-ingest shape at 100 TB) and the IVF recall-vs-nprobe
-audit — plus TPC-H shape coverage (Q2/Q13/Q22 analogues), pivot,
-deterministic split, rolling DAU, skew diagnostics, and
-content-defined chunking.
+Round-9 pen (VERDICT r08 next-round #4) — 15 queries, all with exact
+oracles. The two candidates the r7 brief named and r8 skipped lead:
+the PERSISTED bucketed LSH index (``operators/lsh_index.py``) as a
+full lifecycle — build/read-back, batch probe with no corpus
+recompute (the real incremental-ingest shape at 100 TB), LSM-style
+merge generation, bucket-health stats, and a streaming foreachBatch
+probe — and the IVF recall-vs-nprobe audit (recall@10 at nprobe
+1/2/4 vs brute force from one assignment pass). Plus TPC-H shape
+coverage (Q2/Q13/Q22 analogues), explicit-values pivot,
+deterministic md5-bucket train/val/test split, rolling 7-day DAU,
+join-key skew diagnostics, content-defined chunking
+(``functions/text.cdc_chunk_stats``), and the hashing-trick
+vectorizer.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring).
