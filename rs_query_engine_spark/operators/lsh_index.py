@@ -25,9 +25,11 @@ batch join.
 
 Analogue of the reference's catalog registration surface
 (``src/catalog.rs:16-42``) extended to a *maintained artifact*: the
-index is cache-keyed on the source parquet's (path, mtime, size) just
-like the ORC cache, rebuilt only when the corpus changes, and
-installed with an atomic rename so concurrent builders race safely.
+index is cache-keyed on the source parquet's (path, mtime, size) AND
+every signature-defining constant (``_index_params``), rebuilt only
+when the corpus or the parameters change, and installed with an
+atomic rename so concurrent builders race safely — machinery shared
+with the ORC cache via ``sources/artifacts.py``.
 
 Determinism: signatures/bands derive from md5 (engine-independent),
 so the whole index — and any probe against it — is oracle-checkable
@@ -36,10 +38,7 @@ in DuckDB from the raw documents table.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +50,7 @@ from rs_query_engine_spark.operators.dedup import (
     _minhash_from_shingles,
     minhash_band_keys,
 )
+from rs_query_engine_spark.sources.artifacts import artifact_root, install_artifact
 from rs_query_engine_spark.sources.corpus import spread
 
 # The incremental-ingest stand-in split: "today's batch" is every
@@ -60,7 +60,26 @@ from rs_query_engine_spark.sources.corpus import spread
 BATCH_MOD = 20
 BATCH_REM = 7
 
-INDEX_VERSION = "lshv1"  # bump to invalidate all cached indexes
+SHINGLE_N = 3  # word n-gram size for index signatures
+
+
+def _index_params() -> str:
+    """Cache-key params derived from every constant the index CONTENT
+    depends on (r9 review finding: a manually-bumped version string
+    alone silently serves a stale artifact when someone changes
+    MINHASH_NUM_HASHES without remembering to bump it — then
+    probe_index's zip_with null-pads the signature-length mismatch
+    and admits true near-duplicates)."""
+    return (
+        f"nh={MINHASH_NUM_HASHES}|nb={_n_bands()}|cap={MINHASH_MAX_BUCKET}"
+        f"|sn={SHINGLE_N}|bm={BATCH_MOD}|br={BATCH_REM}"
+    )
+
+
+def _n_bands() -> int:
+    from rs_query_engine_spark.operators.dedup import MINHASH_BANDS
+
+    return MINHASH_BANDS
 
 
 def doc_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -70,7 +89,7 @@ def doc_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     from batch probing, exactly as in ``minhash_lsh_pairs``)."""
     sh = spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), 3)).alias("_sh"),
+        F.array_distinct(shingles(F.col(text_col), SHINGLE_N)).alias("_sh"),
     )
     return sh.filter(F.size("_sh") > 0).select(
         "doc_id", _minhash_from_shingles(F.col("_sh"), MINHASH_NUM_HASHES).alias("sig")
@@ -97,53 +116,11 @@ def _cap_buckets(bands: DataFrame, max_bucket: int = MINHASH_MAX_BUCKET) -> Data
     return bands.join(ok, ["band", "key"]).select("doc_id", "band", "key")
 
 
-def _artifact_root(src: str, tag: str) -> str:
-    """Cache root for one artifact generation: keyed on the source
-    parquet's (path, mtime_ns, size) + INDEX_VERSION + tag, so a
-    regenerated corpus re-keys every derived artifact (the
-    path-only-key staleness bug of ADVICE r06 cannot recur)."""
-    st = os.stat(src)
-    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{INDEX_VERSION}|{tag}"
-    digest = hashlib.md5(key.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"rsqes_{tag}_{digest}")
-
-
-def _install(root: str, tag: str, src: str, write_fn) -> None:
-    """Build-into-temp + atomic-rename install with stale-generation
-    sweep. ``write_fn(tmp_dir)`` materializes the artifact's content.
-    The rename loser uses the winner's copy; any OTHER rename failure
-    re-raises (same contract as the ORC cache, ADVICE r08); stale
-    generations of the SAME source (old digests under the same tag)
-    are swept, other sources' caches untouched."""
-    tmp = f"{root}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    write_fn(tmp)
-    with open(os.path.join(tmp, "source.txt"), "w") as f:
-        f.write(src)
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not _index_complete(root):
-            raise
-    parent = tempfile.gettempdir()
-    for d in os.listdir(parent):
-        if not d.startswith(f"rsqes_{tag}_") or d == os.path.basename(root):
-            continue
-        try:
-            with open(os.path.join(parent, d, "source.txt")) as f:
-                stale_src = f.read()
-        except OSError:
-            continue
-        if stale_src == src:
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-
-
 def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) and return the root path of the persisted LSH
     index over the non-batch corpus slice of ``{sf_dir}/documents``."""
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    root = _artifact_root(src, "lshidx")
+    root = artifact_root(src, "lshidx", _index_params())
     if _index_complete(root):
         return root
     docs = spark.read.parquet(src).filter(
@@ -159,7 +136,7 @@ def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
         bands.write.partitionBy("band").parquet(os.path.join(tmp, "bands"))
         sigs.write.parquet(os.path.join(tmp, "sigs"))
 
-    _install(root, "lshidx", src, write)
+    install_artifact(root, "lshidx", src, write, _index_complete)
     return root
 
 
@@ -176,7 +153,7 @@ def ensure_merged_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     the standard write-once trade, documented so the oracle mirrors
     the same two-stage cap)."""
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    root = _artifact_root(src, "lshmrg")
+    root = artifact_root(src, "lshmrg", _index_params())
     if _index_complete(root):
         return root
     base = ensure_lsh_index(spark, sf_dir)
@@ -193,7 +170,7 @@ def ensure_merged_lsh_index(spark: SparkSession, sf_dir: str) -> str:
         merged_bands.write.partitionBy("band").parquet(os.path.join(tmp, "bands"))
         merged_sigs.write.parquet(os.path.join(tmp, "sigs"))
 
-    _install(root, "lshmrg", src, write)
+    install_artifact(root, "lshmrg", src, write, _index_complete)
     return root
 
 

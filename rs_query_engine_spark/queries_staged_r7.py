@@ -755,62 +755,42 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the source matrix: parquet, CSV, JSON, memory, ORC.
     Plan test asserts the filter reaches the ORC scan's pushdown.
 
-    Cache keying: the digest folds in the source parquet's mtime_ns
-    and size, so regenerating the parquet invalidates the ORC copy
-    (the path-only key silently served stale data — ADVICE r06).
-    Concurrent runs are race-free: each writer materializes into a
-    private pid-suffixed temp dir and atomically renames it into
-    place; the loser of the rename just uses the winner's copy."""
-    import hashlib
+    Cache keying/install: shared with the LSH index via
+    ``sources/artifacts.py`` (r9 review — the r6/r8 ADVICE cycle on
+    this cache showed duplicated install machinery drifts): digest
+    folds in the source parquet's mtime_ns and size so a regenerated
+    parquet re-keys the copy; atomic rename with loser-keeps-winner;
+    failed builds clean their temp dir; stale generations of THIS
+    source are swept while other SF dirs' caches stay untouched."""
     import os
-    import shutil
-    import tempfile
 
     from rs_query_engine_spark.catalog import Catalog
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
     from rs_query_engine_spark.sources.sinks import write_orc
 
     src = os.path.join(os.path.abspath(sf_dir), "part.parquet")
-    st = os.stat(src)
-    key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
-    digest = hashlib.md5(key.encode()).hexdigest()[:16]
-    cache_root = os.path.join(tempfile.gettempdir(), f"rsqes_orc_{digest}")
-    path = os.path.join(cache_root, "part")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = f"{path}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        write_orc(_t(spark, sf_dir, "part"), tmp, coalesce_files=4)
-        try:
-            os.makedirs(cache_root, exist_ok=True)
-            # marker names the SOURCE so the stale sweep below can tell
-            # an out-of-date generation of THIS source from a live
-            # cache of a different SF dir (which has a different src)
-            with open(os.path.join(cache_root, "source.txt"), "w") as f:
-                f.write(src)
-            os.rename(tmp, path)  # atomic on POSIX; loser keeps winner's copy
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            # The except path is only benign when a concurrent winner
-            # actually installed the cache; any OTHER cause (perms,
-            # disk full) must surface here, not as an unrelated
-            # register_orc failure downstream (ADVICE r08).
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
-        # sweep stale caches of THIS source left by earlier parquet
-        # generations (old mtime/size → old digest); other sources'
-        # caches (different SF dirs) are live and untouched (ADVICE r08)
-        parent = tempfile.gettempdir()
-        for d in os.listdir(parent):
-            if not d.startswith("rsqes_orc_") or d == f"rsqes_orc_{digest}":
-                continue
-            try:
-                with open(os.path.join(parent, d, "source.txt")) as f:
-                    stale_src = f.read()
-            except OSError:
-                continue
-            if stale_src == src:
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    root = artifact_root(src, "orc", "coalesce=4")
+    path = os.path.join(root, "part")
+
+    def complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "part", "_SUCCESS"))
+
+    if not complete(root):
+        install_artifact(
+            root,
+            "orc",
+            src,
+            lambda tmp: write_orc(
+                _t(spark, sf_dir, "part"), os.path.join(tmp, "part"),
+                coalesce_files=4,
+            ),
+            complete,
+        )
     cat = Catalog(spark)
-    orc_df = cat.register_orc(f"part_orc_{digest}", path)
+    orc_df = cat.register_orc(f"part_orc_{os.path.basename(root)}", path)
     return orc_df.filter(F.col("p_retailprice") > 950.0)
 
 

@@ -298,14 +298,16 @@ def similarity_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_at_10 = n_hits / (10 · n_queries), an exact int division
     both engines round identically.
 
-    Scale shape: ONE corpus assignment pass (broadcast centroids)
-    feeds all three nprobe levels — the probe ranks come from the
-    tiny query×centroid table, so each level is a filter on the same
-    candidate join, not a new corpus scan; the brute-force arm is the
-    audit's honest cost and runs on the SAMPLED query set (every
-    100th vector), which is how a production recall audit bounds
-    itself. Counts are exact bigints — the audit is hash-verified,
-    not eyeballed."""
+    Scale shape: ONE corpus assignment pass (broadcast centroids),
+    `localCheckpoint`ed so the three nprobe levels physically REUSE
+    it (without the checkpoint Catalyst re-derives the assignment per
+    level — three corpus windows; the r9 review caught the docstring
+    over-claiming what the plan did) — each level is then a filter +
+    rank over the same checkpointed candidate join. The brute-force
+    arm is the audit's honest cost and runs on the SAMPLED query set
+    (every 100th vector), which is how a production recall audit
+    bounds itself. Counts are exact bigints — the audit is
+    hash-verified, not eyeballed."""
     from rs_query_engine_spark.operators.similarity import (
         _as_double,
         assign_centroids,
@@ -319,7 +321,9 @@ def similarity_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
-    assigned = assign_centroids(e, cent)  # (vec_id, _v, _n, centroid_id)
+    # one corpus assignment pass, checkpointed: three topk levels +
+    # consumers reuse the materialized rows (see docstring)
+    assigned = assign_centroids(e, cent).localCheckpoint()
     # probe ranks ≤ 4 for the query subset, keeping the rank as pr
     qc = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -1,0 +1,82 @@
+"""Cached derived-artifact install machinery — shared by every query
+that materializes a one-time on-disk asset keyed to a source table
+(the ORC copy, the persisted LSH index generations).
+
+Contract (grown through ADVICE r06/r08 and the r9 review):
+
+- **Staleness-proof keying**: the cache root digests the source
+  parquet's (path, mtime_ns, size) plus a caller-supplied params
+  string, so regenerating the source OR changing any
+  semantics-defining constant re-keys the artifact — a cached asset
+  can never silently serve results computed under old parameters.
+- **Atomic install**: build into a pid-suffixed temp dir, rename into
+  place. The loser of a concurrent rename race uses the winner's
+  copy; any OTHER rename failure re-raises instead of leaving the
+  caller to crash later on a missing artifact.
+- **Crash hygiene**: a failed build removes its own temp dir before
+  re-raising (no unbounded /tmp debris from repeated failures).
+- **Stale sweep**: old generations of the SAME source (identified by
+  the source.txt marker) are removed after a successful install;
+  other sources' caches — e.g. the same table at a different scale
+  factor — are never touched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+
+def artifact_root(src: str, tag: str, params: str = "") -> str:
+    """Cache root for one artifact generation of ``src``. ``params``
+    must fold in every constant the artifact's CONTENT depends on —
+    derive it from the defining constants themselves (the way
+    queries._minhash_sql_parts derives oracle fragments), never from
+    a manually-bumped version string alone."""
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{tag}|{params}"
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"rsqes_{tag}_{digest}")
+
+
+def install_artifact(
+    root: str,
+    tag: str,
+    src: str,
+    write_fn: Callable[[str], None],
+    complete_fn: Callable[[str], bool],
+) -> None:
+    """Build-into-temp + atomic-rename install with stale-generation
+    sweep. ``write_fn(tmp_dir)`` materializes the content;
+    ``complete_fn(root)`` decides whether an installed artifact is
+    whole (checked again on rename failure to distinguish a benign
+    race loss from a real error)."""
+    tmp = f"{root}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_fn(tmp)
+        with open(os.path.join(tmp, "source.txt"), "w") as f:
+            f.write(src)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not complete_fn(root):
+            raise
+    parent = tempfile.gettempdir()
+    for d in os.listdir(parent):
+        if not d.startswith(f"rsqes_{tag}_") or d == os.path.basename(root):
+            continue
+        try:
+            with open(os.path.join(parent, d, "source.txt")) as f:
+                stale_src = f.read()
+        except OSError:
+            continue
+        if stale_src == src:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)

@@ -636,6 +636,13 @@ def test_registry_no_forced_broadcast_of_unreduced_big_table(spark):
     offenders: list[str] = []
     try:
         for name, fn in registry.queries().items():
+            # streaming queries return a POST-materialization frame (a
+            # memory/parquet sink read) — their static plan shows none
+            # of the stream's joins, so walking them buys no lint
+            # coverage while costing a full foreachBatch run each
+            # (r9 review: keep the lint plan-only where possible)
+            if name.startswith("stream_"):
+                continue
             df = fn(spark, SF_DIR)
             plan = explain_str(df)
             # formatted mode: tree lines carry node ids, details carry
@@ -825,3 +832,63 @@ def test_q20_shape_no_forced_part_broadcast():
     fn = r8.tpch_q20_shape
     code = inspect.getsource(fn).replace(fn.__doc__, "")
     assert "F.broadcast(promo" not in code
+
+
+def test_q22_shape_decorrelated_scalar_and_anti_join(spark):
+    """Q22's scalar AVG must be a 1-row aggregate broadcast back over
+    the customer scan (never per-row) and the no-recent-urgent-order
+    probe a LEFT ANTI join with its filters pushed to the orders
+    scan (pins the docstring claims — r9 review)."""
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.tpch_q22_shape(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # pushed to scan
+    # the scalar avg rides one broadcast nested-loop over a 1-row agg
+    assert plan.count("HashAggregate") >= 4  # avg partial+final, rollup partial+final
+
+
+def test_q13_shape_two_level_aggregation(spark):
+    """Q13: LEFT join preserves zero-order customers, then two
+    aggregation levels (per-custkey, then histogram) each with
+    map-side partials."""
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.tpch_q13_shape(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_recall_audit_reuses_one_assignment_pass(spark):
+    """The IVF recall audit's corpus assignment must be computed once
+    and physically reused by all three nprobe levels (localCheckpoint
+    → ExistingRDD leaves) — without it Catalyst re-derives the corpus
+    window per level (r9 review caught the docstring over-claiming)."""
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.similarity_ivf_recall_audit(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "ExistingRDD" in plan
+    # formatted explain lists each scan twice (tree line + detail
+    # block); 9 real parquet scans remain — the 3 levels' query-side
+    # probe projections (2 each), the brute arm (2), and the 1-row
+    # query count — while the corpus ASSIGNMENT scan is gone (the
+    # checkpoint's ExistingRDD replaced it). Without the checkpoint
+    # this is 12 real scans including 3 corpus-wide assignment windows.
+    assert plan.count("Scan parquet") <= 18
+
+
+def test_stream_index_probe_result_is_artifact_read(spark):
+    """The streaming probe's returned frame is the exactly-once
+    parquet landing zone — a pure file read (all screening happened
+    inside foreachBatch micro-batches)."""
+    from rs_query_engine_spark import queries_staged_r9 as r9
+
+    df = r9.stream_index_probe(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "rsqes_streamprobe_" in plan
+    assert "Join" not in plan and "Exchange" not in plan
