@@ -1,0 +1,106 @@
+"""Unit tests for the shared artifact-install machinery
+(``sources/artifacts.py``) — the crash/race paths the parity tests
+never exercise (they only see successful installs)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from rs_query_engine_spark.sources import artifacts
+
+
+def _complete(root: str) -> bool:
+    return os.path.exists(os.path.join(root, "payload", "_DONE"))
+
+
+def _write_ok(tmp: str) -> None:
+    os.makedirs(os.path.join(tmp, "payload"))
+    with open(os.path.join(tmp, "payload", "_DONE"), "w") as f:
+        f.write("ok")
+
+
+def test_failed_build_cleans_its_temp_dir(tmp_path):
+    src = tmp_path / "src.parquet"
+    src.write_text("x")
+    root = artifacts.artifact_root(str(src), "testtag", "p=1")
+
+    def boom(tmp: str) -> None:
+        os.makedirs(os.path.join(tmp, "payload"))
+        raise RuntimeError("disk full")
+
+    with pytest.raises(RuntimeError):
+        artifacts.install_artifact(root, "testtag", str(src), boom, _complete)
+    # no temp debris, no partial install
+    parent = os.path.dirname(root)
+    leftovers = [
+        d for d in os.listdir(parent) if d.startswith(os.path.basename(root))
+    ]
+    assert leftovers == []
+
+
+def test_params_change_rekeys_artifact(tmp_path):
+    src = tmp_path / "src.parquet"
+    src.write_text("x")
+    r1 = artifacts.artifact_root(str(src), "testtag", "nh=16")
+    r2 = artifacts.artifact_root(str(src), "testtag", "nh=32")
+    assert r1 != r2
+
+
+def test_source_change_rekeys_and_sweep_reclaims_old_generation(tmp_path):
+    src = tmp_path / "src.parquet"
+    src.write_text("generation-1")
+    r1 = artifacts.artifact_root(str(src), "testtag", "p=1")
+    artifacts.install_artifact(r1, "testtag", str(src), _write_ok, _complete)
+    assert _complete(r1)
+    # regenerate the source → new mtime/size → new root; installing it
+    # sweeps the old generation of the SAME source
+    src.write_text("generation-two!")
+    r2 = artifacts.artifact_root(str(src), "testtag", "p=1")
+    assert r2 != r1
+    artifacts.install_artifact(r2, "testtag", str(src), _write_ok, _complete)
+    assert _complete(r2)
+    assert not os.path.exists(r1)
+    # a DIFFERENT source's cache under the same tag survives the sweep
+    other = tmp_path / "other.parquet"
+    other.write_text("other")
+    r3 = artifacts.artifact_root(str(other), "testtag", "p=1")
+    artifacts.install_artifact(r3, "testtag", str(other), _write_ok, _complete)
+    src.write_text("generation-three!!")
+    r4 = artifacts.artifact_root(str(src), "testtag", "p=1")
+    artifacts.install_artifact(r4, "testtag", str(src), _write_ok, _complete)
+    assert not os.path.exists(r2) and _complete(r4)
+    assert _complete(r3)  # other source untouched
+    import shutil
+
+    for r in (r3, r4):
+        shutil.rmtree(r, ignore_errors=True)
+
+
+def test_rename_race_loser_uses_winner(tmp_path, monkeypatch):
+    src = tmp_path / "src.parquet"
+    src.write_text("x")
+    root = artifacts.artifact_root(str(src), "testtag", "p=1")
+    artifacts.install_artifact(root, "testtag", str(src), _write_ok, _complete)
+
+    # simulate losing the rename race: rename fails but a complete
+    # winner exists → no raise
+    def failing_rename(a, b):
+        raise OSError("Directory not empty")
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    artifacts.install_artifact(root, "testtag", str(src), _write_ok, _complete)
+    assert _complete(root)
+    monkeypatch.undo()
+
+    # same failure with NO complete winner → re-raise (a real error
+    # must not be swallowed as a race loss)
+    import shutil
+
+    shutil.rmtree(root)
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError):
+        artifacts.install_artifact(root, "testtag", str(src), _write_ok, _complete)
+    monkeypatch.undo()
+    shutil.rmtree(root, ignore_errors=True)

@@ -88,3 +88,26 @@ def test_long_doc_actually_chunks(result):
     # (wrong hash, wrong mask, wrong guard) shows up here
     assert result[6]["n_chunks"] > 1
     assert result[6]["max_chunk"] < result[6]["n_tokens"]
+
+
+def test_seeded_random_docs_match_reference(spark):
+    """Generalize the crafted edge docs: 30 seeded-random token lists
+    spanning lengths 0–29 (every short-doc length plus boundary-mix
+    territory) must match the Python reference exactly."""
+    import random
+
+    rng = random.Random(20260814)
+    docs = []
+    for i in range(30):
+        n = i
+        toks = [f"w{rng.randrange(40)}" for _ in range(n)]
+        docs.append((1000 + i, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r for r in cdc_chunk_stats(df, "doc_id", "text", mask=MASK).collect()
+    }
+    for doc_id, text in docs:
+        n, n_chunks, max_chunk, avg = _ref(text)
+        r = got[doc_id]
+        assert (r["n_tokens"], r["n_chunks"], r["max_chunk"]) == (n, n_chunks, max_chunk)
+        assert r["avg_chunk"] == avg
