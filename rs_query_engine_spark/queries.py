@@ -6248,7 +6248,7 @@ STAGED_R8_ENABLED = True
 # activate in round 10 by flipping this flag; same lazy read-time
 # merge, same local parity harness
 # (tests/oracle/test_staged_r9_parity.py at sf0.001 + sf0.01).
-STAGED_R9_ENABLED = False
+STAGED_R9_ENABLED = True
 
 # Round-10 holding pen (``queries_staged_r10.py``): EMPTY at round-9
 # end by design — the gate (flag + test_staged_r10_parity.py) exists
