@@ -135,6 +135,33 @@ def _latest_green_rounds(
 _GREEN_ROUND, _ROWS_ONLY_GREEN = _latest_green_rounds()
 
 
+# Every holding pen ever created, as (flag name, module name) pairs —
+# the ONE place a new pen is declared. ``_registries()`` merges the
+# flag-enabled ones; ``all_pen_modules()`` imports them ALL (flags
+# ignored) so the registry-wide lints in
+# tests/unit/test_plan_properties.py cover pen queries BEFORE
+# activation (VERDICT r09 #5: a hardcoded pen import there meant a new
+# pen's broadcast hints went un-linted until its flag flipped).
+_PEN_MODULES: tuple[tuple[str, str], ...] = (
+    ("STAGED_ENABLED", "queries_staged"),
+    ("STAGED_R7_ENABLED", "queries_staged_r7"),
+    ("STAGED_R8_ENABLED", "queries_staged_r8"),
+    ("STAGED_R9_ENABLED", "queries_staged_r9"),
+    ("STAGED_R10_ENABLED", "queries_staged_r10"),
+)
+
+
+def all_pen_modules() -> list:
+    """Import and return every holding-pen module regardless of its
+    activation flag — lint/test discovery surface, not a query path."""
+    import importlib
+
+    return [
+        importlib.import_module(f"rs_query_engine_spark.{mod_name}")
+        for _, mod_name in _PEN_MODULES
+    ]
+
+
 def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """The live registries, with staged entries merged in when
     STAGED_ENABLED is on. The merge is a LAZY read-time view, never an
@@ -144,37 +171,18 @@ def _registries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     AttributeError). Reading the flag at call time also lets tests
     flip it without re-importing. Live registrations win on any name
     collision (guarded by tests/unit/test_staged_ops.py)."""
-    if not (
-        STAGED_ENABLED
-        or STAGED_R7_ENABLED
-        or STAGED_R8_ENABLED
-        or STAGED_R9_ENABLED
-        or STAGED_R10_ENABLED
-    ):
+    import importlib
+
+    flags = {name: globals()[name] for name, _ in _PEN_MODULES}
+    if not any(flags.values()):
         return _QUERIES, _ORACLE
     merged_q = dict(_QUERIES)
     merged_o = dict(_ORACLE)
-    staged_mods = []
-    if STAGED_ENABLED:
-        from rs_query_engine_spark import queries_staged as _staged
-
-        staged_mods.append(_staged)
-    if STAGED_R7_ENABLED:
-        from rs_query_engine_spark import queries_staged_r7 as _staged_r7
-
-        staged_mods.append(_staged_r7)
-    if STAGED_R8_ENABLED:
-        from rs_query_engine_spark import queries_staged_r8 as _staged_r8
-
-        staged_mods.append(_staged_r8)
-    if STAGED_R9_ENABLED:
-        from rs_query_engine_spark import queries_staged_r9 as _staged_r9
-
-        staged_mods.append(_staged_r9)
-    if STAGED_R10_ENABLED:
-        from rs_query_engine_spark import queries_staged_r10 as _staged_r10
-
-        staged_mods.append(_staged_r10)
+    staged_mods = [
+        importlib.import_module(f"rs_query_engine_spark.{mod_name}")
+        for flag_name, mod_name in _PEN_MODULES
+        if flags[flag_name]
+    ]
     for mod in staged_mods:
         for n, fn in mod._QUERIES.items():
             merged_q.setdefault(n, fn)

@@ -625,17 +625,26 @@ def test_registry_no_forced_broadcast_of_unreduced_big_table(spark):
     from rs_query_engine_spark import queries as registry
 
     # keep the allowlist honest: every entry must name a live query or
-    # one staged in a holding pen awaiting activation
-    from rs_query_engine_spark import queries_staged_r9
-
-    known = set(registry.queries()) | set(queries_staged_r9.queries())
+    # one staged in a holding pen awaiting activation. Pens are
+    # discovered from queries._PEN_MODULES (VERDICT r09 #5) so a new
+    # pen file is lintable/pre-listable with no edit here.
+    known = set(registry.queries())
+    for pen in registry.all_pen_modules():
+        known |= set(pen.queries())
     assert set(BIG_TABLE_BROADCAST_OK) <= known
+
+    # walk activated queries PLUS not-yet-activated pen queries, so a
+    # pen hint is linted the round it lands, not the round it flips
+    walk = dict(registry.queries())
+    for pen in registry.all_pen_modules():
+        for n, fn in pen.queries().items():
+            walk.setdefault(n, fn)
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     offenders: list[str] = []
     try:
-        for name, fn in registry.queries().items():
+        for name, fn in walk.items():
             # streaming queries return a POST-materialization frame (a
             # memory/parquet sink read) — their static plan shows none
             # of the stream's joins, so walking them buys no lint
