@@ -25,20 +25,17 @@ every operator here is oracle-checkable in DuckDB with the same
 construction. Hash value = first 8 md5 hex chars as a bigint
 (unsigned 32-bit range — no sign issues).
 
-Fault tolerance of ``localCheckpoint``: several operators here (and
-their callers) use ``DataFrame.localCheckpoint`` to truncate lineage
-between iterative stages. Local checkpoints are stored on EXECUTOR
-block storage, not a reliable filesystem — if an executor holding
-checkpoint blocks is lost (preemption, OOM kill, spot reclaim), the
-truncated lineage cannot be recomputed and Spark FAILS THE JOB, which
-then restarts from scratch. That trade is fine for the local[32]
-harness and short cluster jobs; for multi-hour 100 TB runs on
-preemptible fleets, switch to reliable checkpointing —
-``spark.sparkContext.setCheckpointDir("hdfs://.../ckpt")`` +
-``df.checkpoint()`` — or persist the intermediate explicitly to
-parquet and re-read it, both of which survive executor loss at the
-cost of a distributed-FS write. See SURVEY.md §8 for the
-cluster-deployment notes.
+Fault tolerance of lineage cuts: several operators here (and their
+callers) truncate lineage between iterative stages via
+``session.truncate_lineage`` (used as ``df.transform(...)``). The
+default is ``localCheckpoint`` (executor block storage — fast, but an
+executor loss makes the blocks unrecoverable and fails the job);
+setting ``RSQES_CHECKPOINT_DIR`` to a reliable-FS path switches EVERY
+call site in the engine to ``setCheckpointDir`` + ``df.checkpoint``,
+which survives executor loss at the cost of a distributed-FS write —
+the right trade for multi-hour 100 TB runs on preemptible fleets.
+Rationale and the flip test: ``session.truncate_lineage`` docstring,
+``tests/unit/test_checkpoint_switch.py``, SURVEY.md §8.
 """
 
 from __future__ import annotations
@@ -47,6 +44,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from rs_query_engine_spark.session import truncate_lineage
 
 from rs_query_engine_spark.functions.text import normalize_text, shingles, tokens
 from rs_query_engine_spark.sources.corpus import spread
@@ -273,7 +271,7 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("_id"),
             F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
         )
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     # docs with no complete shingle share the sentinel signature and
     # would all collide into one degenerate bucket (and 0/0 Jaccard);
@@ -427,7 +425,7 @@ def simhash_pairs(
     # splits the hot keys. The payload is one bigint, so carrying the
     # signature through the join costs nothing (contrast MinHash,
     # where shingle sets must stay out of the shuffle).
-    banded = banded.localCheckpoint()  # consumed 3×; signature stage runs once
+    banded = banded.transform(truncate_lineage)  # consumed 3×; signature stage runs once
     sizes = banded.groupBy("blk", "val").count()
     ok = banded.join(
         F.broadcast(sizes.filter(F.col("count").between(2, max_bucket))),
@@ -553,7 +551,7 @@ def embedding_lsh_pairs(
             ).alias("bk"),
         )
         .select("_id", "bk.band", "bk.key")
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     # self-join candidate generation (ids only ride the shuffle): LSH
     # band buckets are coarse by construction (2^(planes/bands) keys
@@ -692,14 +690,14 @@ def containment_pairs(
             F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
-        .localCheckpoint()  # consumed 3× (probes, index, verify)
+        .transform(truncate_lineage)  # consumed 3× (probes, index, verify)
     )
     inv = sh.select(F.col("_id").alias("id_b"), F.explode("_sh").alias("shingle"))
     df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # one (posting, df) join feeds BOTH the probe ranking and the
     # df-capped index — joining inv with df_counts twice would repeat
     # the largest shuffle in the pipeline (postings ≈ Σ|sh| rows)
-    inv_df = inv.join(df_counts, "shingle").localCheckpoint()
+    inv_df = inv.join(df_counts, "shingle").transform(truncate_lineage)
     # rank each doc's shingles by (df, shingle): struct array_sort gives
     # the identical order in both engines (BIGINT then ASCII VARCHAR).
     # probe_frac is a SEPARATE literal (not 1.0 - threshold): both

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from rs_query_engine_spark.session import truncate_lineage
 
 
 def connected_components(
@@ -46,7 +47,7 @@ def connected_components(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     # undirected: propagate both ways each round
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = sym.localCheckpoint()
+    sym = sym.transform(truncate_lineage)
 
     # Size the iteration's partitioning to the materialized edge count
     # (known after the checkpoint; counting checkpointed data is
@@ -68,7 +69,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
         .coalesce(p)
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
 
     changed = 0
@@ -88,7 +89,7 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("n_comp") < F.col("comp")).alias("_changed"),
             )
-        ).coalesce(p).localCheckpoint()
+        ).coalesce(p).transform(truncate_lineage)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -136,7 +137,7 @@ def connected_components_star(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     n_edges = e.count()
     if n_edges == 0:
@@ -185,7 +186,7 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = small.coalesce(p).localCheckpoint()
+        e = small.coalesce(p).transform(truncate_lineage)
         sig = _signature(e)
         if sig == prev_sig:
             break

@@ -42,6 +42,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from rs_query_engine_spark.session import truncate_lineage
 
 from rs_query_engine_spark.functions.text import shingles
 from rs_query_engine_spark.operators.dedup import (
@@ -224,7 +225,7 @@ def probe_index(
     )
     bsigs = doc_signatures(batch_docs)
     if checkpoint:
-        bsigs = bsigs.localCheckpoint()
+        bsigs = bsigs.transform(truncate_lineage)
     bbands = band_postings(bsigs).select(
         F.col("doc_id").alias("batch_id"), "band", "key"
     )

@@ -36,6 +36,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from rs_query_engine_spark.session import truncate_lineage
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1969,7 +1970,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side, and the query subset (measured ~15% faster than three
     # parquet re-reads; at index-build scale training samples and
     # corpus bucketing share the same pass)
-    e = _t(spark, sf_dir, "embeddings").localCheckpoint()
+    e = _t(spark, sf_dir, "embeddings").transform(truncate_lineage)
     cents = kmeans_centroids(e, k=8, max_iter=10)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -3622,7 +3623,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("sh")
         )
         .filter(F.size("sh") > 0)
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     bench = (
         grams.filter(F.col("doc_id") % 97 == 0)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from rs_query_engine_spark.session import truncate_lineage
 
 from rs_query_engine_spark.queries import _MH_BANDS, _MH_SIG, D_PRICE, QueryFn, _t
 
@@ -379,7 +380,7 @@ def agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         tok.groupBy(F.col("t").alias("token"))
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     sketch = countmin_sketch_from_counts(
         exact, "token", "exact_n", depth=3, width=64
@@ -686,7 +687,7 @@ def agg_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_list("l_partkey")).alias("items"))
-        .localCheckpoint()  # feeds pairs, item counts, and the total
+        .transform(truncate_lineage)  # feeds pairs, item counts, and the total
     )
     baskets = baskets_all.filter(F.size("items") > 1)
     # items are array_sort-ed, so the helper's least/greatest ordering
@@ -835,7 +836,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("_sh") > 0)
         .select("_id", "_sh", _minhash_from_shingles(F.col("_sh"), k).alias("_sig"))
-        .localCheckpoint()  # consumed by banding + both audit joins
+        .transform(truncate_lineage)  # consumed by banding + both audit joins
     )
     # the candidate set under audit IS the production one: same band
     # keys, same bucket cap, same pairing helpers and constants as
@@ -932,7 +933,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         minhash_lsh_pairs(d, "doc_id", "text")
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .localCheckpoint()  # consumed 5× (two join sides, closer, degrees)
+        .transform(truncate_lineage)  # consumed 5× (two join sides, closer, degrees)
     )
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -1424,7 +1425,7 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # every downstream branch (on-grid points, interior segments,
         # leading NULLs) reuses this one window+join result
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     null_v = F.lit(None).cast("double")
     null_t = F.lit(None).cast("timestamp")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from rs_query_engine_spark.session import truncate_lineage
 
 from rs_query_engine_spark.queries import QueryFn, _t
 
@@ -177,7 +178,7 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     l2 = l1.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
@@ -596,7 +597,7 @@ def similarity_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    e = _t(spark, sf_dir, "embeddings").localCheckpoint()
+    e = _t(spark, sf_dir, "embeddings").transform(truncate_lineage)
     trained = kmeans_centroids(e, k=8, max_iter=10)
     seeds = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from rs_query_engine_spark.session import truncate_lineage
 
 from rs_query_engine_spark.operators.dedup import (
     MINHASH_MAX_BUCKET,
@@ -323,7 +324,7 @@ def similarity_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one corpus assignment pass, checkpointed: three topk levels +
     # consumers reuse the materialized rows (see docstring)
-    assigned = assign_centroids(e, cent).localCheckpoint()
+    assigned = assign_centroids(e, cent).transform(truncate_lineage)
     # probe ranks ≤ 4 for the query subset, keeping the rank as pr
     qc = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -73,3 +73,37 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
     key = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(key, "false") != "true":
         spark.conf.set(key, "true")
+
+
+def truncate_lineage(df):
+    """Cut a DataFrame's lineage so downstream consumers reuse the
+    materialized result instead of recomputing the subtree (the
+    multi-consumer staging pattern in the dedup/graph/index
+    pipelines; use as ``df.transform(truncate_lineage)``).
+
+    Default: ``DataFrame.localCheckpoint`` — blocks live on EXECUTOR
+    storage, so losing an executor that holds them fails the job with
+    no recompute path. That trade is right for local[32] and short
+    cluster jobs (no distributed-FS round-trip). For multi-hour 100 TB
+    runs on preemptible fleets, set ``RSQES_CHECKPOINT_DIR`` to a
+    reliable-FS path (``hdfs://…``, ``s3a://…``): every call site then
+    routes through ``SparkContext.setCheckpointDir`` +
+    ``DataFrame.checkpoint``, which survives executor loss at the cost
+    of a distributed-FS write. One env var flips EVERY lineage cut in
+    the engine; results are identical either way
+    (tests/unit/test_checkpoint_switch.py).
+
+    Both paths checkpoint EAGERLY (localCheckpoint's default): the
+    call sites rely on the cut being materialized once, not once per
+    downstream consumer.
+    """
+    ckpt_dir = os.environ.get("RSQES_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir mints a fresh checkpoint-<uuid> subdir per call;
+    # set once per session, re-pointing only if the env var moved.
+    current = sc.getCheckpointDir()
+    if current is None or not current.startswith(ckpt_dir.rstrip("/")):
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=True)
