@@ -70,10 +70,29 @@ def _index_params() -> str:
     alone silently serves a stale artifact when someone changes
     MINHASH_NUM_HASHES without remembering to bump it — then
     probe_index's zip_with null-pads the signature-length mismatch
-    and admits true near-duplicates)."""
+    and admits true near-duplicates). ADVICE r09: also folds in the
+    hash-family definition (MINHASH_PRIME + a digest of the affine
+    coefficient formula) and the tokenization regex — changing any of
+    those changes every signature, so they must re-key the artifact
+    too."""
+    import hashlib
+    import inspect
+
+    from rs_query_engine_spark.functions.text import TOKEN_SPLIT
+    from rs_query_engine_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _minhash_from_shingles,
+    )
+
+    # the affine family lives as code, not constants — digest its
+    # source so editing the coefficient formula re-keys the index
+    family = hashlib.md5(
+        inspect.getsource(_minhash_from_shingles).encode()
+    ).hexdigest()[:8]
     return (
         f"nh={MINHASH_NUM_HASHES}|nb={_n_bands()}|cap={MINHASH_MAX_BUCKET}"
         f"|sn={SHINGLE_N}|bm={BATCH_MOD}|br={BATCH_REM}"
+        f"|p={MINHASH_PRIME}|fam={family}|tok={TOKEN_SPLIT}"
     )
 
 

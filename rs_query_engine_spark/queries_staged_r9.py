@@ -958,12 +958,21 @@ def stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_src)
         .filter(F.col("doc_id") % BATCH_MOD == BATCH_REM)
     )
+    # run_root keys on (src, pid): the pid component keeps two
+    # concurrent invocations in different PROCESSES (pytest-xdist
+    # running the value- and type-family parity tests in parallel)
+    # from racing on one checkpoint/output dir (ADVICE r09); within a
+    # process, re-invocations serialize on the blocking
+    # processAllAvailable below, so reusing the pid dir is safe — and
+    # the rmtree gives each invocation a fresh run (a reused
+    # checkpoint would make the next run a no-op with stale files
+    # alongside, the stream_parquet_sink pattern). Output VALUES are
+    # dir-independent, so the batch-oracle hash identity is unaffected.
     digest = _hashlib.md5(src.encode()).hexdigest()[:16]
-    run_root = os.path.join(tempfile.gettempdir(), f"rsqes_streamprobe_{digest}")
+    run_root = os.path.join(
+        tempfile.gettempdir(), f"rsqes_streamprobe_{digest}_{os.getpid()}"
+    )
     out, ckpt = os.path.join(run_root, "out"), os.path.join(run_root, "ckpt")
-    # fresh run per invocation: a reused checkpoint would make the
-    # next run a no-op with stale files alongside (stream_parquet_sink
-    # pattern)
     shutil.rmtree(run_root, ignore_errors=True)
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:

@@ -15,10 +15,15 @@ Contract (grown through ADVICE r06/r08 and the r9 review):
   caller to crash later on a missing artifact.
 - **Crash hygiene**: a failed build removes its own temp dir before
   re-raising (no unbounded /tmp debris from repeated failures).
-- **Stale sweep**: old generations of the SAME source (identified by
-  the source.txt marker) are removed after a successful install;
-  other sources' caches — e.g. the same table at a different scale
-  factor — are never touched.
+- **Deferred stale sweep** (ADVICE r09: an immediate rmtree races a
+  concurrent process still holding lazy DataFrames over the old
+  generation — its scans would hit FileNotFound mid-plan): after a
+  successful install, old generations of the SAME source (identified
+  by the source.txt marker) are first *marked* (a ``swept.txt``
+  tombstone) and only rmtree'd by a LATER install once the mark is
+  older than ``SWEEP_GRACE_SEC`` — long enough for any in-flight run
+  over the old generation to finish. Other sources' caches — e.g. the
+  same table at a different scale factor — are never touched.
 """
 
 from __future__ import annotations
@@ -27,7 +32,13 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 from collections.abc import Callable
+
+# Grace period between marking a stale generation and deleting it.
+# 30 min comfortably exceeds any single bench/pytest run over one
+# artifact; tests shrink it to exercise the reap path.
+SWEEP_GRACE_SEC = 1800.0
 
 
 def artifact_root(src: str, tag: str, params: str = "") -> str:
@@ -69,14 +80,36 @@ def install_artifact(
         shutil.rmtree(tmp, ignore_errors=True)
         if not complete_fn(root):
             raise
+    _sweep_stale_generations(tag, src, keep=os.path.basename(root))
+
+
+def _sweep_stale_generations(tag: str, src: str, keep: str) -> None:
+    """Two-phase sweep of old generations of ``src`` under ``tag``:
+    mark on first sighting, rmtree on a later pass once the mark has
+    aged past ``SWEEP_GRACE_SEC`` (deferred so a concurrent process
+    mid-scan over the old generation never loses its files)."""
     parent = tempfile.gettempdir()
+    now = time.time()
     for d in os.listdir(parent):
-        if not d.startswith(f"rsqes_{tag}_") or d == os.path.basename(root):
+        if not d.startswith(f"rsqes_{tag}_") or d == keep:
             continue
+        path = os.path.join(parent, d)
         try:
-            with open(os.path.join(parent, d, "source.txt")) as f:
+            with open(os.path.join(path, "source.txt")) as f:
                 stale_src = f.read()
         except OSError:
             continue
-        if stale_src == src:
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        if stale_src != src:
+            continue
+        marker = os.path.join(path, "swept.txt")
+        try:
+            marked_at = os.stat(marker).st_mtime
+        except OSError:
+            try:  # first sighting — tombstone it, reap on a later pass
+                with open(marker, "w") as f:
+                    f.write(str(now))
+            except OSError:
+                pass
+            continue
+        if now - marked_at >= SWEEP_GRACE_SEC:
+            shutil.rmtree(path, ignore_errors=True)

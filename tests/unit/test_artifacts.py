@@ -48,33 +48,45 @@ def test_params_change_rekeys_artifact(tmp_path):
     assert r1 != r2
 
 
-def test_source_change_rekeys_and_sweep_reclaims_old_generation(tmp_path):
+def test_source_change_rekeys_and_sweep_reclaims_old_generation(
+    tmp_path, monkeypatch
+):
+    """Two-phase deferred sweep (ADVICE r09): installing a new
+    generation MARKS the old one (so a concurrent run mid-scan over it
+    never loses files) and a later install REAPS it once the mark has
+    aged past SWEEP_GRACE_SEC."""
     src = tmp_path / "src.parquet"
     src.write_text("generation-1")
     r1 = artifacts.artifact_root(str(src), "testtag", "p=1")
     artifacts.install_artifact(r1, "testtag", str(src), _write_ok, _complete)
     assert _complete(r1)
     # regenerate the source → new mtime/size → new root; installing it
-    # sweeps the old generation of the SAME source
+    # MARKS (not deletes) the old generation of the SAME source
     src.write_text("generation-two!")
     r2 = artifacts.artifact_root(str(src), "testtag", "p=1")
     assert r2 != r1
     artifacts.install_artifact(r2, "testtag", str(src), _write_ok, _complete)
     assert _complete(r2)
-    assert not os.path.exists(r1)
+    assert os.path.exists(os.path.join(r1, "swept.txt"))  # marked
+    assert _complete(r1)  # but contents intact within the grace period
     # a DIFFERENT source's cache under the same tag survives the sweep
     other = tmp_path / "other.parquet"
     other.write_text("other")
     r3 = artifacts.artifact_root(str(other), "testtag", "p=1")
     artifacts.install_artifact(r3, "testtag", str(other), _write_ok, _complete)
+    # with the grace period elapsed, the next install reaps r1 and
+    # marks r2
+    monkeypatch.setattr(artifacts, "SWEEP_GRACE_SEC", 0.0)
     src.write_text("generation-three!!")
     r4 = artifacts.artifact_root(str(src), "testtag", "p=1")
     artifacts.install_artifact(r4, "testtag", str(src), _write_ok, _complete)
-    assert not os.path.exists(r2) and _complete(r4)
-    assert _complete(r3)  # other source untouched
+    assert not os.path.exists(r1) and _complete(r4)
+    assert os.path.exists(os.path.join(r2, "swept.txt"))
+    assert _complete(r3)  # other source untouched, never marked
+    assert not os.path.exists(os.path.join(r3, "swept.txt"))
     import shutil
 
-    for r in (r3, r4):
+    for r in (r2, r3, r4):
         shutil.rmtree(r, ignore_errors=True)
 
 

@@ -52,9 +52,19 @@ def test_index_excludes_batch_slice_and_caps_buckets(spark):
         .count()
     )
     assert oversized == 0
-    # signature table covers exactly the banded docs (4 bands each)
+    # the signature table covers every banded doc (sigs ⊇ banded:
+    # sigs deliberately RETAINS docs whose postings were all dropped
+    # by the degeneracy cap — exact equality would be data-dependent
+    # and fail on a corpus where some doc loses every bucket, despite
+    # correct behavior; ADVICE r09)
     sigs = li.read_index_sigs(spark, root)
-    assert bands.select("doc_id").distinct().count() == sigs.count()
+    uncovered = (
+        bands.select("doc_id")
+        .distinct()
+        .join(sigs, "doc_id", "left_anti")
+        .count()
+    )
+    assert uncovered == 0
 
 
 def test_index_digest_tracks_source_identity(spark, tmp_path):
@@ -80,9 +90,14 @@ def test_index_digest_tracks_source_identity(spark, tmp_path):
     )
     root_alt2 = li.ensure_lsh_index(spark, str(alt))
     assert root_alt2 != root_alt
-    assert not os.path.exists(root_alt)  # old generation swept
+    # old generation is MARKED for the deferred sweep (deleted only
+    # after SWEEP_GRACE_SEC by a later install — ADVICE r09: immediate
+    # rmtree races concurrent readers); full mark→reap lifecycle is
+    # pinned in tests/unit/test_artifacts.py
+    assert os.path.exists(os.path.join(root_alt, "swept.txt"))
     assert li._index_complete(root_orig)  # unrelated source untouched
-    shutil.rmtree(root_alt2, ignore_errors=True)
+    for r in (root_alt, root_alt2):
+        shutil.rmtree(r, ignore_errors=True)
 
 
 def test_index_build_matches_inline_pipeline(spark):
