@@ -1,0 +1,220 @@
+"""Persisted IVF index over the embeddings table — the ANN twin of
+``operators/lsh_index.py`` (VERDICT r09 "what's missing" #3: every
+IVF query recomputed the corpus→centroid assignment per run; the
+assignment pass is exactly as cacheable as the LSH signatures).
+
+Two parquet tables under one artifact root:
+
+- ``assign``: (vec_id, v array<double>, n double, centroid_id) — the
+  corpus assignment to its single nearest centroid, PARTITIONED BY
+  ``centroid_id``: a probe for a query's ``nprobe`` lists reads only
+  those directories (partition pruning — at cluster scale this is the
+  table's bucketing/partition column and the probe is a pruned scan
+  of ~nprobe/n_lists of the data). The vector and its norm are stored
+  alongside so probe-time scoring is one dot fold per candidate —
+  neither norms nor assignments are ever recomputed.
+- ``cent``: (centroid_id, cv array<double>, cn double) — the centroid
+  table (tiny; broadcast at probe time for query assignment).
+
+Centroids are the deterministic seed set (``vec_id < N_SEED``) shared
+with the live ``similarity_ivf_*`` queries, keeping every probe
+oracle-expressible in DuckDB; production swaps in trained k-means
+centers (``similarity.kmeans_centroids``) with no other change —
+which is why the cache key digests the centroid RULE.
+
+Cache keying / atomic install / deferred stale sweep: shared
+``sources/artifacts.py`` machinery (reference analogue: the catalog
+surface ``src/catalog.rs:16-42`` extended to a maintained artifact).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.operators.similarity import (
+    assign_centroids,
+    dot,
+    norm_sq,
+)
+from rs_query_engine_spark.sources.artifacts import artifact_root, install_artifact
+
+# Deterministic seed-centroid rule (corpus vectors vec_id < N_SEED) —
+# FIXED cardinality at every scale factor, mirrored literally in the
+# DuckDB oracles.
+N_SEED = 8
+
+
+def _ivf_params() -> str:
+    """Everything the artifact CONTENT depends on: the centroid rule,
+    the similarity (cosine with deterministic centroid-id tiebreak —
+    digest the assignment helper's source so editing the formula
+    re-keys the index), and the stored-norm convention."""
+    import hashlib
+    import inspect
+
+    fam = hashlib.md5(inspect.getsource(assign_centroids).encode()).hexdigest()[:8]
+    return f"ns={N_SEED}|metric=cos|fam={fam}"
+
+
+def seed_centroids(e: DataFrame) -> DataFrame:
+    """(centroid_id, centroid_vec) from the corpus seed rule."""
+    return e.filter(F.col("vec_id") < N_SEED).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the root of the persisted IVF index
+    over ``{sf_dir}/embeddings``. One corpus scan + one broadcast
+    cross-score against N_SEED centroids + one per-vector top-1
+    window; the write is partitioned by list."""
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    root = artifact_root(src, "ivfidx", _ivf_params())
+    if _ivf_complete(root):
+        return root
+    e = spark.read.parquet(src)
+    cent = seed_centroids(e)
+    assign = assign_centroids(e, cent).select(
+        "vec_id", F.col("_v").alias("v"), F.col("_n").alias("n"), "centroid_id"
+    )
+    cent_stored = cent.select(
+        "centroid_id",
+        F.col("centroid_vec").cast("array<double>").alias("cv"),
+        F.sqrt(norm_sq(F.col("centroid_vec").cast("array<double>"))).alias("cn"),
+    )
+
+    def write(tmp: str) -> None:
+        assign.write.partitionBy("centroid_id").parquet(os.path.join(tmp, "assign"))
+        cent_stored.coalesce(1).write.parquet(os.path.join(tmp, "cent"))
+
+    install_artifact(root, "ivfidx", src, write, _ivf_complete)
+    return root
+
+
+def _ivf_complete(root: str) -> bool:
+    return all(
+        os.path.exists(os.path.join(root, sub, "_SUCCESS"))
+        for sub in ("assign", "cent")
+    )
+
+
+def read_ivf_assign(spark: SparkSession, root: str) -> DataFrame:
+    # explicit column order (the partition column comes back last) and
+    # an explicit bigint cast: partition-column type inference yields
+    # `int` for small directory values, but the source vec_id — and
+    # the DuckDB oracle's centroid_id — are bigint (the driver hash is
+    # type-sensitive)
+    return spark.read.parquet(os.path.join(root, "assign")).select(
+        "vec_id", "v", "n", F.col("centroid_id").cast("bigint").alias("centroid_id")
+    )
+
+
+def read_ivf_centroids(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "cent")).select(
+        "centroid_id", "cv", "cn"
+    )
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` per query against the PERSISTED index: assign each
+    query to its ``nprobe`` nearest centroids (centroid table read
+    from the artifact — 8 rows, broadcast), then score only the
+    probed lists' stored (v, n) rows. Corpus vectors, norms and
+    assignments are never recomputed — per-probe cost is
+    O(batch × probed-list sizes), independent of how many times the
+    index is queried. The probe side (queries × nprobe, a bounded ANN
+    probe batch) is broadcast; the corpus-side ``assign`` scan
+    streams. Returns (query_id, vec_id, cos, rnk ≤ k).
+
+    ``tombstones``: optional (vec_id) table of revoked vectors
+    (``ensure_ivf_tombstones``) honored at probe time — revoked
+    corpus rows are anti-joined out BEFORE scoring (assignments are
+    per-vector independent, so filter-then-score equals a fresh index
+    over the surviving corpus; the anti-join side is a tiny takedown
+    list AQE broadcasts)."""
+    cent = read_ivf_centroids(spark, root).select(
+        "centroid_id", F.col("cv").alias("centroid_vec")
+    )
+    q_assigned = assign_centroids(
+        queries, cent, query_id, query_vec, nprobe=nprobe
+    ).select(
+        F.col(query_id),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        F.col("centroid_id"),
+    )
+    assign = read_ivf_assign(spark, root)
+    if tombstones is not None:
+        assign = assign.join(tombstones.select("vec_id"), "vec_id", "left_anti")
+    scored = assign.join(F.broadcast(q_assigned), "centroid_id").select(
+        query_id,
+        "vec_id",
+        F.try_divide(dot(F.col("v"), F.col("_qv")), F.col("n") * F.col("_qn")).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# =====================================================================
+# Delete path — the same takedown feed the LSH index honors (a revoked
+# document's EMBEDDING must leave the ANN surface too), LSM-style:
+# immutable assign/cent generations + a tiny tombstone table the probe
+# anti-joins.
+# =====================================================================
+
+
+def _ivf_tomb_params() -> str:
+    from rs_query_engine_spark.operators.lsh_index import REVOKE_MOD, REVOKE_REM
+
+    return f"{_ivf_params()}|rm={REVOKE_MOD}|rr={REVOKE_REM}"
+
+
+def ensure_ivf_tombstones(spark: SparkSession, sf_dir: str) -> str:
+    """(vec_id) tombstones for the IVF index — the embeddings face of
+    the revocation feed (``lsh_index.REVOKE_MOD/REVOKE_REM``: same
+    ids, because revoking a document revokes its vector). Centroids
+    are NOT retracted when a seed vector is revoked: a centroid is a
+    learned partitioning structure, not corpus content — exactly as a
+    trained k-means center derived from later-deleted points remains
+    valid (and is mirrored by the oracle, which filters the corpus
+    side only)."""
+    from rs_query_engine_spark.operators.lsh_index import REVOKE_MOD, REVOKE_REM
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    root = artifact_root(src, "ivftmb", _ivf_tomb_params())
+    if _ivf_tomb_complete(root):
+        return root
+    tombs = (
+        spark.read.parquet(src)
+        .filter(F.col("vec_id") % REVOKE_MOD == REVOKE_REM)
+        .select("vec_id")
+    )
+
+    def write(tmp: str) -> None:
+        tombs.coalesce(1).write.parquet(os.path.join(tmp, "tombs"))
+
+    install_artifact(root, "ivftmb", src, write, _ivf_tomb_complete)
+    return root
+
+
+def _ivf_tomb_complete(root: str) -> bool:
+    return os.path.exists(os.path.join(root, "tombs", "_SUCCESS"))
+
+
+def read_ivf_tombstones(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "tombs")).select("vec_id")

@@ -416,3 +416,47 @@ def ivf_pq_topk(
     scored = cand.select(query_id, corpus_id, adc.alias("adc"))
     w = Window.partitionBy(query_id).orderBy(F.col("adc").asc(), F.col(corpus_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """RANGE search (radius query) — the other half of the ANN API:
+    all corpus vectors with cosine ≥ ``threshold`` per query, rather
+    than a fixed top-k. Returns (query_id, vec_id, cos); self-matches
+    (same id) are excluded.
+
+    Same scale shape as :func:`brute_force_topk`: the bounded query
+    batch is broadcast, the corpus streams map-only (per-row one dot
+    fold against each query), and the threshold filter runs INSIDE the
+    scan stage — no window, no shuffle at all (top-k at least shuffles
+    the per-query survivors; range search emits matches where they are
+    found). The LSH-bucketed variant for corpus×corpus radius search
+    is ``dedup.embedding_lsh_pairs``."""
+    c = spread(corpus).select(
+        F.col(corpus_id),
+        _as_double(F.col(corpus_vec)).alias("_v"),
+        F.sqrt(norm_sq(_as_double(F.col(corpus_vec)))).alias("_n"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        _as_double(F.col(query_vec)).alias("_qv"),
+        F.sqrt(norm_sq(_as_double(F.col(query_vec)))).alias("_qn"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            corpus_id,
+            F.try_divide(
+                dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn")
+            ).alias("cos"),
+        )
+        .filter((F.col("cos") >= threshold) & (F.col(query_id) != F.col(corpus_id)))
+    )

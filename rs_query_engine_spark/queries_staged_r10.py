@@ -1,23 +1,51 @@
 """Staged query registrations for ROUND 11 — the round-10 holding pen.
 
-EMPTY at round-9 end by design: the activation gate
-(``tests/oracle/test_staged_r10_parity.py`` + ``STAGED_R10_ENABLED``
-in ``queries.py``) is created BEFORE the first query lands (ADVICE
-r07 precedent — a pen whose harness pre-exists makes every future
-registration verified-by-construction). Round 10 fills this file with
-new operators while it activates ``queries_staged_r9.py``; round 11
-flips the flag.
+The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
+``STAGED_R10_ENABLED`` in ``queries.py``) pre-existed this content
+(ADVICE r07 precedent), so every registration below was
+verified-by-construction from its first commit. Round 11 flips the
+flag.
 
-Same contract as every pen: exact-alias DuckDB oracles verified at
-sf0.001 + sf0.01, the float-determinism discipline of ``queries.py``'s
-module docstring, a plan test for every operator whose value is its
-plan shape, and pre-listed ``BIG_TABLE_BROADCAST_OK`` entries for any
-legitimate fixed-cardinality subset broadcast.
+Round-10 pen (VERDICT r09 next-round #3) — 15 queries, all with exact
+oracles. The two index-lifecycle completions the r9 verdict named
+lead:
+
+- **LSH index delete path** (``operators/lsh_index.py``): tombstone
+  generation (takedown/license-recall feed), a probe that honors
+  tombstones (a revoked doc can neither block admission nor cost
+  verify work), physical compaction once the tombstone fraction is
+  high, and the monitoring stats that trigger it.
+- **Persisted IVF index** (``operators/ivf_index.py``): the ANN twin
+  of the LSH artifact — corpus→centroid assignments written once
+  partitioned by list (probe = partition-pruned scan, nothing
+  recomputed), plus list-health stats and the same tombstone-honoring
+  delete path.
+
+Plus: cosine RANGE search (the radius half of the ANN API), and TPC-H
+shape coverage Q4/Q8/Q9/Q11/Q12/Q15/Q16 — with which every one of the
+22 dbgen queries has a registered shape analogue (Q1 ≙
+agg_groupby_returnflag, Q6 ≙ sql_entry_q6, Q17 ≙ sql_entry_q17_corr;
+the partsupp-dependent ones — Q2/Q9/Q11/Q16/Q20 — keep dbgen's plan
+topology on this corpus's tables, documented per query).
+
+Float-determinism discipline matches ``queries.py`` (see its module
+docstring).
 """
 
 from __future__ import annotations
 
-from rs_query_engine_spark.queries import QueryFn
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.operators.dedup import MINHASH_NUM_HASHES
+from rs_query_engine_spark.operators.lsh_index import (
+    BATCH_MOD,
+    BATCH_REM,
+    REVOKE_MOD,
+    REVOKE_REM,
+)
+from rs_query_engine_spark.queries import _COS_SQL, QueryFn, _t
+from rs_query_engine_spark.queries_staged_r9 import _LSH_IDX_CTES, _SIG_MATCH
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
@@ -48,3 +76,801 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+# =====================================================================
+# LSH index lifecycle completion: delete (tombstones) → compaction →
+# the stats that trigger it (VERDICT r09 "what's missing" #1: the
+# merge generation only ADDED postings; removing a revoked document
+# meant a full rebuild)
+# =====================================================================
+
+
+@register_staged(
+    "dedup_lsh_index_delete",
+    oracle=f"""
+    WITH {_LSH_IDX_CTES},
+    live AS (
+        SELECT * FROM idx WHERE doc_id % {REVOKE_MOD} <> {REVOKE_REM}
+    ), bband AS (
+        SELECT doc_id, band, key FROM banded
+        WHERE doc_id % {BATCH_MOD} = {BATCH_REM}
+    ), cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, i.doc_id AS match_id
+        FROM bband b JOIN live i ON b.band = i.band AND b.key = i.key
+    ), est AS (
+        SELECT c.batch_id, c.match_id, ({_SIG_MATCH}) AS n_match
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.batch_id
+        JOIN sig e ON e.doc_id = c.match_id
+    ), m AS (
+        SELECT batch_id, COUNT(*) AS n_matches FROM est
+        WHERE 2 * n_match >= {MINHASH_NUM_HASHES}
+        GROUP BY batch_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+           m.batch_id IS NULL AS admitted
+    FROM documents d LEFT JOIN m ON d.doc_id = m.batch_id
+    WHERE d.doc_id % {BATCH_MOD} = {BATCH_REM}
+    """,
+)
+def dedup_lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE path of the persisted LSH index: the batch probe of
+    ``dedup_incremental_indexed`` re-run with the TOMBSTONE generation
+    honored — every ``doc_id % 17 == 15`` indexed document is revoked
+    (the takedown/license-recall feed, materialized by
+    ``ensure_lsh_tombstones`` with the same atomic-install machinery
+    as the postings generations), and probe candidates matching a
+    tombstoned doc are anti-joined out BEFORE signature verification.
+    A batch doc whose only near-dups were revoked is now ADMITTED —
+    the observable behavior a takedown must produce.
+
+    LSM semantics: the base bands/sigs generations stay immutable;
+    the tombstone table is tiny and AQE broadcasts the anti-join.
+    The degeneracy cap is NOT retroactively recomputed (postings a
+    build-time cap dropped stay dropped — write-once; the oracle
+    mirrors capped-then-filtered). Physical reclamation is the
+    separate compaction step (``dedup_lsh_index_compact``)."""
+    from rs_query_engine_spark.operators.lsh_index import (
+        ensure_lsh_index,
+        ensure_lsh_tombstones,
+        probe_index,
+        read_tombstones,
+    )
+
+    root = ensure_lsh_index(spark, sf_dir)
+    tombs = read_tombstones(spark, ensure_lsh_tombstones(spark, sf_dir))
+    batch = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BATCH_MOD == BATCH_REM
+    )
+    return probe_index(spark, root, batch, tombstones=tombs)
+
+
+@register_staged(
+    "dedup_lsh_index_compact",
+    oracle=f"""
+    WITH {_LSH_IDX_CTES}
+    SELECT doc_id, band, key FROM idx
+    WHERE doc_id % {REVOKE_MOD} <> {REVOKE_REM}
+    """,
+)
+def dedup_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION generation read-back: ``bands``/``sigs`` rewritten
+    minus the tombstoned documents (``ensure_compacted_lsh_index``) —
+    the step that physically reclaims probe work and storage once
+    ``dedup_lsh_index_tombstone_stats`` shows a high tombstone
+    fraction. A hash-PASS proves the compacted artifact round-trips
+    bit-exactly AND equals capped-then-filtered semantics (the cap is
+    NOT recomputed: deletes only shrink buckets, so every surviving
+    posting still satisfies it; postings an earlier cap dropped stay
+    dropped — write-once, mirrored by the oracle).
+
+    100-TB shape: one read + broadcast anti-join + partitioned write
+    over the INDEX tables only — the corpus is never re-read and no
+    signature is recomputed; cost scales with index size (≪ corpus
+    size), which is what makes routine takedown compaction affordable."""
+    from rs_query_engine_spark.operators.lsh_index import (
+        ensure_compacted_lsh_index,
+        read_index_bands,
+    )
+
+    root = ensure_compacted_lsh_index(spark, sf_dir)
+    return read_index_bands(spark, root)
+
+
+@register_staged(
+    "dedup_lsh_index_tombstone_stats",
+    oracle=f"""
+    WITH {_LSH_IDX_CTES}
+    SELECT band,
+           COUNT(CASE WHEN doc_id % {REVOKE_MOD} <> {REVOKE_REM} THEN 1 END)
+               AS live_postings,
+           COUNT(CASE WHEN doc_id % {REVOKE_MOD} = {REVOKE_REM} THEN 1 END)
+               AS tomb_postings,
+           CAST(COUNT(CASE WHEN doc_id % {REVOKE_MOD} = {REVOKE_REM} THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS tomb_frac
+    FROM idx GROUP BY band
+    """,
+)
+def dedup_lsh_index_tombstone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone MONITORING — the compaction trigger: per band, live
+    vs tombstoned posting counts and the tombstone fraction (exact
+    integer counts; the fraction is one double division of exact
+    ints — deterministic). An operator watches ``tomb_frac`` and
+    compacts past a threshold (the LSM read-amplification rule).
+
+    Cost: one read of the postings + a broadcast join against the
+    tiny tombstone table + an 8-group aggregate — no corpus access,
+    no signature recompute; safe to run per ingest cycle at 100 TB."""
+    from rs_query_engine_spark.operators.lsh_index import (
+        ensure_lsh_index,
+        ensure_lsh_tombstones,
+        read_index_bands,
+        read_tombstones,
+    )
+
+    bands = read_index_bands(spark, ensure_lsh_index(spark, sf_dir))
+    tombs = read_tombstones(spark, ensure_lsh_tombstones(spark, sf_dir)).withColumn(
+        "_t", F.lit(1)
+    )
+    j = bands.join(F.broadcast(tombs), "doc_id", "left")
+    return j.groupBy("band").agg(
+        F.count(F.when(F.col("_t").isNull(), 1)).alias("live_postings"),
+        F.count(F.when(F.col("_t").isNotNull(), 1)).alias("tomb_postings"),
+        (
+            F.count(F.when(F.col("_t").isNotNull(), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("tomb_frac"),
+    )
+
+
+# =====================================================================
+# Persisted IVF index (VERDICT r09 "what's missing" #3: the embeddings
+# twin of ensure_lsh_index — assignments were recomputed per query;
+# operators/ivf_index.py persists them partitioned by list)
+# =====================================================================
+
+_IVF_CENT_CTES = f"""
+    corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+        SELECT corpus.vec_id, corpus.v, cent.centroid_id,
+               {_COS_SQL.format(a="corpus.v", b="cent.cv")} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY corpus.vec_id
+                   ORDER BY {_COS_SQL.format(a="corpus.v", b="cent.cv")} DESC, cent.centroid_id
+               ) AS rn
+        FROM corpus, cent
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id, cos FROM ranked WHERE rn = 1
+    )
+"""
+
+
+@register_staged(
+    "similarity_ivf_index_build",
+    oracle=f"""
+    WITH {_IVF_CENT_CTES}
+    SELECT vec_id, centroid_id FROM assigned
+    """,
+)
+def similarity_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-and-read-back of the PERSISTED IVF index
+    (operators/ivf_index.py): every corpus vector's single
+    nearest-centroid assignment, written ONCE as parquet PARTITIONED
+    BY centroid_id (with the vector and its norm stored alongside, so
+    probes never recompute either), plus the centroid table. A
+    hash-PASS proves the persisted assignment round-trips exactly.
+
+    100-TB shape: the assignment pass is one corpus scan + a
+    broadcast score against the centroid set + a per-vector top-1 —
+    run once per corpus generation instead of once per query (every
+    live ``similarity_ivf_*`` query re-runs it today); the list
+    partitioning makes each probe a partition-pruned scan of
+    ~nprobe/n_lists of the data. Reference analogue: the catalog
+    register/lookup surface (src/catalog.rs:16-42) extended to a
+    maintained artifact, same machinery as the LSH index."""
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_ivf_index,
+        read_ivf_assign,
+    )
+
+    root = ensure_ivf_index(spark, sf_dir)
+    return read_ivf_assign(spark, root).select("vec_id", "centroid_id")
+
+
+@register_staged(
+    "similarity_ivf_index_probe",
+    oracle=f"""
+    WITH {_IVF_CENT_CTES},
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id
+        FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, a.vec_id,
+               {_COS_SQL.format(a="a.v", b="q.qv")} AS cos
+        FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def similarity_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 ANN probe (nprobe=2) against the PERSISTED IVF index —
+    the steady-state search path: query vectors assign against the
+    artifact's centroid table (8 rows, broadcast), then score ONLY
+    the probed lists' stored (vector, norm) rows. Identical results
+    to ``similarity_ivf_probed`` (same oracle), but the corpus
+    assignment/norm work is amortized into the one-time build —
+    per-query cost is O(probed-list sizes), and at cluster scale the
+    list-partitioned layout turns the probe into a partition-pruned
+    scan. The probe side (queries × nprobe, the bounded ANN
+    probe-batch contract) is broadcast; the assign scan streams."""
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_ivf_index,
+        probe_ivf_index,
+    )
+
+    root = ensure_ivf_index(spark, sf_dir)
+    q = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return probe_ivf_index(spark, root, q, 10, nprobe=2)
+
+
+@register_staged(
+    "similarity_ivf_index_stats",
+    oracle=f"""
+    WITH {_IVF_CENT_CTES}
+    SELECT centroid_id, COUNT(*) AS n_vectors,
+           MIN(cos) AS min_cos, MAX(cos) AS max_cos
+    FROM assigned GROUP BY centroid_id
+    """,
+)
+def similarity_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-HEALTH metrics — the ANN twin of
+    ``dedup_lsh_index_stats``: per inverted list, its size (balance —
+    a skewed list breaks the ~1/n_lists probe-cost promise and says
+    "retrain centroids") and the min/max cosine of members to their
+    centroid (tightness bounds — a low min flags vectors the
+    partitioning serves badly). MIN/MAX of raw doubles and exact
+    counts only — no float summation, so the whole report
+    hash-verifies (the mean would need a non-grid double sum).
+
+    Cost: one read of the persisted assignment + one 8-group
+    aggregate with a broadcast centroid join — the corpus embeddings
+    are never re-read; run it per build to decide nprobe/retraining."""
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_ivf_index,
+        read_ivf_assign,
+        read_ivf_centroids,
+    )
+    from rs_query_engine_spark.operators.similarity import dot
+
+    root = ensure_ivf_index(spark, sf_dir)
+    assign = read_ivf_assign(spark, root)
+    cent = read_ivf_centroids(spark, root)
+    cos = F.try_divide(
+        dot(F.col("v"), F.col("cv")), F.col("n") * F.col("cn")
+    ).alias("cos")
+    return (
+        assign.join(F.broadcast(cent), "centroid_id")
+        .select("centroid_id", cos)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("cos").alias("min_cos"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+
+
+@register_staged(
+    "similarity_ivf_index_delete",
+    oracle=f"""
+    WITH {_IVF_CENT_CTES},
+    live AS (
+        SELECT * FROM assigned WHERE vec_id % {REVOKE_MOD} <> {REVOKE_REM}
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id
+        FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, a.vec_id,
+               {_COS_SQL.format(a="a.v", b="q.qv")} AS cos
+        FROM live a JOIN q ON a.centroid_id = q.centroid_id
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def similarity_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE path of the persisted IVF index: the nprobe=2 probe with
+    the TOMBSTONE table honored — the same revocation feed as the LSH
+    index (``vec_id % 17 == 15``: revoking a document revokes its
+    embedding), anti-joined out of the assignment scan BEFORE scoring.
+    Revoked vectors vanish from every top-k — and since assignments
+    are per-vector independent, filter-then-score is EXACTLY a fresh
+    index over the surviving corpus (the stronger delete criterion,
+    which the oracle states directly). Centroids are not retracted: a
+    centroid is learned structure, not corpus content (documented in
+    ``ensure_ivf_tombstones``). The tombstone side is a tiny takedown
+    list; AQE broadcasts the anti-join."""
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_ivf_index,
+        ensure_ivf_tombstones,
+        probe_ivf_index,
+        read_ivf_tombstones,
+    )
+
+    root = ensure_ivf_index(spark, sf_dir)
+    tombs = read_ivf_tombstones(spark, ensure_ivf_tombstones(spark, sf_dir))
+    q = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return probe_ivf_index(spark, root, q, 10, nprobe=2, tombstones=tombs)
+
+
+# =====================================================================
+# Cosine RANGE search — the radius half of the ANN API
+# =====================================================================
+
+_RANGE_THRESH = 0.3  # parses to the identical double in both engines
+
+
+@register_staged(
+    "similarity_range_search",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    )
+    SELECT q.query_id, corpus.vec_id,
+           {_COS_SQL.format(a="corpus.v", b="q.qv")} AS cos
+    FROM corpus, q
+    WHERE {_COS_SQL.format(a="corpus.v", b="q.qv")} >= {_RANGE_THRESH}
+      AND q.query_id <> corpus.vec_id
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) search: every corpus vector with cosine ≥ 0.3 of
+    each query vector — the ANN API's other half next to top-k
+    (dedup-screening and recall-oriented retrieval want "everything
+    this close", not a fixed k). Threshold 0.3 sits in this corpus's
+    upper tail (max off-diagonal cosine ≈ 0.45), so matches are a
+    sparse result, the realistic radius-query profile.
+
+    Scale shape (operators/similarity.cosine_range_search): the
+    bounded query batch broadcasts, the corpus streams MAP-ONLY with
+    the threshold filter inside the scan stage — strictly less
+    machinery than top-k (no per-query window, no shuffle at all).
+    The corpus×corpus radius variant is the LSH-bucketed
+    ``dedup_embedding_cosine``, never this broadcast shape."""
+    from rs_query_engine_spark.operators.similarity import cosine_range_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_range_search(e, q, _RANGE_THRESH)
+
+
+# =====================================================================
+# TPC-H shape coverage: Q4 / Q8 / Q9 / Q11 / Q12 / Q15 / Q16 analogues
+# — closing the set (all 22 dbgen queries now have a registered
+# shape). Column stand-ins per query where this corpus lacks dbgen
+# columns (no partsupp / commitdate / receiptdate / shipmode).
+# =====================================================================
+
+
+@register_staged(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 SHAPE — order-priority checking (dbgen counts orders
+    with a late lineitem, l_commitdate < l_receiptdate; this corpus
+    has neither column, so "late" is l_shipdate more than 60 days
+    after the order date — the same correlated-EXISTS topology with
+    a cross-table predicate). One quarter of orders, grouped by
+    priority.
+
+    Scale shape: the EXISTS decorrelates to a LEFT SEMI join on
+    o_orderkey with the lateness predicate riding the join condition
+    — lineitem is never aggregated or widened, the semi join emits
+    each order at most once (no fan-out), the date filter is pushed
+    to the orders scan, and the 5-group aggregate is map-side
+    partial. No hints: both sides are SF-proportional, AQE decides."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register_staged(
+    "tpch_q8_shape",
+    oracle="""
+    WITH base AS (
+        SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(14,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                AS DOUBLE) AS nation_volume,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 SHAPE — national market share: NATION_7's fraction of
+    ECONOMY-part revenue sold into ASIA, per order-year (dbgen Q8
+    minus partsupp: the supplier-nation attribution joins supplier
+    directly, same 8-table star otherwise). The share divides two
+    decimal-exact sums cast to double — deterministic; both sums are
+    also emitted for auditability.
+
+    Scale shape: the canonical multi-fact star — lineitem joins
+    orders on the shuffle key, customer/supplier sized by AQE,
+    nation/region FIXED-cardinality and broadcast; the p_type filter
+    is pushed into the part scan, the date window into orders; the
+    per-year aggregate is map-side partial into ≤ 2 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(14,4)"
+    )
+    base = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(14,4)")
+        )
+    ).cast("double")
+    total_vol = F.sum("volume").cast("double")
+    return (
+        base.groupBy("o_year")
+        .agg(
+            nation_vol.alias("nation_volume"),
+            total_vol.alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register_staged(
+    "tpch_q9_shape",
+    oracle="""
+    SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity
+                    AS DECIMAL(16,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 SHAPE — product-type profit by nation and year (dbgen
+    subtracts ps_supplycost×quantity; no partsupp here, so cost is
+    p_retailprice×quantity — same arithmetic shape: revenue minus a
+    part-priced cost, same %-LIKE part filter, same
+    supplier→nation attribution). Profit terms are exact-grid doubles
+    (2-dec price × integral quantity), summed on a DECIMAL(16,4)
+    grid, cast to double.
+
+    Scale shape: the LIKE filter cannot prune the part scan's rows at
+    planning time but drops ~2/3 of parts before the join; lineitem
+    joins part/supplier/orders all on their natural shuffle keys;
+    nation broadcasts; the (25 nations × years) aggregate is
+    map-side partial. No hints otherwise — AQE sizes part/supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(16,4)")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("_profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_profit").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register_staged(
+    "tpch_q11_shape",
+    oracle="""
+    WITH pv AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(16,2))) AS val
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM pv
+    WHERE val > (SELECT SUM(val) * 0.001 FROM pv)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 SHAPE — important stock identification: per-part
+    traded value through NATION_3's suppliers, keeping parts above
+    0.1% of the national total (dbgen computes ps_supplycost×ps_availqty
+    over partsupp; the same GROUP-BY + HAVING-against-scalar-subquery
+    topology runs here on lineitem's extendedprice×quantity). The
+    threshold comparison is decimal-exact on both sides (sum × an
+    exact decimal literal); only the OUTPUT casts to double.
+
+    Scale shape: ONE aggregation pass feeds both the per-part values
+    and the global threshold — the scalar subquery is a 1-row
+    aggregate of the already-shuffled pv, broadcast into the filter
+    (never a second scan of lineitem); nation broadcasts into the
+    supplier probe; supplier itself is AQE-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(16,2)")
+    pv = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    thresh = pv.agg(
+        (F.sum("val") * F.lit("0.001").cast("decimal(4,3)")).alias("_thresh")
+    )
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("val") > F.col("_thresh"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register_staged(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 SHAPE — shipping-mode priority mix (dbgen buckets
+    late-received lineitems by l_shipmode and splits orders into
+    high/low priority with conditional sums; no shipmode/receiptdate
+    here, so the same conditional-aggregation topology runs per
+    l_returnflag over a one-year ship window). Conditional SUMs of
+    0/1 ints are exact.
+
+    Scale shape: ONE fact-fact equi-join on the orderkey shuffle key
+    with the year filter pushed to the lineitem scan (pruning before
+    the shuffle), then a 3-group map-side-partial aggregate; the
+    priority CASE rides the join projection — no second pass. DuckDB
+    SUM(INTEGER) yields HUGEINT, so the oracle casts to BIGINT (the
+    repo-standard type-family fix)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register_staged(
+    "tpch_q15_shape",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(14,4)))
+                   AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 SHAPE — top supplier: the supplier(s) whose one-
+    quarter revenue equals the maximum (dbgen's revenue view + scalar
+    MAX subquery, verbatim topology — every column it needs exists
+    here). The MAX and the equality compare exact decimals; only the
+    output casts to double, so ties surface identically in both
+    engines.
+
+    Scale shape: one filtered pass over lineitem into a per-supplier
+    map-side-partial aggregate; the scalar MAX is a 1-row re-aggregate
+    of that same (tiny, supplier-cardinality) result broadcast into
+    the filter — lineitem is scanned ONCE; the supplier join attaches
+    names after the filter has cut to the winners."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(14,4)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register_staged(
+    "tpch_q16_shape",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 SHAPE — parts/supplier relationship: how many
+    distinct eligible suppliers ship each (brand, type, size) combo,
+    excluding a blocklisted supplier set (dbgen's
+    '%Customer%Complaints%' comment scan; the stand-in blocklist is
+    suppliers with negative account balance — no comment column). The
+    part-supplier relation is lineitem (no partsupp), same NOT-IN +
+    COUNT-DISTINCT topology.
+
+    Scale shape: the NOT IN compiles to a LEFT ANTI join against the
+    (tiny, broadcast) blocklist — safe because s_suppkey is non-null,
+    otherwise NOT IN's NULL semantics would differ; the brand/type/
+    size filters push into the part scan; COUNT(DISTINCT) shuffles
+    once on the group key with the distinct handled by Spark's
+    two-phase expand — no row explosion beyond the distinct pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )

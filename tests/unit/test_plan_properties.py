@@ -606,6 +606,10 @@ BIG_TABLE_BROADCAST_OK = {
     # activation flip doesn't trip the lint: same probe/seed pattern
     # as the other similarity entries.
     "similarity_ivf_recall_audit": "seed centroids + probe set broadcast in the IVF and brute arms",
+    # Staged for round 11 (queries_staged_r10.py) — pre-listed per the
+    # cadence rule: bounded probe batch (every-100th vector) broadcast,
+    # corpus streams map-only; same contract as bruteforce_topk.
+    "similarity_range_search": "query set broadcast; corpus streams (no shuffle at all)",
 }
 
 
@@ -901,3 +905,36 @@ def test_stream_index_probe_result_is_artifact_read(spark):
     plan = explain_str(df)
     assert "rsqes_streamprobe_" in plan
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_range_search_is_map_only_no_shuffle(spark):
+    """similarity_range_search's whole value is its plan shape: the
+    bounded query batch broadcasts and the corpus streams MAP-ONLY
+    with the threshold filter inside the scan stage — strictly less
+    machinery than top-k (no per-query window, no shuffle at all).
+    Any ShuffleExchange here means the operator regressed to a
+    corpus-wide repartition."""
+    from rs_query_engine_spark import queries_staged_r10 as r10
+
+    df = r10.similarity_range_search(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+
+
+def test_ivf_index_probe_scans_artifact_not_corpus(spark):
+    """The persisted-IVF probe must read the index artifact (stored
+    vectors + norms + assignments), never the embeddings corpus — the
+    corpus appears only via the bounded query-batch projection. A
+    'Scan parquet' over embeddings.parquet on the CORPUS side means
+    the cache is being silently recomputed."""
+    from rs_query_engine_spark import queries_staged_r10 as r10
+
+    df = r10.similarity_ivf_index_probe(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "rsqes_ivfidx_" in plan
+    # the only embeddings.parquet scans are the query batch (+ its
+    # centroid-assignment pass reads the artifact's cent table)
+    emb_scans = plan.count("embeddings.parquet")
+    assert emb_scans <= 2, f"corpus leaked into the probe plan ({emb_scans} scans)"
