@@ -83,7 +83,14 @@ def main() -> None:
                  "join_bucketed_colocated", "source_partition_pruning",
                  "join_dynamic_partition_pruning",
                  "dedup_lsh_index_build", "dedup_lsh_index_merge",
-                 "dedup_incremental_indexed", "dedup_lsh_index_stats"):
+                 "dedup_incremental_indexed", "dedup_lsh_index_stats",
+                 # r10 pen (inert until STAGED_R10_ENABLED flips — the
+                 # `if name in qs` guard skips them): tombstone /
+                 # compaction generations and the persisted IVF index
+                 "dedup_lsh_index_delete", "dedup_lsh_index_compact",
+                 "dedup_lsh_index_tombstone_stats",
+                 "similarity_ivf_index_build", "similarity_ivf_index_probe",
+                 "similarity_ivf_index_stats", "similarity_ivf_index_delete"):
         if name in qs:
             try:
                 t0 = time.perf_counter()
