@@ -149,6 +149,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R8_ENABLED", "queries_staged_r8"),
     ("STAGED_R9_ENABLED", "queries_staged_r9"),
     ("STAGED_R10_ENABLED", "queries_staged_r10"),
+    ("STAGED_R11_ENABLED", "queries_staged_r11"),
 )
 
 
@@ -6259,9 +6260,17 @@ STAGED_R8_ENABLED = True
 # (tests/oracle/test_staged_r9_parity.py at sf0.001 + sf0.01).
 STAGED_R9_ENABLED = True
 
-# Round-10 holding pen (``queries_staged_r10.py``): EMPTY at round-9
-# end by design — the gate (flag + test_staged_r10_parity.py) exists
-# before the first round-10 query lands (ADVICE r07 precedent), so
-# round 10 fills it while activating the r9 pen, and round 11 flips
-# this flag.
+# Round-10 holding pen (``queries_staged_r10.py``): filled in round
+# 10 (15 queries, all exact-oracled: LSH index delete/compact/
+# tombstone-stats, the persisted IVF index lifecycle, cosine range
+# search, TPC-H Q4/Q8/Q9/Q11/Q12/Q15/Q16 shapes), locally
+# hash-verified at sf0.001 + sf0.01
+# (tests/oracle/test_staged_r10_parity.py). Round 11 flips this flag.
 STAGED_R10_ENABLED = False
+
+# Round-11 holding pen (``queries_staged_r11.py``): EMPTY at round-10
+# end by design — the gate (flag + test_staged_r11_parity.py) exists
+# before the first round-11 query lands (ADVICE r07 precedent), so
+# round 11 fills it while activating the r10 pen, and round 12 flips
+# this flag.
+STAGED_R11_ENABLED = False
