@@ -171,6 +171,117 @@ def probe_ivf_index(
 
 
 # =====================================================================
+# Merge path — incremental ingest of a NEW embedding batch into the
+# persisted index without recomputing existing assignments (the ANN
+# twin of ``lsh_index.ensure_merged_lsh_index``). Unlike the LSH merge
+# (where the degeneracy cap makes merge ≠ fresh rebuild, a documented
+# write-once trade), IVF assignment is per-vector independent given
+# FIXED centroids — so merge-without-recompute is EXACTLY a fresh
+# build over the union corpus, and the oracle states that directly.
+# =====================================================================
+
+# The ingest-batch stand-in feed, shared with the LSH index lifecycle
+# (lsh_index.BATCH_MOD/BATCH_REM): a new embedding batch arrives with
+# its documents.
+
+
+def _batch_mod_rem() -> tuple[int, int]:
+    from rs_query_engine_spark.operators.lsh_index import BATCH_MOD, BATCH_REM
+
+    return BATCH_MOD, BATCH_REM
+
+
+def ensure_base_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """The PRE-INGEST generation: assignments for the corpus MINUS the
+    pending batch (``vec_id % BATCH_MOD != BATCH_REM``), against the
+    same fixed seed-centroid table (the centroid RULE reads the source
+    table, so centroids are identical across generations — learned
+    structure fixed at build time, the contract that makes incremental
+    merge exact)."""
+    bm, br = _batch_mod_rem()
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    root = artifact_root(src, "ivfbase", f"{_ivf_params()}|bm={bm}|br={br}")
+    if _ivf_complete(root):
+        return root
+    e = spark.read.parquet(src)
+    cent = seed_centroids(e)
+    assign = assign_centroids(e.filter(F.col("vec_id") % bm != br), cent).select(
+        "vec_id", F.col("_v").alias("v"), F.col("_n").alias("n"), "centroid_id"
+    )
+    cent_stored = cent.select(
+        "centroid_id",
+        F.col("centroid_vec").cast("array<double>").alias("cv"),
+        F.sqrt(norm_sq(F.col("centroid_vec").cast("array<double>"))).alias("cn"),
+    )
+
+    def write(tmp: str) -> None:
+        assign.write.partitionBy("centroid_id").parquet(os.path.join(tmp, "assign"))
+        cent_stored.coalesce(1).write.parquet(os.path.join(tmp, "cent"))
+
+    install_artifact(root, "ivfbase", src, write, _ivf_complete)
+    return root
+
+
+def ensure_merged_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """MERGE the new batch into the index: assign ONLY the batch
+    vectors against the base generation's PERSISTED centroid table,
+    union with the persisted base assignments (never recomputed — the
+    base side is a pure artifact read), and write a new immutable
+    generation with a ``generation`` provenance column ('base' /
+    'batch'). Because assignment is per-vector independent under fixed
+    centroids, the merged index is EXACTLY a fresh full-corpus build —
+    the oracle states the equality. Cost: O(batch × centroids) compute
+    + one index-size write; the existing corpus is touched only as a
+    columnar read-through.
+
+    At 100 TB: this is the per-ingest-cycle maintenance step — the
+    batch is a few GB against a corpus of TBs, so recomputing
+    assignments (the ``ensure_ivf_index`` path) would be ~corpus/batch
+    times more expensive than this merge."""
+    bm, br = _batch_mod_rem()
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    root = artifact_root(src, "ivfmrg", f"{_ivf_params()}|bm={bm}|br={br}")
+    if _ivf_complete(root):
+        return root
+    base = ensure_base_ivf_index(spark, sf_dir)
+    cent = read_ivf_centroids(spark, base).select(
+        "centroid_id", F.col("cv").alias("centroid_vec")
+    )
+    batch = spark.read.parquet(src).filter(F.col("vec_id") % bm == br)
+    batch_assign = assign_centroids(batch, cent).select(
+        "vec_id",
+        F.col("_v").alias("v"),
+        F.col("_n").alias("n"),
+        F.lit("batch").alias("generation"),
+        "centroid_id",
+    )
+    merged = (
+        read_ivf_assign(spark, base)
+        .select("vec_id", "v", "n", F.lit("base").alias("generation"), "centroid_id")
+        .unionByName(batch_assign)
+    )
+
+    def write(tmp: str) -> None:
+        merged.write.partitionBy("centroid_id").parquet(os.path.join(tmp, "assign"))
+        read_ivf_centroids(spark, base).coalesce(1).write.parquet(
+            os.path.join(tmp, "cent")
+        )
+
+    install_artifact(root, "ivfmrg", src, write, _ivf_complete)
+    return root
+
+
+def read_ivf_merged_assign(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "assign")).select(
+        "vec_id",
+        "v",
+        "n",
+        "generation",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+    )
+
+
+# =====================================================================
 # Delete path — the same takedown feed the LSH index honors (a revoked
 # document's EMBEDDING must leave the ANN surface too), LSM-style:
 # immutable assign/cent generations + a tiny tombstone table the probe
@@ -218,3 +329,31 @@ def _ivf_tomb_complete(root: str) -> bool:
 
 def read_ivf_tombstones(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "tombs")).select("vec_id")
+
+
+def ensure_compacted_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """COMPACTION generation: rewrite ``assign`` minus the tombstoned
+    vectors — physical reclamation once the tombstone fraction is
+    high, after which probes drop the anti-join entirely. Unlike LSH
+    compaction (capped-then-filtered ≠ fresh build — a documented
+    write-once trade), IVF assignment is per-vector independent, so
+    the compacted index EQUALS a fresh build over the surviving
+    corpus; the oracle states the equality. Cost: one index read +
+    broadcast anti-join + partitioned write — the corpus embeddings
+    are never re-read and no assignment is recomputed."""
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    root = artifact_root(src, "ivfcmp", _ivf_tomb_params())
+    if _ivf_complete(root):
+        return root
+    base = ensure_ivf_index(spark, sf_dir)
+    tombs = read_ivf_tombstones(spark, ensure_ivf_tombstones(spark, sf_dir))
+    live = read_ivf_assign(spark, base).join(tombs, "vec_id", "left_anti")
+
+    def write(tmp: str) -> None:
+        live.write.partitionBy("centroid_id").parquet(os.path.join(tmp, "assign"))
+        read_ivf_centroids(spark, base).coalesce(1).write.parquet(
+            os.path.join(tmp, "cent")
+        )
+
+    install_artifact(root, "ivfcmp", src, write, _ivf_complete)
+    return root

@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
 verified-by-construction from its first commit. Round 11 flips the
 flag.
 
-Round-10 pen (VERDICT r09 next-round #3) — 15 queries, all with exact
+Round-10 pen (VERDICT r09 next-round #3) — 18 queries, all with exact
 oracles. The two index-lifecycle completions the r9 verdict named
 lead:
 
@@ -16,10 +16,13 @@ lead:
   verify work), physical compaction once the tombstone fraction is
   high, and the monitoring stats that trigger it.
 - **Persisted IVF index** (``operators/ivf_index.py``): the ANN twin
-  of the LSH artifact — corpus→centroid assignments written once
-  partitioned by list (probe = partition-pruned scan, nothing
-  recomputed), plus list-health stats and the same tombstone-honoring
-  delete path.
+  of the LSH artifact, with the FULL lifecycle the LSH index has —
+  build (corpus→centroid assignments written once partitioned by
+  list; probe = partition-pruned scan, nothing recomputed), probe,
+  incremental MERGE (batch assigned against persisted centroids,
+  base never recomputed — provably ≡ fresh rebuild), list-health
+  stats, streaming foreachBatch probe, tombstone-honoring delete,
+  and physical compaction.
 
 Plus: cosine RANGE search (the radius half of the ANN API), and TPC-H
 shape coverage Q4/Q8/Q9/Q11/Q12/Q15/Q16 — with which every one of the
@@ -417,6 +420,160 @@ def similarity_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return probe_ivf_index(spark, root, q, 10, nprobe=2, tombstones=tombs)
+
+
+@register_staged(
+    "similarity_ivf_index_merge",
+    oracle=f"""
+    WITH {_IVF_CENT_CTES}
+    SELECT vec_id, centroid_id,
+           CASE WHEN vec_id % {BATCH_MOD} = {BATCH_REM}
+                THEN 'batch' ELSE 'base' END AS generation
+    FROM assigned
+    """,
+)
+def similarity_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE generation of the persisted IVF index — incremental
+    ingest without recompute (the ANN twin of
+    ``dedup_lsh_index_merge``): the new embedding batch
+    (``vec_id % 20 == 7``, the same ingest feed as the LSH lifecycle)
+    is assigned against the base generation's PERSISTED centroid
+    table and unioned with the base assignments, which are a pure
+    artifact read — never recomputed. The read-back carries a
+    ``generation`` provenance column.
+
+    The oracle is a FRESH full-corpus build plus the batch marker:
+    because IVF assignment is per-vector independent under fixed
+    centroids, merge-without-recompute EQUALS a fresh rebuild — a
+    stronger guarantee than the LSH merge (where the degeneracy cap
+    makes merge ≠ rebuild, a documented write-once trade), and a
+    hash-PASS here proves it. At 100 TB the merge costs
+    O(batch × centroids) + one index-size write vs a full corpus
+    re-assignment."""
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_merged_ivf_index,
+        read_ivf_merged_assign,
+    )
+
+    root = ensure_merged_ivf_index(spark, sf_dir)
+    return read_ivf_merged_assign(spark, root).select(
+        "vec_id", "centroid_id", "generation"
+    )
+
+
+@register_staged(
+    "similarity_ivf_index_compact",
+    oracle=f"""
+    WITH {_IVF_CENT_CTES}
+    SELECT vec_id, centroid_id FROM assigned
+    WHERE vec_id % {REVOKE_MOD} <> {REVOKE_REM}
+    """,
+)
+def similarity_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION generation of the persisted IVF index: ``assign``
+    rewritten minus the tombstoned vectors (the physical half of the
+    delete path — after it, probes drop the tombstone anti-join
+    entirely). Per-vector assignment independence makes the compacted
+    index EXACTLY a fresh build over the surviving corpus — the
+    oracle states the equality directly (contrast the LSH compaction,
+    pinned to capped-then-filtered semantics instead).
+
+    Cost: one index read + broadcast anti-join + partitioned write;
+    the corpus embeddings are never re-read and no assignment is
+    recomputed — index-size work, ≪ corpus-size, which is what makes
+    routine takedown compaction affordable at 100 TB."""
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_compacted_ivf_index,
+        read_ivf_assign,
+    )
+
+    root = ensure_compacted_ivf_index(spark, sf_dir)
+    return read_ivf_assign(spark, root).select("vec_id", "centroid_id")
+
+
+@register_staged(
+    "stream_ivf_probe",
+    oracle=_ORACLE["similarity_ivf_index_probe"],
+)
+def stream_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ANN — the streaming face of the persisted IVF index
+    (the embeddings twin of ``stream_index_probe``): query vectors
+    arrive as a stream, each micro-batch is probed against the
+    persisted index inside ``foreachBatch`` (the probe is the same
+    batch ``probe_ivf_index`` code — index probing, exactly-once
+    parquet output and checkpoint-tracked offsets compose without a
+    streaming-specific join), and results land batch-id-partitioned
+    for idempotent retries.
+
+    Per-query top-k depends only on the query vector and the index —
+    never on other queries — so the streamed output is hash-identical
+    to the one-shot probe (same oracle as
+    ``similarity_ivf_index_probe``): THE invariant that makes
+    continuous retrieval trustworthy. At 100 TB this is the online
+    serving path: the index is cached executor-side between
+    micro-batches, per-batch cost is O(batch × probed lists)."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_ivf_index,
+        probe_ivf_index,
+    )
+
+    root = ensure_ivf_index(spark, sf_dir)
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    schema = spark.read.parquet(src).schema
+    if os.path.isfile(src):
+        digest = _hashlib.md5(src.encode()).hexdigest()[:16]
+        shim = os.path.join(tempfile.gettempdir(), f"rsqes_embstream_{digest}")
+        os.makedirs(shim, exist_ok=True)
+        link = os.path.join(shim, "embeddings.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        stream_src = shim
+    else:
+        stream_src = src
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+    # (src, pid)-keyed run dir + fresh rmtree: same concurrency and
+    # re-invocation contract as stream_index_probe (ADVICE r09)
+    digest = _hashlib.md5(src.encode()).hexdigest()[:16]
+    run_root = os.path.join(
+        tempfile.gettempdir(), f"rsqes_streamivf_{digest}_{os.getpid()}"
+    )
+    out, ckpt = os.path.join(run_root, "out"), os.path.join(run_root, "ckpt")
+    shutil.rmtree(run_root, ignore_errors=True)
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            probe_ivf_index(spark, root, batch_df, 10, nprobe=2)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select("query_id", "vec_id", "cos", "rnk")
 
 
 # =====================================================================
