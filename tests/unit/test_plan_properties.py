@@ -923,6 +923,22 @@ def test_range_search_is_map_only_no_shuffle(spark):
     assert "Window" not in plan
 
 
+def test_q11_q15_threshold_reuses_single_fact_scan(spark):
+    """tpch_q11_shape / tpch_q15_shape compute a global threshold over
+    their own aggregate. The scalar-subquery/cross-join form scans
+    lineitem TWICE in the static plan (q15 gets no exchange reuse
+    even at AQE runtime — the broadcast side executes as a separate
+    job before stage-reuse matching); the empty-partition window over
+    the reduced aggregate guarantees one fact scan by construction.
+    Regressing to two scans doubles the dominant cost at 100 TB."""
+    from rs_query_engine_spark import queries_staged_r10 as r10
+
+    for name in ("tpch_q11_shape", "tpch_q15_shape"):
+        df = r10.queries()[name](spark, SF_DIR)
+        plan = explain_str(df)
+        assert plan.count("lineitem.parquet") == 1, f"{name}: fact scanned twice"
+
+
 def test_ivf_index_probe_scans_artifact_not_corpus(spark):
     """The persisted-IVF probe must read the index artifact (stored
     vectors + norms + assignments), never the embeddings corpus — the
