@@ -159,6 +159,41 @@ def test_ivf_probe_equals_live_ivf_topk(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_ivf_probe_all_lists_equals_brute_force(spark):
+    """Recall ceiling: with nprobe = N_SEED the probe scores every
+    list, so the persisted-index answer must equal exact brute-force
+    top-k — any divergence means the index dropped or duplicated
+    corpus rows."""
+    from rs_query_engine_spark.operators.similarity import brute_force_topk
+
+    root = iv.ensure_ivf_index(spark, SF_DIR)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = iv.probe_ivf_index(spark, root, q, k=5, nprobe=iv.N_SEED).select(
+        "query_id", "vec_id", "rnk"
+    )
+    want = brute_force_topk(e, q, k=5).select("query_id", "vec_id", "rnk")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_merged_equals_full_rebuild(spark):
+    """The merge contract stated by the oracle, pinned artifact-vs-
+    artifact: base (corpus minus batch) + batch assigned against the
+    PERSISTED centroids is exactly the full-corpus index — per-vector
+    assignment independence under fixed centroids."""
+    full = iv.read_ivf_assign(spark, iv.ensure_ivf_index(spark, SF_DIR)).select(
+        "vec_id", "centroid_id"
+    )
+    merged = iv.read_ivf_merged_assign(
+        spark, iv.ensure_merged_ivf_index(spark, SF_DIR)
+    ).select("vec_id", "centroid_id")
+    assert merged.count() == full.count()
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
 def test_ivf_probe_with_tombstones_never_returns_revoked(spark):
     root = iv.ensure_ivf_index(spark, SF_DIR)
     troot = iv.ensure_ivf_tombstones(spark, SF_DIR)
