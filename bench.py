@@ -91,7 +91,8 @@ def main() -> None:
                  "dedup_lsh_index_tombstone_stats",
                  "similarity_ivf_index_build", "similarity_ivf_index_probe",
                  "similarity_ivf_index_stats", "similarity_ivf_index_delete",
-                 "similarity_ivf_index_merge", "similarity_ivf_index_compact"):
+                 "similarity_ivf_index_merge", "similarity_ivf_index_compact",
+                 "dedup_lsh_index_merge_compact"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

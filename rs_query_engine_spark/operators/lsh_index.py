@@ -359,11 +359,17 @@ def read_tombstones(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "tombs")).select("doc_id")
 
 
-def ensure_compacted_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+def ensure_compacted_lsh_index(
+    spark: SparkSession, sf_dir: str, merged: bool = False
+) -> str:
     """COMPACTION generation: rewrite ``bands``/``sigs`` minus the
     tombstoned documents — the step that reclaims probe work and
     storage once the tombstone fraction is high (see
     ``dedup_lsh_index_tombstone_stats`` for the trigger metric).
+    ``merged=True`` compacts the MERGED generation instead of the
+    base one (the post-ingest steady state: LSM maintenance applies
+    to whichever generation is current — merge and compact compose
+    in either order because both are per-doc row operations).
 
     The degeneracy cap is deliberately NOT recomputed: deleting
     documents only SHRINKS buckets, so every surviving posting still
@@ -374,10 +380,15 @@ def ensure_compacted_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     write over the index tables only — the CORPUS is never re-read
     and no signature is recomputed."""
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    root = artifact_root(src, "lshcmp", _tomb_params())
+    tag = "lshcm2" if merged else "lshcmp"
+    root = artifact_root(src, tag, _tomb_params())
     if _index_complete(root):
         return root
-    base = ensure_lsh_index(spark, sf_dir)
+    base = (
+        ensure_merged_lsh_index(spark, sf_dir)
+        if merged
+        else ensure_lsh_index(spark, sf_dir)
+    )
     tombs = read_tombstones(spark, ensure_lsh_tombstones(spark, sf_dir))
     live_bands = read_index_bands(spark, base).join(tombs, "doc_id", "left_anti")
     live_sigs = read_index_sigs(spark, base).join(tombs, "doc_id", "left_anti")
@@ -386,5 +397,5 @@ def ensure_compacted_lsh_index(spark: SparkSession, sf_dir: str) -> str:
         live_bands.write.partitionBy("band").parquet(os.path.join(tmp, "bands"))
         live_sigs.write.parquet(os.path.join(tmp, "sigs"))
 
-    install_artifact(root, "lshcmp", src, write, _index_complete)
+    install_artifact(root, tag, src, write, _index_complete)
     return root

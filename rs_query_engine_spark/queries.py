@@ -6261,8 +6261,9 @@ STAGED_R8_ENABLED = True
 STAGED_R9_ENABLED = True
 
 # Round-10 holding pen (``queries_staged_r10.py``): filled in round
-# 10 (18 queries, all exact-oracled: LSH index delete/compact/
-# tombstone-stats, the persisted IVF index full lifecycle incl.
+# 10 (20 queries, all exact-oracled: LSH index delete/compact/
+# tombstone-stats + merged-generation compaction, the persisted IVF
+# index full lifecycle incl.
 # merge/compaction/streaming probe, cosine range search, TPC-H
 # Q4/Q8/Q9/Q11/Q12/Q15/Q16 shapes), locally
 # hash-verified at sf0.001 + sf0.01

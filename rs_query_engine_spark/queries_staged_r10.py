@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
 verified-by-construction from its first commit. Round 11 flips the
 flag.
 
-Round-10 pen (VERDICT r09 next-round #3) — 18 queries, all with exact
+Round-10 pen (VERDICT r09 next-round #3) — 20 queries, all with exact
 oracles. The two index-lifecycle completions the r9 verdict named
 lead:
 
@@ -40,7 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rs_query_engine_spark.operators.dedup import MINHASH_NUM_HASHES
+from rs_query_engine_spark.operators.dedup import (
+    MINHASH_MAX_BUCKET,
+    MINHASH_NUM_HASHES,
+)
 from rs_query_engine_spark.operators.lsh_index import (
     BATCH_MOD,
     BATCH_REM,
@@ -225,6 +228,213 @@ def dedup_lsh_index_tombstone_stats(spark: SparkSession, sf_dir: str) -> DataFra
             / F.count(F.lit(1))
         ).alias("tomb_frac"),
     )
+
+
+@register_staged(
+    "dedup_lsh_index_merge_compact",
+    oracle=f"""
+    WITH {_LSH_IDX_CTES},
+    bband AS (
+        SELECT doc_id, band, key FROM banded
+        WHERE doc_id % {BATCH_MOD} = {BATCH_REM}
+    ), merged AS (
+        SELECT doc_id, band, key FROM idx
+        UNION ALL
+        SELECT doc_id, band, key FROM bband
+    ), mcapped AS (
+        SELECT doc_id, band, key FROM merged
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {MINHASH_MAX_BUCKET}
+    )
+    SELECT doc_id, band, key FROM mcapped
+    WHERE NOT (doc_id % {REVOKE_MOD} = {REVOKE_REM}
+               AND doc_id % {BATCH_MOD} <> {BATCH_REM})
+    """,
+)
+def dedup_lsh_index_merge_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction of the MERGED generation — the post-ingest steady
+    state (the base-generation compaction alone would leave LSM
+    maintenance undefined after the first merge): ingest a batch
+    (merge generation, two-stage cap), then fold the tombstones in
+    physically. Merge and compact compose in either order because
+    both are per-doc row operations; the cap is write-once in both
+    (the oracle mirrors merged-capped-then-filtered). The stand-in
+    revocation feed names only docs indexed BEFORE the merge
+    (``ensure_lsh_tombstones`` excludes the batch slice), so batch
+    postings all survive — mirrored in the oracle's filter.
+
+    Cost identical to base compaction: one index read + broadcast
+    anti-join + partitioned write; corpus never re-read."""
+    from rs_query_engine_spark.operators.lsh_index import (
+        ensure_compacted_lsh_index,
+        read_index_bands,
+    )
+
+    root = ensure_compacted_lsh_index(spark, sf_dir, merged=True)
+    return read_index_bands(spark, root)
+
+
+@register_staged(
+    "governance_takedown_audit",
+    oracle=f"""
+    WITH {_LSH_IDX_CTES},
+    revoked_docs AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % {REVOKE_MOD} = {REVOKE_REM}
+          AND doc_id % {BATCH_MOD} <> {BATCH_REM}
+    ), lsh_before AS (
+        SELECT doc_id, COUNT(*) AS cnt FROM idx
+        WHERE doc_id % {REVOKE_MOD} = {REVOKE_REM} GROUP BY doc_id
+    ), lsh_after AS (
+        SELECT doc_id, COUNT(*) AS cnt FROM idx
+        WHERE doc_id % {REVOKE_MOD} = {REVOKE_REM}
+          AND doc_id % {REVOKE_MOD} <> {REVOKE_REM}
+        GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+        SELECT corpus.vec_id, corpus.v, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY corpus.vec_id
+                   ORDER BY {_COS_SQL.format(a="corpus.v", b="cent.cv")} DESC, cent.centroid_id
+               ) AS rn
+        FROM corpus, cent
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id
+        FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
+    ), topk_before AS (
+        SELECT vec_id FROM (
+            SELECT q.query_id, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_COS_SQL.format(a="a.v", b="q.qv")} DESC, a.vec_id
+                   ) AS rnk
+            FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+        ) WHERE rnk <= 10
+    ), topk_after AS (
+        SELECT vec_id FROM (
+            SELECT q.query_id, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_COS_SQL.format(a="a.v", b="q.qv")} DESC, a.vec_id
+                   ) AS rnk
+            FROM (SELECT * FROM assigned
+                  WHERE vec_id % {REVOKE_MOD} <> {REVOKE_REM}) a
+            JOIN q ON a.centroid_id = q.centroid_id
+        ) WHERE rnk <= 10
+    ), revoked_vecs AS (
+        SELECT vec_id FROM embeddings WHERE vec_id % {REVOKE_MOD} = {REVOKE_REM}
+    ), ann_before AS (
+        SELECT vec_id, COUNT(*) AS cnt FROM topk_before
+        WHERE vec_id % {REVOKE_MOD} = {REVOKE_REM} GROUP BY vec_id
+    ), ann_after AS (
+        SELECT vec_id, COUNT(*) AS cnt FROM topk_after
+        WHERE vec_id % {REVOKE_MOD} = {REVOKE_REM} GROUP BY vec_id
+    )
+    SELECT 'lsh_postings' AS surface, r.doc_id AS id,
+           COALESCE(b.cnt, CAST(0 AS BIGINT)) AS before_cnt,
+           COALESCE(a.cnt, CAST(0 AS BIGINT)) AS after_cnt
+    FROM revoked_docs r
+    LEFT JOIN lsh_before b ON r.doc_id = b.doc_id
+    LEFT JOIN lsh_after a ON r.doc_id = a.doc_id
+    UNION ALL
+    SELECT 'ann_topk' AS surface, r.vec_id AS id,
+           COALESCE(b.cnt, CAST(0 AS BIGINT)) AS before_cnt,
+           COALESCE(a.cnt, CAST(0 AS BIGINT)) AS after_cnt
+    FROM revoked_vecs r
+    LEFT JOIN ann_before b ON r.vec_id = b.vec_id
+    LEFT JOIN ann_after a ON r.vec_id = a.vec_id
+    """,
+)
+def governance_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN-COMPLIANCE audit — the cross-surface differential
+    check a revocation pipeline must ship with: for every revoked id,
+    how many times it appeared on each retrieval surface BEFORE the
+    delete (its postings in the LSH index; its appearances in ANN
+    top-10 results) and how many times it still appears AFTER (its
+    postings in the COMPACTED index; its appearances in the
+    tombstone-honoring probe). The after column is computed by
+    actually running the delete paths — the zeros are evidence, not
+    construction — while before > 0 rows prove the audit isn't
+    vacuous. Rows with before = 0 are kept (LEFT JOIN from the
+    revocation feed): an auditor must see every revoked id, not just
+    the ones that had exposure.
+
+    Scale shape: each arm is an index-/result-sized aggregate joined
+    FROM the tiny revocation feed (broadcast); the ANN arms reuse the
+    persisted IVF index probes; nothing scans the corpus beyond the
+    probes the surfaces already run. At 100 TB this is the compliance
+    report attached to every takedown batch."""
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_ivf_index,
+        ensure_ivf_tombstones,
+        probe_ivf_index,
+        read_ivf_tombstones,
+    )
+    from rs_query_engine_spark.operators.lsh_index import (
+        ensure_compacted_lsh_index,
+        ensure_lsh_index,
+        ensure_lsh_tombstones,
+        read_index_bands,
+        read_tombstones,
+    )
+
+    zero = F.lit(0).cast("bigint")
+
+    # LSH surface: postings per revoked doc, base vs compacted index
+    tombs_d = read_tombstones(spark, ensure_lsh_tombstones(spark, sf_dir))
+    bands_base = read_index_bands(spark, ensure_lsh_index(spark, sf_dir))
+    bands_comp = read_index_bands(
+        spark, ensure_compacted_lsh_index(spark, sf_dir)
+    )
+    lsh_before = bands_base.join(F.broadcast(tombs_d), "doc_id").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("_b"))
+    lsh_after = bands_comp.join(F.broadcast(tombs_d), "doc_id").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("_a"))
+    lsh = (
+        tombs_d.join(lsh_before, "doc_id", "left")
+        .join(lsh_after, "doc_id", "left")
+        .select(
+            F.lit("lsh_postings").alias("surface"),
+            F.col("doc_id").alias("id"),
+            F.coalesce(F.col("_b"), zero).alias("before_cnt"),
+            F.coalesce(F.col("_a"), zero).alias("after_cnt"),
+        )
+    )
+
+    # ANN surface: appearances of revoked vectors in top-10 results,
+    # unfiltered probe vs tombstone-honoring probe
+    root = ensure_ivf_index(spark, sf_dir)
+    tombs_v = read_ivf_tombstones(spark, ensure_ivf_tombstones(spark, sf_dir))
+    q = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res_before = probe_ivf_index(spark, root, q, 10, nprobe=2)
+    res_after = probe_ivf_index(spark, root, q, 10, nprobe=2, tombstones=tombs_v)
+    ann_before = res_before.join(F.broadcast(tombs_v), "vec_id").groupBy(
+        "vec_id"
+    ).agg(F.count(F.lit(1)).alias("_b"))
+    ann_after = res_after.join(F.broadcast(tombs_v), "vec_id").groupBy(
+        "vec_id"
+    ).agg(F.count(F.lit(1)).alias("_a"))
+    ann = (
+        tombs_v.join(ann_before, "vec_id", "left")
+        .join(ann_after, "vec_id", "left")
+        .select(
+            F.lit("ann_topk").alias("surface"),
+            F.col("vec_id").alias("id"),
+            F.coalesce(F.col("_b"), zero).alias("before_cnt"),
+            F.coalesce(F.col("_a"), zero).alias("after_cnt"),
+        )
+    )
+    return lsh.unionByName(ann)
 
 
 # =====================================================================
