@@ -11,6 +11,23 @@ Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
 decimals, every aggregate/computed column aliased identically in the
 Spark code and the DuckDB oracle.
+
+Candidate leads for round 11 (from round-10 loose ends — evaluate,
+don't assume):
+
+- Persisted PQ codebook artifact for ``similarity_ivf_pq_topk`` (the
+  quantization twin of the IVF assignment artifact — codebooks are
+  recomputed per query today).
+- Trained-centroid IVF index audit (``kmeans_centroids`` centers into
+  ``ensure_ivf_index``'s centroid rule — the swap its cache key was
+  designed for; likely an exact-invariant oracle, k lists non-empty +
+  full assignment, since Lloyd's isn't SQL-expressible).
+- TPC-H refresh-stream analogues (RF1 insert / RF2 delete batches
+  over orders+lineitem with consistency checks — the OLTP-ish
+  maintenance face of the warehouse).
+- Watermarked LATE-data index probe (stream_index_probe with an
+  event-time watermark and deliberately late arrivals — the
+  remaining untested streaming semantics against the index).
 """
 
 from __future__ import annotations
