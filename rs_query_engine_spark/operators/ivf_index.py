@@ -331,6 +331,142 @@ def read_ivf_tombstones(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "tombs")).select("vec_id")
 
 
+# =====================================================================
+# Persisted PQ-encoded index — the COMPRESSED layout (the corpus side
+# of IVF-PQ carries only (id, list, num_sub codes): ~64× smaller than
+# raw vectors, which is the representation a billion-vector deployment
+# actually keeps resident). ``similarity_ivf_pq_topk`` recomputes the
+# encoding per query today; this persists it once.
+# =====================================================================
+
+PQ_NUM_SUB = 8
+PQ_NUM_CENTROIDS = 16
+PQ_SUB_DIM = 8
+
+
+def _pq_params() -> str:
+    import hashlib
+    import inspect
+
+    from rs_query_engine_spark.operators.similarity import pq_codebook
+
+    fam = hashlib.md5(
+        (inspect.getsource(assign_centroids) + inspect.getsource(pq_codebook)).encode()
+    ).hexdigest()[:8]
+    return (
+        f"ns={N_SEED}|sub={PQ_NUM_SUB}|k={PQ_NUM_CENTROIDS}|d={PQ_SUB_DIM}|fam={fam}"
+    )
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the persisted PQ-ENCODED index: every corpus
+    vector's coarse-list assignment plus its ``PQ_NUM_SUB`` codebook
+    codes, written partitioned by list — one corpus scan (assignment
+    and encoding in the same map pass), after which probes touch ONLY
+    codes: no raw corpus vector is ever read again. The centroid
+    table is stored alongside for query-side assignment. Cache key
+    digests the codebook and assignment sources, so editing either
+    re-keys the artifact."""
+    from rs_query_engine_spark.operators.similarity import _pq_dist_tables
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    root = artifact_root(src, "pqidx", _pq_params())
+    if _pq_complete(root):
+        return root
+    e = spark.read.parquet(src)
+    cent = seed_centroids(e)
+    assigned = assign_centroids(e, cent).select(
+        "vec_id", F.col("_v"), F.col("centroid_id")
+    )
+    codes = _pq_dist_tables(
+        assigned,
+        "vec_id", "_v", PQ_NUM_SUB, PQ_NUM_CENTROIDS, PQ_SUB_DIM,
+        passthrough=("centroid_id",),
+    ).select(
+        F.col("_id").alias("vec_id"),
+        *[
+            (
+                F.array_position(F.col(f"_d{b}"), F.array_min(F.col(f"_d{b}"))) - 1
+            ).cast("int").alias(f"c{b}")
+            for b in range(PQ_NUM_SUB)
+        ],
+        "centroid_id",
+    )
+    cent_stored = cent.select(
+        "centroid_id",
+        F.col("centroid_vec").cast("array<double>").alias("cv"),
+        F.sqrt(norm_sq(F.col("centroid_vec").cast("array<double>"))).alias("cn"),
+    )
+
+    def write(tmp: str) -> None:
+        codes.write.partitionBy("centroid_id").parquet(os.path.join(tmp, "codes"))
+        cent_stored.coalesce(1).write.parquet(os.path.join(tmp, "cent"))
+
+    install_artifact(root, "pqidx", src, write, _pq_complete)
+    return root
+
+
+def _pq_complete(root: str) -> bool:
+    return all(
+        os.path.exists(os.path.join(root, sub, "_SUCCESS"))
+        for sub in ("codes", "cent")
+    )
+
+
+def read_pq_codes(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "codes")).select(
+        "vec_id",
+        *[f"c{b}" for b in range(PQ_NUM_SUB)],
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+    )
+
+
+def probe_pq_index(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-``k`` against the PERSISTED codes: assign each query to
+    its ``nprobe`` lists (centroids from the artifact, broadcast),
+    build the query's per-subspace distance tables once, then rank the
+    probed lists' STORED CODES by table lookups — per-candidate cost
+    is ``PQ_NUM_SUB`` array indexes + adds, and the corpus side
+    touched is the compressed codes scan only (partition-pruned by
+    list at cluster scale). Same (adc, vec_id) tiebreak as the live
+    ``ivf_pq_topk``, so results are hash-identical to it. Optional
+    ``tombstones`` are anti-joined out of the codes before ranking
+    (same delete contract as the raw-vector probes)."""
+    from rs_query_engine_spark.operators.similarity import _pq_dist_tables
+
+    cent = read_ivf_centroids(spark, root).select(
+        "centroid_id", F.col("cv").alias("centroid_vec")
+    )
+    q_assigned = assign_centroids(
+        queries, cent, query_id, query_vec, nprobe=nprobe
+    ).select(F.col(query_id), F.col("_v"), F.col("centroid_id"))
+    q_tables = _pq_dist_tables(
+        q_assigned.select(query_id, "_v").dropDuplicates([query_id]),
+        query_id, "_v", PQ_NUM_SUB, PQ_NUM_CENTROIDS, PQ_SUB_DIM,
+    ).withColumnRenamed("_id", query_id)
+    probes = q_assigned.select(query_id, "centroid_id").join(q_tables, query_id)
+    codes = read_pq_codes(spark, root)
+    if tombstones is not None:
+        codes = codes.join(tombstones.select("vec_id"), "vec_id", "left_anti")
+    cand = codes.join(F.broadcast(probes), "centroid_id")
+    adc = None
+    for b in range(PQ_NUM_SUB):
+        term = F.element_at(F.col(f"_d{b}"), F.col(f"c{b}") + 1)
+        adc = term if adc is None else adc + term
+    scored = cand.select(query_id, "vec_id", adc.alias("adc"))
+    w = Window.partitionBy(query_id).orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def ensure_compacted_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """COMPACTION generation: rewrite ``assign`` minus the tombstoned
     vectors — physical reclamation once the tombstone fraction is

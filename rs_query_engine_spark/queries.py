@@ -5481,16 +5481,14 @@ def sql_entry_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_oracle_sql(
+def _pq_cte_block(
     nprobe: int = 2, num_sub: int = 8, num_centroids: int = 16, sub_dim: int = 8
 ) -> str:
-    """Generated DuckDB oracle for the FULL IVF-PQ pipeline: coarse
-    assignment (same cosine/tiebreak SQL as similarity_ivf_probed), PQ
-    codes and query distance tables from the same codebook literals as
-    the Spark operator (same fold arithmetic the embedding_pq_codes
-    hash pins), ADC as position lookups summed in subspace order, and
-    the same (adc, vec_id) top-k tiebreak — so the composition is
-    hash-verifiable end-to-end, not just its standalone pieces."""
+    """The shared WITH-body of the IVF-PQ oracles: coarse assignment,
+    PQ ``codes``, and query distance tables ``qt`` — extracted so the
+    staged persisted-PQ-index oracles (codes read-back, probe) compose
+    from the SAME generated CTEs as the live end-to-end oracle and can
+    never drift from it."""
     from rs_query_engine_spark.operators.similarity import pq_codebook
 
     book = pq_codebook(num_sub, num_centroids, sub_dim)
@@ -5514,10 +5512,8 @@ def _pq_adc_oracle_sql(
     codes = ", ".join(
         f"list_position(d{b}, list_min(d{b})) - 1 AS c{b}" for b in range(num_sub)
     )
-    adc = " + ".join(f"qt.d{b}[c.c{b} + 1]" for b in range(num_sub))
     cos = _COS_SQL.format(a="corpus.v", b="cent.cv")
-    return f"""
-    WITH corpus AS (
+    return f"""corpus AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), cent AS (
         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
@@ -5537,7 +5533,22 @@ def _pq_adc_oracle_sql(
     ), qt AS (
         SELECT vec_id AS query_id, centroid_id, {d_cols("v")}
         FROM ranked WHERE rn <= {nprobe} AND vec_id % 100 = 0
-    ), scored AS (
+    )"""
+
+
+def _pq_adc_oracle_sql(
+    nprobe: int = 2, num_sub: int = 8, num_centroids: int = 16, sub_dim: int = 8
+) -> str:
+    """Generated DuckDB oracle for the FULL IVF-PQ pipeline: coarse
+    assignment (same cosine/tiebreak SQL as similarity_ivf_probed), PQ
+    codes and query distance tables from the same codebook literals as
+    the Spark operator (same fold arithmetic the embedding_pq_codes
+    hash pins), ADC as position lookups summed in subspace order, and
+    the same (adc, vec_id) top-k tiebreak — so the composition is
+    hash-verifiable end-to-end, not just its standalone pieces."""
+    adc = " + ".join(f"qt.d{b}[c.c{b} + 1]" for b in range(num_sub))
+    return f"""
+    WITH {_pq_cte_block(nprobe, num_sub, num_centroids, sub_dim)}, scored AS (
         SELECT qt.query_id, c.vec_id, {adc} AS adc
         FROM codes c JOIN qt ON c.centroid_id = qt.centroid_id
     )
@@ -6261,7 +6272,7 @@ STAGED_R8_ENABLED = True
 STAGED_R9_ENABLED = True
 
 # Round-10 holding pen (``queries_staged_r10.py``): filled in round
-# 10 (20 queries, all exact-oracled: LSH index delete/compact/
+# 10 (22 queries, all exact-oracled: LSH index delete/compact/
 # tombstone-stats + merged-generation compaction, the persisted IVF
 # index full lifecycle incl.
 # merge/compaction/streaming probe, cosine range search, TPC-H

@@ -15,9 +15,6 @@ Spark code and the DuckDB oracle.
 Candidate leads for round 11 (from round-10 loose ends — evaluate,
 don't assume):
 
-- Persisted PQ codebook artifact for ``similarity_ivf_pq_topk`` (the
-  quantization twin of the IVF assignment artifact — codebooks are
-  recomputed per query today).
 - Trained-centroid IVF index audit (``kmeans_centroids`` centers into
   ``ensure_ivf_index``'s centroid rule — the swap its cache key was
   designed for; likely an exact-invariant oracle, k lists non-empty +
