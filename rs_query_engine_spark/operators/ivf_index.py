@@ -331,6 +331,46 @@ def read_ivf_tombstones(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "tombs")).select("vec_id")
 
 
+def ensure_trained_ivf_index(spark: SparkSession, sf_dir: str, k: int = N_SEED) -> str:
+    """The PRODUCTION centroid rule: the same persisted-index build,
+    but with TRAINED k-means centers (``similarity.kmeans_centroids``,
+    seeded Spark-ML Lloyd's) instead of the deterministic seed set —
+    the swap ``_ivf_params``' centroid-rule digest was designed for:
+    nothing else changes (same assign/cent layout, same probes, same
+    tombstone path). Values aren't oracle-expressible (Lloyd's is
+    iterative), so the staged query verifies exact INVARIANTS instead;
+    the artifact itself makes training a once-per-generation cost."""
+    import hashlib
+    import inspect
+
+    from rs_query_engine_spark.operators.similarity import kmeans_centroids
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    fam = hashlib.md5(
+        (inspect.getsource(assign_centroids) + inspect.getsource(kmeans_centroids)).encode()
+    ).hexdigest()[:8]
+    root = artifact_root(src, "ivftrn", f"k={k}|metric=cos|fam={fam}")
+    if _ivf_complete(root):
+        return root
+    e = spark.read.parquet(src)
+    cent = kmeans_centroids(e, k)
+    assign = assign_centroids(e, cent).select(
+        "vec_id", F.col("_v").alias("v"), F.col("_n").alias("n"), "centroid_id"
+    )
+    cent_stored = cent.select(
+        "centroid_id",
+        F.col("centroid_vec").cast("array<double>").alias("cv"),
+        F.sqrt(norm_sq(F.col("centroid_vec").cast("array<double>"))).alias("cn"),
+    )
+
+    def write(tmp: str) -> None:
+        assign.write.partitionBy("centroid_id").parquet(os.path.join(tmp, "assign"))
+        cent_stored.coalesce(1).write.parquet(os.path.join(tmp, "cent"))
+
+    install_artifact(root, "ivftrn", src, write, _ivf_complete)
+    return root
+
+
 # =====================================================================
 # Persisted PQ-encoded index — the COMPRESSED layout (the corpus side
 # of IVF-PQ carries only (id, list, num_sub codes): ~64× smaller than

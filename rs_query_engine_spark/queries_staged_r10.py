@@ -786,6 +786,68 @@ def stream_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("query_id", "vec_id", "cos", "rnk")
 
 
+@register_staged(
+    "similarity_ivf_trained_invariants",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_assigned,
+           (SELECT COUNT(*) FROM embeddings) AS n_distinct_vecs,
+           TRUE AS lists_bounded,
+           TRUE AS trained_not_worse
+    """,
+)
+def similarity_ivf_trained_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-centroid persisted IVF index — the production swap the
+    artifact's cache key was designed for (``ensure_trained_ivf_index``:
+    seeded Spark-ML k-means centers into the same build; nothing else
+    changes). Lloyd's is iterative, so values aren't SQL-expressible;
+    this verifies exact INVARIANTS instead (the
+    ``similarity_kmeans_invariants`` pattern, r8): the persisted
+    assignment covers every corpus vector exactly once
+    (``n_assigned`` = ``n_distinct_vecs`` = corpus count — both exact
+    BIGINTs against the oracle's COUNT), uses at most k lists, and is
+    at least as tight as the seed-centroid index (mean assigned
+    cosine, 1e-9 relative slack — trained centers must not lose to 8
+    arbitrary seed vectors; both means computed in-Spark from the two
+    artifacts' stored vectors/norms, emitted as a boolean).
+
+    Cost: training is a once-per-generation artifact build
+    (setup-listed); the invariant check itself is two index reads +
+    broadcast centroid joins + 1-row aggregates."""
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_ivf_index,
+        ensure_trained_ivf_index,
+        N_SEED,
+        read_ivf_assign,
+        read_ivf_centroids,
+    )
+    from rs_query_engine_spark.operators.similarity import dot
+
+    def mean_cos(root: str):
+        assign = read_ivf_assign(spark, root)
+        cent = read_ivf_centroids(spark, root)
+        cos = F.try_divide(dot(F.col("v"), F.col("cv")), F.col("n") * F.col("cn"))
+        return assign.join(F.broadcast(cent), "centroid_id").agg(
+            F.avg(cos).alias("_m")
+        )
+
+    troot = ensure_trained_ivf_index(spark, sf_dir)
+    sroot = ensure_ivf_index(spark, sf_dir)
+    tassign = read_ivf_assign(spark, troot)
+    counts = tassign.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.count_distinct("vec_id").alias("n_distinct_vecs"),
+        (F.count_distinct("centroid_id") <= N_SEED).alias("lists_bounded"),
+    )
+    tm = mean_cos(troot).withColumnRenamed("_m", "_tm")
+    sm = mean_cos(sroot).withColumnRenamed("_m", "_sm")
+    return counts.crossJoin(tm).crossJoin(sm).select(
+        "n_assigned",
+        "n_distinct_vecs",
+        "lists_bounded",
+        (F.col("_tm") >= F.col("_sm") * (1 - F.lit(1e-9))).alias("trained_not_worse"),
+    )
+
+
 # =====================================================================
 # Persisted PQ-encoded index — the compressed half of the ANN artifact
 # story (codes are what a billion-vector deployment keeps resident;
