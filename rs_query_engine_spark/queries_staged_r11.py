@@ -15,10 +15,6 @@ Spark code and the DuckDB oracle.
 Candidate leads for round 11 (from round-10 loose ends — evaluate,
 don't assume):
 
-- Trained-centroid IVF index audit (``kmeans_centroids`` centers into
-  ``ensure_ivf_index``'s centroid rule — the swap its cache key was
-  designed for; likely an exact-invariant oracle, k lists non-empty +
-  full assignment, since Lloyd's isn't SQL-expressible).
 - TPC-H refresh-stream analogues (RF1 insert / RF2 delete batches
   over orders+lineitem with consistency checks — the OLTP-ish
   maintenance face of the warehouse).
