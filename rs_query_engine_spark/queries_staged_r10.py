@@ -1389,3 +1389,139 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+# =====================================================================
+# Warehouse maintenance — TPC-H refresh-function analogues (dbgen's
+# RF1 insert / RF2 delete batches, the OLTP-ish face of the
+# warehouse: spec §2.27-2.28). The reference has no mutation path at
+# all (`src/datasource/memory_table.rs` tables are write-once), so
+# these define the Spark-first semantics: copy-on-write via set
+# operations — insert-if-absent is a LEFT ANTI + UNION, delete is a
+# LEFT ANTI against the delete-key feed, cascaded in one pass.
+# =====================================================================
+
+# The refresh batch: a deterministic 1/97 orderkey slice (dbgen draws
+# SF*1500 keys; a modulus is the content-stable analogue, same spirit
+# as BATCH_MOD for the index batches).
+RF_MOD = 97
+RF_REM = 3
+
+
+@register_staged(
+    "maintenance_rf1_insert",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
+               AS sum_totalprice
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def maintenance_rf1_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H RF1 analogue — idempotent batch INSERT (upsert): the
+    incoming feed is the ``o_orderkey % {RF_MOD} == {RF_REM}`` slice,
+    the warehouse base deliberately already contains HALF of it
+    (every feed key ``≡ {RF_REM} (mod {2 * RF_MOD})`` is missing, the
+    rest are present), so a naive UNION would double-count. The merge
+    is insert-if-absent: feed LEFT ANTI base on the key, then UNION
+    ALL — the MERGE WHEN NOT MATCHED half of SQL MERGE, which Spark
+    has no built-in for over parquet.
+
+    The oracle is the recovery INVARIANT, not a re-description of the
+    merge: base ∪ feed covers the full table by construction, so the
+    merged per-status counts and decimal-exact totalprice sums must
+    equal the same aggregates over plain ``orders`` — any duplicate
+    insert or dropped row breaks it.
+
+    Scale shape: insert-if-absent against a 100-TB base is ONE
+    shuffle anti-join on the upsert key (both sides hash-partitioned;
+    the feed side is tiny so AQE broadcasts it), never a base
+    rewrite-and-compare; the union is metadata-only on top. Partial
+    aggregation handles the verification sums map-side."""
+    o = _t(spark, sf_dir, "orders")
+    feed = o.filter(F.col("o_orderkey") % RF_MOD == RF_REM)
+    base = o.filter(F.col("o_orderkey") % (2 * RF_MOD) != RF_REM)
+    fresh = feed.join(base.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = base.unionByName(fresh)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register_staged(
+    "maintenance_rf2_delete",
+    oracle=f"""
+    SELECT
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey % {RF_MOD} <> {RF_REM}) AS orders_remaining,
+      (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey % {RF_MOD} <> {RF_REM}) AS lineitem_remaining,
+      CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(14,4))) FROM orders
+             WHERE o_orderkey % {RF_MOD} <> {RF_REM}) AS DOUBLE)
+          AS sum_totalprice_remaining,
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey % {RF_MOD} <> {RF_REM}
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderkey % {RF_MOD} <> {RF_REM}
+          )) AS orphans
+    """,
+)
+def maintenance_rf2_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H RF2 analogue — batch DELETE with cascade: the delete
+    feed is a KEY TABLE (the ``% {RF_MOD} == {RF_REM}`` orderkeys —
+    in production it arrives as a feed, so the plan must treat it as
+    data, not a pushable predicate), anti-joined out of ``orders``
+    and cascaded to ``lineitem`` in the same pass. Output is the
+    post-delete audit: remaining counts, the decimal-exact remaining
+    totalprice, and the referential-integrity check that the cascade
+    left NO orphan lineitems (a lineitem whose order was deleted but
+    whose lines survived — the bug cascades exist to prevent).
+
+    The oracle recomputes all four from the raw tables with the
+    delete expressed as NOT-predicate / NOT EXISTS — the orphan count
+    is genuinely computed on both sides, not asserted as a literal.
+
+    Scale shape: delete-by-key from a 100-TB fact pair is two
+    anti-joins against the (small) key feed — AQE broadcasts it, so
+    neither fact table shuffles; the orphan audit is the one honest
+    key-shuffle (remaining lineitem anti remaining orders), which is
+    the audit's cost, not the delete's."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    del_keys = o.filter(F.col("o_orderkey") % RF_MOD == RF_REM).select("o_orderkey")
+    rem_o = o.join(del_keys, "o_orderkey", "left_anti")
+    rem_li = li.join(
+        del_keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_anti",
+    )
+    a = rem_o.agg(
+        F.count(F.lit(1)).alias("orders_remaining"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,4)"))
+        .cast("double")
+        .alias("sum_totalprice_remaining"),
+    )
+    b = rem_li.agg(F.count(F.lit(1)).alias("lineitem_remaining"))
+    c = rem_li.join(
+        rem_o.select("o_orderkey"),
+        rem_li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orphans"))
+    return a.crossJoin(b).crossJoin(c).select(
+        "orders_remaining",
+        "lineitem_remaining",
+        "sum_totalprice_remaining",
+        "orphans",
+    )
