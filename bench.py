@@ -94,7 +94,8 @@ def main() -> None:
                  "similarity_ivf_index_merge", "similarity_ivf_index_compact",
                  "dedup_lsh_index_merge_compact",
                  "similarity_pq_index_build", "similarity_pq_index_probe",
-                 "similarity_ivf_trained_invariants"):
+                 "similarity_ivf_trained_invariants",
+                 "stream_late_data_drop"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

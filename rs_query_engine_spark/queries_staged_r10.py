@@ -1525,3 +1525,96 @@ def maintenance_rf2_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_totalprice_remaining",
         "orphans",
     )
+
+
+# =====================================================================
+# Watermarked LATE-data semantics — actual out-of-order arrival across
+# micro-batches (stream_append_finalized pins finalization timing but
+# its whole corpus arrives in ONE batch, so the late-DROP path never
+# executes; this is the remaining untested watermark semantics)
+# =====================================================================
+
+
+@register_staged(
+    "stream_late_data_drop",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    a1 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 5 DAY AND ts <= mx - INTERVAL 3 DAY),
+    a2 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 3 DAY AND ts <= mx - INTERVAL 2 DAY),
+    b AS (SELECT e.* FROM e, m WHERE ts <= mx - INTERVAL 5 DAY),
+    c AS (SELECT e.* FROM e, m WHERE ts > mx - INTERVAL 2 DAY),
+    wa AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM a1),
+    wf AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM c),
+    accepted AS (
+        SELECT ts, event_type FROM a1
+        UNION ALL SELECT ts, event_type FROM a2
+        UNION ALL SELECT ts, event_type FROM c
+        UNION ALL SELECT b.ts, b.event_type FROM b, wa
+        WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wa.w
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events
+        FROM accepted GROUP BY 1, 2
+    )
+    SELECT g.window_start, g.event_type, g.n_events
+    FROM agg g, wf
+    WHERE g.window_start + INTERVAL 1 HOUR <= wf.w
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics under real out-of-order arrival:
+    the corpus replays as four micro-batches whose arrival order
+    disagrees with event time (``ensure_late_feed``: on-time feed in
+    two batches → LATE feed whose event times are the oldest →
+    catch-up feed), and the 84-hour watermark delay is chosen so the
+    late batch STRADDLES the watermark standing when it arrives —
+    rows whose 1-hour window still ends after the watermark are
+    aggregated, older rows are dropped, and both outcomes are visible
+    in the finalized output (the dropped rows' windows DO get
+    emitted, with counts that exclude them).
+
+    The oracle replays Spark's watermark arithmetic exactly in SQL,
+    including the one-batch LAG of the late-event filter behind the
+    eviction watermark (measured; see the ``ensure_late_feed`` layout
+    comment): the filter standing when the late batch (batch 2)
+    arrives derives from batch 0's data — the millisecond-floored max
+    event time minus the delay; a late row survives iff its window
+    end exceeds that; append mode emits a window once the FINAL
+    watermark (advanced by the catch-up batch plus the trailing
+    no-data batch) passes its end. Late-batch rows land in state only
+    while un-finalized, so nothing is double-emitted — the oracle's
+    four-way union is disjoint by construction.
+
+    At 100 TB this is the landing-zone contract: state is bounded by
+    the lateness horizon (windows × types inside 84 h), not corpus
+    size, and the drop rule makes reprocessing idempotent — a replayed
+    old file can never mutate finalized downstream partitions."""
+    from rs_query_engine_spark.streaming.events import (
+        LATE_DELAY,
+        ensure_late_feed,
+        run_stream_to_memory,
+    )
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return run_stream_to_memory(
+        agg, "stream_late_data_drop", output_mode="append"
+    )

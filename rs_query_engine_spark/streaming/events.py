@@ -230,3 +230,97 @@ def dedup_stream(
     bounded input, the result is exactly batch DISTINCT on the keys,
     which is what the oracle checks."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# Late-arrival feed layout (``ensure_late_feed``): the corpus split
+# into four drop-files whose EVENT-TIME order deliberately disagrees
+# with ARRIVAL order — the scenario watermarks exist for. Tier bounds
+# are event-time offsets from the corpus max; the watermark delay is
+# chosen so the late tier STRADDLES the watermark standing when it
+# arrives (some rows admitted, some dropped — both outcomes
+# observable). The on-time feed is split into TWO batches because
+# Spark's late-event filter lags the eviction watermark by one batch
+# (the filter for batch N uses the watermark derived from data through
+# batch N-2 — measured on 4.1, matching the ForLateEvents /
+# ForEviction split of SPARK-40925): a late file arriving immediately
+# after the watermark-advancing batch is never filtered, so the drop
+# path needs the advancing batch to be TWO batches back.
+LATE_TIER_A1_DAYS = 5  # on-time feed 1: ts in (mx-5d, mx-3d], arrives 1st
+LATE_TIER_A2_DAYS = 3  # on-time feed 2: ts in (mx-3d, mx-2d], arrives 2nd
+LATE_TIER_C_DAYS = 2  # catch-up feed: ts in (mx-2d, mx], arrives 4th
+LATE_DELAY = "84 hours"  # watermark delay (3.5 days)
+
+
+def ensure_late_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the 4-file LATE-ARRIVAL drop directory for the
+    events stream, once per corpus generation (same mtime+params-keyed
+    atomic-install machinery as the index artifacts): tier0/tier1 =
+    the on-time feed (event time ``(mx-5d, mx-3d]`` then
+    ``(mx-3d, mx-2d]`` — two batches so the first one's watermark is
+    in force for late filtering when the late file lands, see the
+    layout comment above), tier2 = the LATE feed (everything older —
+    it arrives third although its event time is oldest), tier3 = the
+    catch-up feed (the newest two days — arrives last and advances the
+    watermark far enough to finalize every earlier window). File
+    mtimes are forced strictly increasing so the file-stream source
+    (which orders by modification time) replays arrival order
+    deterministically, one file per micro-batch.
+
+    The single-scalar ``max(ts)`` collect is a bounded artifact-build
+    cost (one row, once per corpus generation), not a per-query loop."""
+    import shutil as _shutil
+    from datetime import timedelta
+
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+    from rs_query_engine_spark.sources.corpus import normalize_events_ts
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    root = artifact_root(
+        src,
+        "latefeed",
+        f"a1={LATE_TIER_A1_DAYS}|a2={LATE_TIER_A2_DAYS}|c={LATE_TIER_C_DAYS}",
+    )
+    feed = os.path.join(root, "feed")
+
+    def complete(r: str) -> bool:
+        d = os.path.join(r, "feed")
+        try:
+            return len([p for p in os.listdir(d) if p.endswith(".parquet")]) == 4
+        except OSError:
+            return False
+
+    if complete(root):
+        return feed
+    ev = normalize_events_ts(spark.read.parquet(src))
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    a_lo = mx - timedelta(days=LATE_TIER_A1_DAYS)
+    a_mid = mx - timedelta(days=LATE_TIER_A2_DAYS)
+    a_hi = mx - timedelta(days=LATE_TIER_C_DAYS)
+    tiers = [
+        ("tier0", (F.col("ts") > a_lo) & (F.col("ts") <= a_mid)),
+        ("tier1", (F.col("ts") > a_mid) & (F.col("ts") <= a_hi)),
+        ("tier2", F.col("ts") <= a_lo),
+        ("tier3", F.col("ts") > a_hi),
+    ]
+
+    def write(tmp: str) -> None:
+        fd = os.path.join(tmp, "feed")
+        os.makedirs(fd)
+        for i, (name, pred) in enumerate(tiers):
+            staging = os.path.join(tmp, f"_{name}")
+            ev.filter(pred).coalesce(1).write.parquet(staging)
+            part = [p for p in os.listdir(staging) if p.endswith(".parquet")][0]
+            dst = os.path.join(fd, f"{name}.parquet")
+            os.rename(os.path.join(staging, part), dst)
+            _shutil.rmtree(staging)
+            # arrival order = mtime order; any fixed base works (the
+            # source ages files RELATIVE to the newest, so absolute
+            # epoch values never trip maxFileAge)
+            t = 1_700_000_000 + i * 10
+            os.utime(dst, (t, t))
+
+    install_artifact(root, "latefeed", src, write, complete)
+    return feed
