@@ -1618,3 +1618,41 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         agg, "stream_late_data_drop", output_mode="append"
     )
+
+
+@register_staged(
+    "maintenance_ivm_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def maintenance_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance — the maintained daily rollup
+    (``operators/ivm.py``): per-(day, event_type) count + decimal-
+    exact value sum, where the HISTORY (everything older than the
+    recorded 2-day cutoff) comes from the persisted partials artifact
+    and only the DELTA slice of events is scanned at refresh time
+    (the cutoff is stored in the artifact and applied as a literal,
+    so it pushes into the events scan — plan-tested).
+
+    The oracle is the full direct aggregate over raw events: because
+    COUNT and the decimal SUM are commutative monoids, merged
+    partials must equal the direct aggregate EXACTLY — the invariant
+    that makes incremental maintenance trustworthy at all. Any
+    double-count across the cutoff boundary, dropped partial, or
+    float non-associativity breaks the hash.
+
+    At 100 TB: the history is aggregated once ever (O(history) paid
+    at build, amortized across every refresh); each refresh costs
+    O(delta) scan + a days×types-sized merge — the partials table is
+    metadata-scale (30 days × a handful of types) and stays so under
+    any corpus growth because the GRAIN, not the corpus, bounds it."""
+    from rs_query_engine_spark.operators.ivm import refreshed_rollup
+
+    return refreshed_rollup(spark, sf_dir)

@@ -954,3 +954,24 @@ def test_ivf_index_probe_scans_artifact_not_corpus(spark):
     # centroid-assignment pass reads the artifact's cent table)
     emb_scans = plan.count("embeddings.parquet")
     assert emb_scans <= 2, f"corpus leaked into the probe plan ({emb_scans} scans)"
+
+
+def test_ivm_rollup_scans_only_the_delta(spark):
+    """The maintained rollup's refresh must read the persisted
+    partials artifact plus a DELTA-ONLY slice of events: the recorded
+    cutoff is applied as a literal, so the events scan carries a
+    pushed ts >= filter and the history is provably not rescanned.
+    One events scan with the pushed bound + one artifact scan is the
+    whole read side."""
+    from rs_query_engine_spark import queries_staged_r10 as r10
+
+    df = r10.maintenance_ivm_rollup(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "rsqes_ivmroll_" in plan
+    assert plan.count("events.parquet") == 1, "history rescanned"
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "GreaterThanOrEqual(ts" in ln
+    ]
+    assert pushed, "delta cutoff not pushed into the events scan"
