@@ -37,6 +37,20 @@ ROLLUP_DELTA_DAYS = 2
 D_VAL = "decimal(12,2)"
 
 
+def day_partials(df: DataFrame) -> DataFrame:
+    """Per-(day, event_type) partial aggregates — the mergeable unit
+    of the maintained rollup. COUNT and the decimal-exact value SUM
+    are commutative monoids (with exact inverses — see the retraction
+    path), so any partition of the corpus re-reduces to the direct
+    aggregate bit-for-bit."""
+    return df.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast(D_VAL)).alias("val_sum"),
+    )
+
+
 def _complete(root: str) -> bool:
     return all(
         os.path.isfile(os.path.join(root, part, "_SUCCESS"))
@@ -66,14 +80,7 @@ def ensure_rollup_partials(spark: SparkSession, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts")).collect()[0][0]
     cutoff = mx - timedelta(days=ROLLUP_DELTA_DAYS)
-    partials = (
-        ev.filter(F.col("ts") < F.lit(cutoff))
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast(D_VAL)).alias("val_sum"),
-        )
-    )
+    partials = day_partials(ev.filter(F.col("ts") < F.lit(cutoff)))
     meta = spark.createDataFrame([(cutoff,)], "cutoff timestamp")
 
     def write(tmp: str) -> None:
@@ -103,14 +110,8 @@ def refreshed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = ensure_rollup_partials(spark, sf_dir)
     cutoff = read_rollup_cutoff(spark, root)
     base = read_rollup_partials(spark, root)
-    delta = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("ts") >= F.lit(cutoff))
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast(D_VAL)).alias("val_sum"),
-        )
+    delta = day_partials(
+        load_table(spark, sf_dir, "events").filter(F.col("ts") >= F.lit(cutoff))
     )
     return (
         base.unionByName(delta)
@@ -119,4 +120,45 @@ def refreshed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_events"),
             F.sum("val_sum").cast("double").alias("total_value"),
         )
+    )
+
+
+def retracted_rollup(spark: SparkSession, sf_dir: str, victim_pred) -> DataFrame:
+    """The maintained view under RETRACTION: erase every event
+    matching ``victim_pred`` (a GDPR/takedown erasure feed) from the
+    rollup WITHOUT re-aggregating the history. COUNT and the decimal
+    SUM have exact inverses (they form abelian groups, not just
+    monoids), so the erasure is a third partials leg with negated
+    measures merged into the same reduce; a group whose rows are all
+    erased nets to zero and is dropped, exactly as if it never
+    existed.
+
+    Cost: the victim scan is the only corpus touch — a selective
+    pushed predicate (at 100 TB, cluster/z-order by the victim key so
+    row-group stats prune it); the history partials are never
+    re-aggregated. Float discipline holds because negation of an
+    exact decimal is exact — a double-sum rollup could NOT support
+    retraction (subtraction would reorder the float reduction)."""
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    root = ensure_rollup_partials(spark, sf_dir)
+    cutoff = read_rollup_cutoff(spark, root)
+    ev = load_table(spark, sf_dir, "events")
+    base = read_rollup_partials(spark, root)
+    delta = day_partials(ev.filter(F.col("ts") >= F.lit(cutoff)))
+    retract = day_partials(ev.filter(victim_pred)).select(
+        "day",
+        "event_type",
+        (-F.col("cnt")).alias("cnt"),
+        (-F.col("val_sum")).alias("val_sum"),
+    )
+    return (
+        base.unionByName(delta)
+        .unionByName(retract)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum("val_sum").cast("double").alias("total_value"),
+        )
+        .filter(F.col("n_events") > 0)
     )

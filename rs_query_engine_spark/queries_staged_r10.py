@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
 verified-by-construction from its first commit. Round 11 flips the
 flag.
 
-Round-10 pen (VERDICT r09 next-round #3) — 22 queries, all with exact
+Round-10 pen (VERDICT r09 next-round #3) — 28 queries, all with exact
 oracles. The two index-lifecycle completions the r9 verdict named
 lead:
 
@@ -24,12 +24,17 @@ lead:
   stats, streaming foreachBatch probe, tombstone-honoring delete,
   and physical compaction.
 
-Plus: cosine RANGE search (the radius half of the ANN API), and TPC-H
-shape coverage Q4/Q8/Q9/Q11/Q12/Q15/Q16 — with which every one of the
-22 dbgen queries has a registered shape analogue (Q1 ≙
-agg_groupby_returnflag, Q6 ≙ sql_entry_q6, Q17 ≙ sql_entry_q17_corr;
-the partsupp-dependent ones — Q2/Q9/Q11/Q16/Q20 — keep dbgen's plan
-topology on this corpus's tables, documented per query).
+Plus: cosine RANGE search (the radius half of the ANN API), the
+persisted PQ-code index (build + ADC probe), the TRAINED-centroid IVF
+variant, TPC-H shape coverage Q4/Q8/Q9/Q11/Q12/Q15/Q16 — with which
+every one of the 22 dbgen queries has a registered shape analogue
+(Q1 ≙ agg_groupby_returnflag, Q6 ≙ sql_entry_q6, Q17 ≙
+sql_entry_q17_corr; the partsupp-dependent ones — Q2/Q9/Q11/Q16/Q20 —
+keep dbgen's plan topology on this corpus's tables, documented per
+query) — and the warehouse-maintenance family: TPC-H RF1/RF2 refresh
+analogues (idempotent insert, cascaded delete), watermark late-data
+drop semantics under real out-of-order arrival, and incremental view
+maintenance over persisted rollup partials (``operators/ivm.py``).
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring).
@@ -1656,3 +1661,42 @@ def maintenance_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.operators.ivm import refreshed_rollup
 
     return refreshed_rollup(spark, sf_dir)
+
+
+@register_staged(
+    "maintenance_ivm_retract",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id % 31 <> 7
+    GROUP BY 1, 2
+    """,
+)
+def maintenance_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTABLE view maintenance — erase a user set (the
+    ``user_id % 31 == 7`` GDPR/erasure feed) from the maintained
+    daily rollup without re-aggregating the history
+    (``operators/ivm.py:retracted_rollup``): COUNT and the decimal
+    SUM form abelian groups, so the erasure is a negated third
+    partials leg merged into the same reduce; fully-erased groups
+    net to zero and drop.
+
+    The oracle is the direct aggregate over the corpus MINUS the
+    victims — the maintained-view-equals-recompute invariant under
+    deletion, the retraction twin of ``maintenance_ivm_rollup``'s
+    insert-side invariant (and the rollup face of what
+    ``maintenance_rf2_delete`` pins for raw tables). A double-sum
+    rollup could not pass this: float subtraction reorders the
+    reduction; the decimal leg makes retraction exact.
+
+    At 100 TB: history partials untouched; the victim scan is the
+    only corpus read (selective pushed predicate — cluster by the
+    victim key so row-group stats prune it), and the merge is
+    days×types-sized."""
+    from rs_query_engine_spark.operators.ivm import retracted_rollup
+
+    return retracted_rollup(spark, sf_dir, F.col("user_id") % 31 == 7)
