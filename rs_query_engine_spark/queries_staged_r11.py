@@ -15,12 +15,21 @@ Spark code and the DuckDB oracle.
 Candidate leads for round 11 (from round-10 loose ends — evaluate,
 don't assume):
 
-- TPC-H refresh-stream analogues (RF1 insert / RF2 delete batches
-  over orders+lineitem with consistency checks — the OLTP-ish
-  maintenance face of the warehouse).
-- Watermarked LATE-data index probe (stream_index_probe with an
-  event-time watermark and deliberately late arrivals — the
-  remaining untested streaming semantics against the index).
+- Streaming dedup HORIZON-EXPIRY as an oracle query: the state rules
+  are now pinned on synthetic data
+  (tests/unit/test_streaming_dedup_expiry.py — no TTL extension by
+  duplicates, one-batch eviction lag, two-batch late-filter lag), so
+  a corpus-scale oracle is a deterministic per-key fold over the
+  late-feed tiers; budget for the SQL being a hefty 4-step CASE
+  cascade.
+- Maintained rollup lifecycle completion: a MERGE generation for
+  `operators/ivm.py` (absorb the delta into a new partials
+  generation, provably ≡ fresh build — the lsh/ivf merge pattern on
+  the rollup artifact) and an hourly second grain sharing one scan.
+- Streaming IVM: foreachBatch maintenance of the rollup partials
+  (the landing-zone listener keeping the maintained view current per
+  micro-batch; invariance to batch boundaries pinned against the
+  batch refresh oracle).
 """
 
 from __future__ import annotations
