@@ -95,7 +95,8 @@ def main() -> None:
                  "dedup_lsh_index_merge_compact",
                  "similarity_pq_index_build", "similarity_pq_index_probe",
                  "similarity_ivf_trained_invariants",
-                 "stream_late_data_drop", "maintenance_ivm_rollup"):
+                 "stream_late_data_drop", "maintenance_ivm_rollup",
+                 "maintenance_ivm_merge"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

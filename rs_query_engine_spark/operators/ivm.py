@@ -162,3 +162,42 @@ def retracted_rollup(spark: SparkSession, sf_dir: str, victim_pred) -> DataFrame
         )
         .filter(F.col("n_events") > 0)
     )
+
+
+def ensure_merged_rollup_partials(spark: SparkSession, sf_dir: str) -> str:
+    """MERGE generation of the maintained rollup: absorb the delta
+    into a new partials artifact built FROM the base generation plus
+    the delta scan — the base partials are re-reduced, never
+    re-aggregated from raw events (the lsh/ivf merge pattern on the
+    rollup artifact). After the merge the recorded cutoff advances to
+    the corpus max, so the next refresh's delta is empty; because the
+    partials are a commutative monoid, merged-generation ≡
+    fresh-build bit-for-bit, which the staged oracle states by
+    comparing against the direct aggregate."""
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    root = artifact_root(src, "ivmrollm", f"d={ROLLUP_DELTA_DAYS}|grain=day")
+    if _complete(root):
+        return root
+    base_root = ensure_rollup_partials(spark, sf_dir)
+    cutoff = read_rollup_cutoff(spark, base_root)
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    merged = (
+        read_rollup_partials(spark, base_root)
+        .unionByName(day_partials(ev.filter(F.col("ts") >= F.lit(cutoff))))
+        .groupBy("day", "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("val_sum").alias("val_sum"))
+        # re-reduce widened the sum type; restore the generation's
+        # storage type so probe code is generation-agnostic
+        .withColumn("val_sum", F.col("val_sum").cast("decimal(22,2)"))
+    )
+    meta = spark.createDataFrame([(mx,)], "cutoff timestamp")
+
+    def write(tmp: str) -> None:
+        merged.write.parquet(os.path.join(tmp, "partials"))
+        meta.coalesce(1).write.parquet(os.path.join(tmp, "meta"))
+
+    install_artifact(root, "ivmrollm", src, write, _complete)
+    return root
