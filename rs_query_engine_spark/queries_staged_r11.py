@@ -15,13 +15,17 @@ Spark code and the DuckDB oracle.
 Candidate leads for round 11 (from round-10 loose ends — evaluate,
 don't assume):
 
-- Streaming dedup HORIZON-EXPIRY as an oracle query: the state rules
-  are now pinned on synthetic data
+- Streaming dedup horizon-expiry: DO NOT attempt a corpus-scale
+  exact oracle — when a key has several rows in one micro-batch,
+  which row's timestamp lands in state is partition-order-dependent,
+  and every later expiry epoch inherits that nondeterminism (r10
+  finding). The synthetic pin
   (tests/unit/test_streaming_dedup_expiry.py — no TTL extension by
-  duplicates, one-batch eviction lag, two-batch late-filter lag), so
-  a corpus-scale oracle is a deterministic per-key fold over the
-  late-feed tiers; budget for the SQL being a hefty 4-step CASE
-  cascade.
+  duplicates, one-batch eviction lag, two-batch late-filter lag) is
+  the final form. A stream-STREAM join under the late feed is the
+  viable oracle-able sibling: emitted PAIRS are a set, deterministic
+  given batch boundaries, with the same lag-replay arithmetic
+  stream_late_data_drop already encodes.
 - Maintained rollup lifecycle completion: a MERGE generation for
   `operators/ivm.py` (absorb the delta into a new partials
   generation, provably ≡ fresh build — the lsh/ivf merge pattern on
