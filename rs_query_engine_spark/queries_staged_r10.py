@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
 verified-by-construction from its first commit. Round 11 flips the
 flag.
 
-Round-10 pen (VERDICT r09 next-round #3) — 30 queries, all with exact
+Round-10 pen (VERDICT r09 next-round #3) — 31 queries, all with exact
 oracles. The two index-lifecycle completions the r9 verdict named
 lead:
 
@@ -36,7 +36,10 @@ analogues (idempotent insert, cascaded delete), watermark late-data
 drop semantics under real out-of-order arrival, and incremental view
 maintenance over persisted rollup partials (``operators/ivm.py``) —
 refresh, exact retraction, merge generation, and streaming
-foreachBatch maintenance invariant to arrival order.
+foreachBatch maintenance invariant to arrival order — plus the
+stream-stream attribution join under the same out-of-order feed
+(emitted pairs are a deterministic set, so it gets an exact oracle
+where keyed-dedup expiry could not).
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring).
@@ -1829,4 +1832,117 @@ def stream_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_events"),
             F.sum("val_sum").cast("double").alias("total_value"),
         )
+    )
+
+
+@register_staged(
+    "stream_stream_join_late",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, event_id
+        FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    t AS (SELECT e.*, CASE
+            WHEN ts <= mx - INTERVAL 5 DAY THEN 2
+            WHEN ts <= mx - INTERVAL 3 DAY THEN 0
+            WHEN ts <= mx - INTERVAL 2 DAY THEN 1
+            ELSE 3 END AS tier
+          FROM e, m),
+    -- global watermark = min over the two sides' (ms-floored max - delay)
+    w0 AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier = 0 AND event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier = 0 AND event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    w1 AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier IN (0, 1) AND event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier IN (0, 1) AND event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    -- the late filter for batch N uses the watermark derived from
+    -- data through batch N-2: batches 0/1 unfiltered, the late tier
+    -- (batch 2) filters against w0, the catch-up (batch 3) against w1
+    acc AS (
+        SELECT * FROM t, w0, w1
+        WHERE (tier <> 2 OR ts > w0.w) AND (tier <> 3 OR ts > w1.w)
+    )
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM acc v JOIN acc p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    """,
+)
+def stream_stream_join_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join under real out-of-order arrival — the
+    purchase-attribution join (every purchase matched to the same
+    user's views in the preceding 24 h) replayed over the 4-file
+    late feed, both sides watermarked at 84 h. Unlike the keyed-dedup
+    state (whose stored timestamp is partition-order-dependent — see
+    tests/unit/test_streaming_dedup_expiry.py), emitted JOIN PAIRS
+    are a set, deterministic given batch boundaries, so this gets an
+    exact oracle.
+
+    Measured semantics the oracle replays (probed like
+    ``stream_late_data_drop``): each side's late filter drops rows by
+    their RAW event time (not shifted by the join bounds) against the
+    GLOBAL watermark — the min over both sides' ms-floored max event
+    time minus the delay — lagging TWO batches behind arrival (the
+    filter for batch N derives from data through batch N-2); state
+    eviction uses the one-batch-lagged watermark against the
+    condition-derived retention bounds (view_ts + 24 h / purchase_ts),
+    which with an 84-hour delay never evicts a live pair's endpoint
+    in this layout, so acceptance alone decides. Late-tier pairs
+    straddling the standing watermark surface BOTH outcomes: the
+    newer endpoint joins state from earlier batches, the older one is
+    dropped and its pairs never form (63 of 80 pairs at sf0.001).
+
+    At 100 TB: join state is bounded by the retention bounds times
+    arrival rate, not corpus size; both sides hash-partition on
+    user_id, the same shuffle as the batch join."""
+    from rs_query_engine_spark.streaming.events import (
+        LATE_DELAY,
+        ensure_late_feed,
+        run_stream_to_memory,
+    )
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", LATE_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", LATE_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("vu") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    return run_stream_to_memory(
+        joined, "stream_stream_join_late", output_mode="append"
     )
