@@ -1896,9 +1896,14 @@ def stream_stream_join_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     time minus the delay — lagging TWO batches behind arrival (the
     filter for batch N derives from data through batch N-2); state
     eviction uses the one-batch-lagged watermark against the
-    condition-derived retention bounds (view_ts + 24 h / purchase_ts),
-    which with an 84-hour delay never evicts a live pair's endpoint
-    in this layout, so acceptance alone decides. Late-tier pairs
+    condition-derived retention bounds (view_ts + 24 h / purchase_ts).
+    Eviction provably NEVER changes an inner join's emitted set: a
+    partner evicted at the end of batch M required f(M-1) > its
+    retention bound >= the other endpoint's event time, and any later
+    arrival at batch N is filtered against f(N-2) >= f(M-1) -- the
+    late filter always kills the pair first, so eviction is purely a
+    memory bound and acceptance alone decides (pinned in
+    tests/unit/test_stream_join_eviction.py). Late-tier pairs
     straddling the standing watermark surface BOTH outcomes: the
     newer endpoint joins state from earlier batches, the older one is
     dropped and its pairs never form (63 of 80 pairs at sf0.001).
