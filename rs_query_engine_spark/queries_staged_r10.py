@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
 verified-by-construction from its first commit. Round 11 flips the
 flag.
 
-Round-10 pen (VERDICT r09 next-round #3) — 31 queries, all with exact
+Round-10 pen (VERDICT r09 next-round #3) — 32 queries, all with exact
 oracles. The two index-lifecycle completions the r9 verdict named
 lead:
 
@@ -37,8 +37,9 @@ drop semantics under real out-of-order arrival, and incremental view
 maintenance over persisted rollup partials (``operators/ivm.py``) —
 refresh, exact retraction, merge generation, and streaming
 foreachBatch maintenance invariant to arrival order — plus the
-stream-stream attribution join under the same out-of-order feed
-(emitted pairs are a deterministic set, so it gets an exact oracle
+stream-stream attribution join (inner AND left-outer with
+watermark-closed null emission) under the same out-of-order feed
+(emitted pairs are a deterministic set, so they get exact oracles
 where keyed-dedup expiry could not).
 
 Float-determinism discipline matches ``queries.py`` (see its module
@@ -1950,4 +1951,125 @@ def stream_stream_join_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
     return run_stream_to_memory(
         joined, "stream_stream_join_late", output_mode="append"
+    )
+
+
+@register_staged(
+    "stream_stream_left_outer_late",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, event_id
+        FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    t AS (SELECT e.*, CASE
+            WHEN ts <= mx - INTERVAL 5 DAY THEN 2
+            WHEN ts <= mx - INTERVAL 3 DAY THEN 0
+            WHEN ts <= mx - INTERVAL 2 DAY THEN 1
+            ELSE 3 END AS tier
+          FROM e, m),
+    w0 AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier = 0 AND event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier = 0 AND event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    w1 AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier IN (0, 1) AND event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier IN (0, 1) AND event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    -- final watermark: the trailing no-data batch evicts with the
+    -- min-of-sides watermark over ALL arrived data (late rows flow
+    -- through the watermark node before the join filters them, so
+    -- the max is over the raw sides)
+    wf AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    acc AS (
+        SELECT * FROM t, w0, w1
+        WHERE (tier <> 2 OR ts > w0.w) AND (tier <> 3 OR ts > w1.w)
+    ),
+    v AS (SELECT * FROM acc WHERE event_type = 'view'),
+    p AS (SELECT * FROM acc WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    CROSS JOIN wf
+    WHERE p.event_id IS NOT NULL
+       OR v.ts + INTERVAL 24 HOUR < wf.w
+    """,
+)
+def stream_stream_left_outer_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join under out-of-order arrival — the
+    attribution join's other half: views that convert emit their pair
+    immediately; views that DON'T convert must still come out exactly
+    once, null-matched, and only once no future purchase can match —
+    i.e. when the watermark passes ``view_ts + 24 h`` (probed: the
+    null row flushes at the eviction that passes the bound, and a
+    still-open view at stream end is withheld — correctly, its window
+    is still live). The emitted set is deterministic: mid-stream
+    null-emission and final-flush produce the same rows because a
+    view nulled early can only have had late-filtered partners (the
+    same filter-subsumes-eviction argument as the inner join, pinned
+    in tests/unit/test_stream_join_eviction.py).
+
+    The oracle extends the inner replay with the closure rule: keep
+    unmatched accepted views whose bound precedes the FINAL
+    watermark — the min-of-sides ms-floored max over ALL arrivals
+    minus the delay (late rows flow through the watermark node before
+    the join filters them, so the raw per-side max governs).
+
+    At 100 TB this is the conversion-funnel contract: every view is
+    accounted for exactly once — paired, expired-unmatched, or still
+    open — with state bounded by the attribution window, the
+    exactly-once property downstream funnel metrics rely on."""
+    from rs_query_engine_spark.streaming.events import (
+        LATE_DELAY,
+        ensure_late_feed,
+        run_stream_to_memory,
+    )
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", LATE_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", LATE_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")),
+        "left_outer",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    return run_stream_to_memory(
+        joined, "stream_stream_left_outer_late", output_mode="append"
     )
