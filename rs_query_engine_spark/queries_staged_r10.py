@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
 verified-by-construction from its first commit. Round 11 flips the
 flag.
 
-Round-10 pen (VERDICT r09 next-round #3) — 32 queries, all with exact
+Round-10 pen (VERDICT r09 next-round #3) — 33 queries, all with exact
 oracles. The two index-lifecycle completions the r9 verdict named
 lead:
 
@@ -38,9 +38,11 @@ maintenance over persisted rollup partials (``operators/ivm.py``) —
 refresh, exact retraction, merge generation, and streaming
 foreachBatch maintenance invariant to arrival order — plus the
 stream-stream attribution join (inner AND left-outer with
-watermark-closed null emission) under the same out-of-order feed
-(emitted pairs are a deterministic set, so they get exact oracles
-where keyed-dedup expiry could not).
+watermark-closed null emission, plus a CHAINED join-into-windowed-
+aggregate multi-stateful pipeline with measured watermark
+propagation) under the same out-of-order feed (emitted pairs are a
+deterministic set, so they get exact oracles where keyed-dedup
+expiry could not).
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring).
@@ -2072,4 +2074,136 @@ def stream_stream_left_outer_late(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
     return run_stream_to_memory(
         joined, "stream_stream_left_outer_late", output_mode="append"
+    )
+
+
+@register_staged(
+    "stream_chained_stateful",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, event_id
+        FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    t AS (SELECT e.*, CASE
+            WHEN ts <= mx - INTERVAL 5 DAY THEN 2
+            WHEN ts <= mx - INTERVAL 3 DAY THEN 0
+            WHEN ts <= mx - INTERVAL 2 DAY THEN 1
+            ELSE 3 END AS tier
+          FROM e, m),
+    w0 AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier = 0 AND event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier = 0 AND event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    w1 AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier IN (0, 1) AND event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier IN (0, 1) AND event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    -- the aggregate sits DOWNSTREAM of the join, so its eviction
+    -- watermark is the global one minus the join's state delay (the
+    -- 24 h condition bound): watermark propagation for chained
+    -- stateful operators (SPARK-40925), measured at both SFs
+    wf AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE event_type = 'purchase')
+           ) - INTERVAL 84 HOUR - INTERVAL 24 HOUR AS w),
+    acc AS (
+        SELECT * FROM t, w0, w1
+        WHERE (tier <> 2 OR ts > w0.w) AND (tier <> 3 OR ts > w1.w)
+    ),
+    pairs AS (
+        SELECT p.ts AS pts
+        FROM acc v JOIN acc p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    ),
+    agg AS (
+        SELECT date_trunc('hour', pts) AS window_start,
+               COUNT(*) AS n_conversions
+        FROM pairs GROUP BY 1
+    )
+    SELECT g.window_start, g.n_conversions
+    FROM agg g, wf
+    WHERE g.window_start + INTERVAL 1 HOUR <= wf.w
+    """,
+)
+def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators — a stream-stream attribution join
+    feeding a watermarked windowed aggregation in ONE streaming query
+    (hourly conversion counts), over the out-of-order feed. Multiple
+    stateful operators per query is exactly what the
+    ForLateEvents/ForEviction watermark split exists for
+    (SPARK-40925): the join emits pairs as arrivals match, and the
+    downstream aggregate finalizes an hour once the watermark passes
+    its end — one trailing no-data batch flushes both (probed; pairs
+    always exist by the last data batch since an inner join emits on
+    arrival).
+
+    The oracle chains the two replayed rules: join-level acceptance
+    (per-side raw-ts late filters, two-batch lag) then append-mode
+    window emission against the FINAL min-of-sides watermark MINUS
+    the join's 24 h state delay — watermark propagation: the
+    aggregate sits downstream of an operator whose buffered rows can
+    be up to the condition bound older than the global watermark, so
+    its eviction watermark is shifted by exactly that bound
+    (measured: 34 vs the emitted 21 windows at sf0.01 without the
+    shift). The
+    aggregate's own late filter provably cannot drop a pair in this
+    layout: a pair's window ends after its purchase's event time,
+    which its acceptance already bounds above the standing filter.
+    Windows past the final watermark (the catch-up tier's hours) are
+    withheld — observable as the missing newest hours.
+
+    At 100 TB: the funnel metric pipeline collapses two jobs and an
+    intermediate landing table into one exactly-once streaming query;
+    state = join buffers within the attribution window + one row per
+    open hour."""
+    from rs_query_engine_spark.streaming.events import (
+        LATE_DELAY,
+        ensure_late_feed,
+        run_stream_to_memory,
+    )
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", LATE_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", LATE_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")),
+    )
+    agg = (
+        joined.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .select(F.col("w.start").alias("window_start"), "n_conversions")
+    )
+    return run_stream_to_memory(
+        agg, "stream_chained_stateful", output_mode="append"
     )
