@@ -22,18 +22,19 @@ don't assume):
   finding). The synthetic pin
   (tests/unit/test_streaming_dedup_expiry.py — no TTL extension by
   duplicates, one-batch eviction lag, two-batch late-filter lag) is
-  the final form. A stream-STREAM join under the late feed is the
-  viable oracle-able sibling: emitted PAIRS are a set, deterministic
-  given batch boundaries, with the same lag-replay arithmetic
-  stream_late_data_drop already encodes.
-- Maintained rollup lifecycle completion: a MERGE generation for
-  `operators/ivm.py` (absorb the delta into a new partials
-  generation, provably ≡ fresh build — the lsh/ivf merge pattern on
-  the rollup artifact) and an hourly second grain sharing one scan.
-- Streaming IVM: foreachBatch maintenance of the rollup partials
-  (the landing-zone listener keeping the maintained view current per
-  micro-batch; invariance to batch boundaries pinned against the
-  batch refresh oracle).
+  the final form. (The stream-STREAM siblings — inner, left-outer,
+  and the chained join-into-agg pipeline with its measured 24 h
+  watermark propagation — landed in the r10 pen.)
+- FULL OUTER stream-stream join under the late feed (both sides'
+  unmatched rows null-emitted on watermark closure — the remaining
+  outer variant; same replay arithmetic as
+  stream_stream_left_outer_late plus the purchase-side closure
+  bound).
+- Hourly second grain for the maintained rollup sharing one delta
+  scan with the daily grain (two-grain refresh, one corpus touch).
+- transformWithStateInPandas timer-driven TTL operator (the 4.1
+  arbitrary-state API with event-time timers — the one stateful
+  surface still untested under out-of-order arrival).
 """
 
 from __future__ import annotations
