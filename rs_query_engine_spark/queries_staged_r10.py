@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
 verified-by-construction from its first commit. Round 11 flips the
 flag.
 
-Round-10 pen (VERDICT r09 next-round #3) — 33 queries, all with exact
+Round-10 pen (VERDICT r09 next-round #3) — 34 queries, all with exact
 oracles. The two index-lifecycle completions the r9 verdict named
 lead:
 
@@ -37,10 +37,11 @@ drop semantics under real out-of-order arrival, and incremental view
 maintenance over persisted rollup partials (``operators/ivm.py``) —
 refresh, exact retraction, merge generation, and streaming
 foreachBatch maintenance invariant to arrival order — plus the
-stream-stream attribution join (inner AND left-outer with
-watermark-closed null emission, plus a CHAINED join-into-windowed-
-aggregate multi-stateful pipeline with measured watermark
-propagation) under the same out-of-order feed (emitted pairs are a
+stream-stream attribution join (inner, left-outer AND full-outer
+with watermark-closed null emission on each side's own retention
+bound, plus a CHAINED join-into-windowed-aggregate multi-stateful
+pipeline with measured watermark propagation) under the same
+out-of-order feed (emitted pairs are a
 deterministic set, so they get exact oracles where keyed-dedup
 expiry could not).
 
@@ -2206,4 +2207,123 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_stream_to_memory(
         agg, "stream_chained_stateful", output_mode="append"
+    )
+
+
+@register_staged(
+    "stream_stream_full_outer_late",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, event_id
+        FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    t AS (SELECT e.*, CASE
+            WHEN ts <= mx - INTERVAL 5 DAY THEN 2
+            WHEN ts <= mx - INTERVAL 3 DAY THEN 0
+            WHEN ts <= mx - INTERVAL 2 DAY THEN 1
+            ELSE 3 END AS tier
+          FROM e, m),
+    w0 AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier = 0 AND event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier = 0 AND event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    w1 AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier IN (0, 1) AND event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE tier IN (0, 1) AND event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    wf AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE event_type = 'purchase')
+           ) - INTERVAL 84 HOUR AS w),
+    acc AS (
+        SELECT * FROM t, w0, w1
+        WHERE (tier <> 2 OR ts > w0.w) AND (tier <> 3 OR ts > w1.w)
+    ),
+    v AS (SELECT * FROM acc WHERE event_type = 'view'),
+    p AS (SELECT * FROM acc WHERE event_type = 'purchase')
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM v FULL JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    CROSS JOIN wf
+    WHERE (v.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+       OR (p.event_id IS NULL AND v.ts + INTERVAL 24 HOUR < wf.w)
+       OR (v.event_id IS NULL AND p.ts < wf.w)
+    """,
+)
+def stream_stream_full_outer_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join under out-of-order arrival — the
+    complete funnel ledger: converting pairs immediately, views that
+    never convert null-matched once the watermark passes
+    ``view_ts + 24 h``, and purchases with NO qualifying prior view
+    (organic conversions) null-matched once the watermark passes
+    ``purchase_ts`` — each side's closure bound is exactly its
+    state-retention bound from the join condition (probed: an old
+    orphan purchase null-emits at the flush, a fresh one is withheld
+    because an admissible view could still arrive).
+
+    The oracle is the inner replay plus BOTH closure rules against
+    the final min-of-sides watermark. Every accepted event is
+    accounted for exactly once — paired, closed-unmatched, or still
+    open — the reconciliation invariant a revenue pipeline audits.
+
+    At 100 TB: same state budget as the inner join (both sides
+    bounded by their retention bounds); the outer rows are emitted
+    from eviction, costing nothing extra."""
+    from rs_query_engine_spark.streaming.events import (
+        LATE_DELAY,
+        ensure_late_feed,
+        run_stream_to_memory,
+    )
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", LATE_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", LATE_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("vu"), F.col("pu")).alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+    )
+    return run_stream_to_memory(
+        joined, "stream_stream_full_outer_late", output_mode="append"
     )

@@ -25,11 +25,6 @@ don't assume):
   the final form. (The stream-STREAM siblings — inner, left-outer,
   and the chained join-into-agg pipeline with its measured 24 h
   watermark propagation — landed in the r10 pen.)
-- FULL OUTER stream-stream join under the late feed (both sides'
-  unmatched rows null-emitted on watermark closure — the remaining
-  outer variant; same replay arithmetic as
-  stream_stream_left_outer_late plus the purchase-side closure
-  bound).
 - Hourly second grain for the maintained rollup sharing one delta
   scan with the daily grain (two-grain refresh, one corpus touch).
 - transformWithStateInPandas timer-driven TTL operator (the 4.1
