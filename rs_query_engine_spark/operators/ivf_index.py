@@ -77,7 +77,15 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     if _ivf_complete(root):
         return root
     e = spark.read.parquet(src)
-    cent = seed_centroids(e)
+    _install_ivf(src, root, "ivfidx", e, seed_centroids(e))
+    return root
+
+
+def _install_ivf(src: str, root: str, tag: str, e: DataFrame, cent: DataFrame) -> None:
+    """Shared build/write body for every IVF index generation: the
+    assign/cent layout is defined HERE once, so a seed-centroid and a
+    trained-centroid artifact can never drift schemas (their readers
+    are shared too)."""
     assign = assign_centroids(e, cent).select(
         "vec_id", F.col("_v").alias("v"), F.col("_n").alias("n"), "centroid_id"
     )
@@ -91,8 +99,7 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         assign.write.partitionBy("centroid_id").parquet(os.path.join(tmp, "assign"))
         cent_stored.coalesce(1).write.parquet(os.path.join(tmp, "cent"))
 
-    install_artifact(root, "ivfidx", src, write, _ivf_complete)
-    return root
+    install_artifact(root, tag, src, write, _ivf_complete)
 
 
 def _ivf_complete(root: str) -> bool:
@@ -353,21 +360,7 @@ def ensure_trained_ivf_index(spark: SparkSession, sf_dir: str, k: int = N_SEED) 
     if _ivf_complete(root):
         return root
     e = spark.read.parquet(src)
-    cent = kmeans_centroids(e, k)
-    assign = assign_centroids(e, cent).select(
-        "vec_id", F.col("_v").alias("v"), F.col("_n").alias("n"), "centroid_id"
-    )
-    cent_stored = cent.select(
-        "centroid_id",
-        F.col("centroid_vec").cast("array<double>").alias("cv"),
-        F.sqrt(norm_sq(F.col("centroid_vec").cast("array<double>"))).alias("cn"),
-    )
-
-    def write(tmp: str) -> None:
-        assign.write.partitionBy("centroid_id").parquet(os.path.join(tmp, "assign"))
-        cent_stored.coalesce(1).write.parquet(os.path.join(tmp, "cent"))
-
-    install_artifact(root, "ivftrn", src, write, _ivf_complete)
+    _install_ivf(src, root, "ivftrn", e, kmeans_centroids(e, k))
     return root
 
 

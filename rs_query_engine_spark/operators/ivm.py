@@ -169,11 +169,19 @@ def ensure_merged_rollup_partials(spark: SparkSession, sf_dir: str) -> str:
     into a new partials artifact built FROM the base generation plus
     the delta scan — the base partials are re-reduced, never
     re-aggregated from raw events (the lsh/ivf merge pattern on the
-    rollup artifact). After the merge the recorded cutoff advances to
-    the corpus max, so the next refresh's delta is empty; because the
+    rollup artifact). After the merge the recorded cutoff advances
+    PAST everything absorbed: the delta convention is ``ts >= cutoff``
+    and the merge absorbed through the corpus max inclusive, so the
+    new cutoff is max + 1 microsecond (recording max itself would
+    double-count the boundary row on the next refresh). No second
+    corpus scan either: the base generation's recorded cutoff IS
+    ``max(ts) - ROLLUP_DELTA_DAYS`` by construction, so the max is
+    recovered arithmetically. Because the
     partials are a commutative monoid, merged-generation ≡
     fresh-build bit-for-bit, which the staged oracle states by
     comparing against the direct aggregate."""
+    from datetime import timedelta
+
     from rs_query_engine_spark.sources.corpus import load_table
 
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
@@ -182,8 +190,8 @@ def ensure_merged_rollup_partials(spark: SparkSession, sf_dir: str) -> str:
         return root
     base_root = ensure_rollup_partials(spark, sf_dir)
     cutoff = read_rollup_cutoff(spark, base_root)
+    mx = cutoff + timedelta(days=ROLLUP_DELTA_DAYS)
     ev = load_table(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts")).collect()[0][0]
     merged = (
         read_rollup_partials(spark, base_root)
         .unionByName(day_partials(ev.filter(F.col("ts") >= F.lit(cutoff))))
@@ -193,7 +201,9 @@ def ensure_merged_rollup_partials(spark: SparkSession, sf_dir: str) -> str:
         # storage type so probe code is generation-agnostic
         .withColumn("val_sum", F.col("val_sum").cast("decimal(22,2)"))
     )
-    meta = spark.createDataFrame([(mx,)], "cutoff timestamp")
+    meta = spark.createDataFrame(
+        [(mx + timedelta(microseconds=1),)], "cutoff timestamp"
+    )
 
     def write(tmp: str) -> None:
         merged.write.parquet(os.path.join(tmp, "partials"))

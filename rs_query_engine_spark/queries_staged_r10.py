@@ -820,9 +820,15 @@ def similarity_ivf_trained_invariants(spark: SparkSession, sf_dir: str) -> DataF
     (``n_assigned`` = ``n_distinct_vecs`` = corpus count — both exact
     BIGINTs against the oracle's COUNT), uses at most k lists, and is
     at least as tight as the seed-centroid index (mean assigned
-    cosine, 1e-9 relative slack — trained centers must not lose to 8
-    arbitrary seed vectors; both means computed in-Spark from the two
-    artifacts' stored vectors/norms, emitted as a boolean).
+    cosine, 1e-6 relative slack — far below the measured 27-42%
+    margin across SFs but far above double-AVG partition-order
+    jitter; both means computed in-Spark from the two artifacts'
+    stored vectors/norms, emitted as a boolean). The dominance claim
+    is data-dependent in general — Spark-ML Lloyd's minimizes squared
+    Euclidean distance while assignment here is max-cosine — so a
+    regenerated corpus with adversarial norm structure could flip it;
+    it is an empirical pin for THIS corpus generation, which is
+    exactly what a staged parity gate re-verifies.
 
     Cost: training is a once-per-generation artifact build
     (setup-listed); the invariant check itself is two index reads +
@@ -858,7 +864,7 @@ def similarity_ivf_trained_invariants(spark: SparkSession, sf_dir: str) -> DataF
         "n_assigned",
         "n_distinct_vecs",
         "lists_bounded",
-        (F.col("_tm") >= F.col("_sm") * (1 - F.lit(1e-9))).alias("trained_not_worse"),
+        (F.col("_tm") >= F.col("_sm") * (1 - F.lit(1e-6))).alias("trained_not_worse"),
     )
 
 
@@ -1793,7 +1799,10 @@ def stream_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from rs_query_engine_spark.operators.ivm import day_partials
-    from rs_query_engine_spark.streaming.events import ensure_late_feed
+    from rs_query_engine_spark.streaming.events import (
+        ensure_late_feed,
+        run_stream_to_parquet,
+    )
 
     feed = ensure_late_feed(spark, sf_dir)
     schema = spark.read.parquet(feed).schema
@@ -1808,27 +1817,11 @@ def stream_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, ckpt = os.path.join(run_root, "out"), os.path.join(run_root, "ckpt")
     shutil.rmtree(run_root, ignore_errors=True)
-
-    def maintain(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            day_partials(batch_df)
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out)
-        )
-
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(maintain)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # the shared idempotent sink (batch-id-partitioned dynamic
+    # overwrite + checkpoint) with the partials reduce as its
+    # per-batch transform — one implementation of the exactly-once
+    # pattern, not a copy
+    run_stream_to_parquet(stream, out, ckpt, transform_fn=day_partials)
     return (
         spark.read.parquet(out)
         .groupBy("day", "event_type")
@@ -1839,9 +1832,20 @@ def stream_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
-    "stream_stream_join_late",
-    oracle="""
+
+# ---------------------------------------------------------------------
+# Shared watermark-replay SQL for the stream-stream family over the
+# 4-file late feed -- the measured arithmetic lives HERE exactly once
+# (a missed hand-copy would silently diverge one oracle's semantics
+# from its siblings). Each query's oracle appends only its SELECT and,
+# where append-mode emission applies, its wf closure clause. The lag
+# rules the fragments encode: late filter for batch N = watermark from
+# data through N-2 (batches 0/1 unfiltered, late tier vs w0, catch-up
+# vs w1); watermark = min over the two sides' ms-floored max minus the
+# 84h delay.
+# ---------------------------------------------------------------------
+
+_SS_PROLOGUE = """
     WITH e AS (
         SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, event_id
         FROM events
@@ -1864,14 +1868,34 @@ def stream_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE tier IN (0, 1) AND event_type = 'view'),
              (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
                WHERE tier IN (0, 1) AND event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
-    -- the late filter for batch N uses the watermark derived from
-    -- data through batch N-2: batches 0/1 unfiltered, the late tier
-    -- (batch 2) filters against w0, the catch-up (batch 3) against w1
+           ) - INTERVAL 84 HOUR AS w),"""
+
+_SS_ACC = """
     acc AS (
         SELECT * FROM t, w0, w1
         WHERE (tier <> 2 OR ts > w0.w) AND (tier <> 3 OR ts > w1.w)
+    )"""
+
+
+def _ss_wf(shift: str = "") -> str:
+    """The FINAL min-of-sides watermark CTE (closure/emission rules).
+    ``shift`` subtracts a downstream operator's propagated state delay
+    (the chained pipeline passes ``" - INTERVAL 24 HOUR"``)."""
+    return (
+        """    wf AS (SELECT LEAST(
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE event_type = 'view'),
+             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
+               WHERE event_type = 'purchase')
+           ) - INTERVAL 84 HOUR"""
+        + shift
+        + " AS w),"
     )
+
+
+@register_staged(
+    "stream_stream_join_late",
+    oracle=f"""{_SS_PROLOGUE}{_SS_ACC}
     SELECT v.user_id,
            v.event_id AS view_id,
            p.event_id AS purchase_id,
@@ -1959,43 +1983,12 @@ def stream_stream_join_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_staged(
     "stream_stream_left_outer_late",
-    oracle="""
-    WITH e AS (
-        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, event_id
-        FROM events
-    ), m AS (SELECT MAX(ts) AS mx FROM e),
-    t AS (SELECT e.*, CASE
-            WHEN ts <= mx - INTERVAL 5 DAY THEN 2
-            WHEN ts <= mx - INTERVAL 3 DAY THEN 0
-            WHEN ts <= mx - INTERVAL 2 DAY THEN 1
-            ELSE 3 END AS tier
-          FROM e, m),
-    w0 AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier = 0 AND event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier = 0 AND event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
-    w1 AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier IN (0, 1) AND event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier IN (0, 1) AND event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
+    oracle=f"""{_SS_PROLOGUE}
     -- final watermark: the trailing no-data batch evicts with the
     -- min-of-sides watermark over ALL arrived data (late rows flow
     -- through the watermark node before the join filters them, so
     -- the max is over the raw sides)
-    wf AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
-    acc AS (
-        SELECT * FROM t, w0, w1
-        WHERE (tier <> 2 OR ts > w0.w) AND (tier <> 3 OR ts > w1.w)
-    ),
+{_ss_wf()}{_SS_ACC},
     v AS (SELECT * FROM acc WHERE event_type = 'view'),
     p AS (SELECT * FROM acc WHERE event_type = 'purchase')
     SELECT v.user_id,
@@ -2080,43 +2073,12 @@ def stream_stream_left_outer_late(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register_staged(
     "stream_chained_stateful",
-    oracle="""
-    WITH e AS (
-        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, event_id
-        FROM events
-    ), m AS (SELECT MAX(ts) AS mx FROM e),
-    t AS (SELECT e.*, CASE
-            WHEN ts <= mx - INTERVAL 5 DAY THEN 2
-            WHEN ts <= mx - INTERVAL 3 DAY THEN 0
-            WHEN ts <= mx - INTERVAL 2 DAY THEN 1
-            ELSE 3 END AS tier
-          FROM e, m),
-    w0 AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier = 0 AND event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier = 0 AND event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
-    w1 AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier IN (0, 1) AND event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier IN (0, 1) AND event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
+    oracle=f"""{_SS_PROLOGUE}
     -- the aggregate sits DOWNSTREAM of the join, so its eviction
     -- watermark is the global one minus the join's state delay (the
     -- 24 h condition bound): watermark propagation for chained
     -- stateful operators (SPARK-40925), measured at both SFs
-    wf AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE event_type = 'purchase')
-           ) - INTERVAL 84 HOUR - INTERVAL 24 HOUR AS w),
-    acc AS (
-        SELECT * FROM t, w0, w1
-        WHERE (tier <> 2 OR ts > w0.w) AND (tier <> 3 OR ts > w1.w)
-    ),
+{_ss_wf(" - INTERVAL 24 HOUR")}{_SS_ACC},
     pairs AS (
         SELECT p.ts AS pts
         FROM acc v JOIN acc p
@@ -2212,39 +2174,8 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_staged(
     "stream_stream_full_outer_late",
-    oracle="""
-    WITH e AS (
-        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, event_id
-        FROM events
-    ), m AS (SELECT MAX(ts) AS mx FROM e),
-    t AS (SELECT e.*, CASE
-            WHEN ts <= mx - INTERVAL 5 DAY THEN 2
-            WHEN ts <= mx - INTERVAL 3 DAY THEN 0
-            WHEN ts <= mx - INTERVAL 2 DAY THEN 1
-            ELSE 3 END AS tier
-          FROM e, m),
-    w0 AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier = 0 AND event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier = 0 AND event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
-    w1 AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier IN (0, 1) AND event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE tier IN (0, 1) AND event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
-    wf AS (SELECT LEAST(
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE event_type = 'view'),
-             (SELECT date_trunc('milliseconds', MAX(ts)) FROM t
-               WHERE event_type = 'purchase')
-           ) - INTERVAL 84 HOUR AS w),
-    acc AS (
-        SELECT * FROM t, w0, w1
-        WHERE (tier <> 2 OR ts > w0.w) AND (tier <> 3 OR ts > w1.w)
-    ),
+    oracle=f"""{_SS_PROLOGUE}
+{_ss_wf()}{_SS_ACC},
     v AS (SELECT * FROM acc WHERE event_type = 'view'),
     p AS (SELECT * FROM acc WHERE event_type = 'purchase')
     SELECT COALESCE(v.user_id, p.user_id) AS user_id,

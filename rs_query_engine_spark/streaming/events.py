@@ -173,6 +173,7 @@ def run_stream_to_parquet(
     checkpoint_dir: str,
     output_mode: str = "append",
     state_partitions: int = 8,
+    transform_fn=None,
 ) -> None:
     """Drive a (bounded) stream into parquet via ``foreachBatch`` —
     the production sink pattern.
@@ -183,12 +184,18 @@ def run_stream_to_parquet(
     own ``_batch_id=N`` partition instead of appending duplicates
     (idempotent-by-partition). The checkpoint directory is the
     source-of-truth for restart offsets — at 100 TB it lives on the
-    shared object store next to the output."""
+    shared object store next to the output.
+
+    ``transform_fn`` (optional, DataFrame -> DataFrame) runs as batch
+    code on each micro-batch before the write — per-batch maintenance
+    (e.g. the IVM partials reduce) composes with the same idempotent
+    sink instead of duplicating it."""
     from pyspark.sql import functions as F
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out_df = transform_fn(batch_df) if transform_fn is not None else batch_df
         (
-            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            out_df.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")

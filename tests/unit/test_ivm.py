@@ -94,3 +94,44 @@ def test_retraction_is_decimal_exact(spark):
         .filter((F.col("s") != F.lit(0).cast(D_VAL)) | (F.col("c") != 0))
     )
     assert residue.count() == 0
+
+
+def test_refresh_against_merged_generation_is_exact(spark):
+    """The merged generation's recorded cutoff must sit PAST every
+    absorbed row: a refresh run against it (partials plus
+    ``ts >= cutoff`` delta) must equal the direct aggregate. With a
+    cutoff recorded AT the corpus max, the boundary row would land in
+    both the merged partials and the delta and double-count —
+    the regression this pins."""
+    import duckdb
+
+    from rs_query_engine_spark.operators.ivm import (
+        day_partials,
+        ensure_merged_rollup_partials,
+        read_rollup_cutoff,
+        read_rollup_partials,
+    )
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = ensure_merged_rollup_partials(spark, sf_dir)
+    cutoff = read_rollup_cutoff(spark, root)
+    ev = load_table(spark, sf_dir, "events")
+    delta = ev.filter(F.col("ts") >= F.lit(cutoff))
+    # the merge absorbed everything — the next delta must be empty
+    assert delta.count() == 0
+    refreshed = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in _merge(
+            read_rollup_partials(spark, root), day_partials(delta)
+        ).collect()
+    }
+    direct = duckdb.sql(
+        f"""
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) d,
+               event_type, COUNT(*) n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) tv
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert refreshed == {(d, t): (n, tv) for d, t, n, tv in direct}
