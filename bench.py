@@ -96,7 +96,7 @@ def main() -> None:
                  "similarity_pq_index_build", "similarity_pq_index_probe",
                  "similarity_ivf_trained_invariants",
                  "stream_late_data_drop", "maintenance_ivm_rollup",
-                 "maintenance_ivm_merge"):
+                 "maintenance_ivm_merge", "maintenance_ivm_two_grain"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

@@ -211,3 +211,92 @@ def ensure_merged_rollup_partials(spark: SparkSession, sf_dir: str) -> str:
 
     install_artifact(root, "ivmrollm", src, write, _complete)
     return root
+
+
+def hour_partials(df: DataFrame) -> DataFrame:
+    """Hourly twin of ``day_partials`` — the FINEST stored grain.
+    Coarser grains re-reduce from it (grain-rollup associativity of
+    the count/decimal-sum monoid), so multi-grain serving needs ONE
+    corpus scan and one stored table."""
+    return df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast(D_VAL)).alias("val_sum"),
+    )
+
+
+def ensure_hourly_partials(spark: SparkSession, sf_dir: str) -> str:
+    """The hourly-grain partials artifact (``hourly/`` + ``meta/``,
+    same layout contract as the daily one). Only the finest grain is
+    ever persisted: daily (or any coarser) numbers re-reduce from it
+    exactly, so the artifact, the refresh delta scan, and the history
+    pass are all shared across every requested grain."""
+    from datetime import timedelta
+
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    root = artifact_root(src, "ivmrollh", f"d={ROLLUP_DELTA_DAYS}|grain=hour")
+    if _complete_h(root):
+        return root
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - timedelta(days=ROLLUP_DELTA_DAYS)
+    partials = hour_partials(ev.filter(F.col("ts") < F.lit(cutoff)))
+    meta = spark.createDataFrame([(cutoff,)], "cutoff timestamp")
+
+    def write(tmp: str) -> None:
+        partials.write.parquet(os.path.join(tmp, "hourly"))
+        meta.coalesce(1).write.parquet(os.path.join(tmp, "meta"))
+
+    install_artifact(root, "ivmrollh", src, write, _complete_h)
+    return root
+
+
+def _complete_h(root: str) -> bool:
+    return all(
+        os.path.isfile(os.path.join(root, part, "_SUCCESS"))
+        for part in ("hourly", "meta")
+    )
+
+
+def two_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly AND daily maintained views from one artifact and ONE
+    delta scan: refresh the hourly partials, then derive the daily
+    grain by re-reducing the refreshed hourly result — the corpus is
+    touched once (the pushed-cutoff delta slice), and the daily
+    numbers still equal the direct daily aggregate bit-for-bit
+    because the monoid re-reduce is associative across grain
+    boundaries (hours nest inside days). Output rows are tagged by
+    ``grain``."""
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    root = ensure_hourly_partials(spark, sf_dir)
+    cutoff = read_rollup_cutoff(spark, root)
+    base = spark.read.parquet(os.path.join(root, "hourly"))
+    delta = hour_partials(
+        load_table(spark, sf_dir, "events").filter(F.col("ts") >= F.lit(cutoff))
+    )
+    hourly = (
+        base.unionByName(delta)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum("val_sum").alias("_vs"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("_vs").alias("_vs"))
+    )
+    return (
+        hourly.select(F.lit("hour").alias("grain"), "bucket", "event_type",
+                      "n_events", F.col("_vs").cast("double").alias("total_value"))
+        .unionByName(
+            daily.select(F.lit("day").alias("grain"), "bucket", "event_type",
+                         "n_events", F.col("_vs").cast("double").alias("total_value"))
+        )
+    )

@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r10_parity.py`` +
 verified-by-construction from its first commit. Round 11 flips the
 flag.
 
-Round-10 pen (VERDICT r09 next-round #3) — 34 queries, all with exact
+Round-10 pen (VERDICT r09 next-round #3) — 35 queries, all with exact
 oracles. The two index-lifecycle completions the r9 verdict named
 lead:
 
@@ -35,8 +35,10 @@ query) — and the warehouse-maintenance family: TPC-H RF1/RF2 refresh
 analogues (idempotent insert, cascaded delete), watermark late-data
 drop semantics under real out-of-order arrival, and incremental view
 maintenance over persisted rollup partials (``operators/ivm.py``) —
-refresh, exact retraction, merge generation, and streaming
-foreachBatch maintenance invariant to arrival order — plus the
+refresh, exact retraction, merge generation, a two-grain serving
+layer (daily derived from persisted hourly partials, one corpus
+touch), and streaming foreachBatch maintenance invariant to arrival
+order — plus the
 stream-stream attribution join (inner, left-outer AND full-outer
 with watermark-closed null emission on each side's own retention
 bound, plus a CHAINED join-into-windowed-aggregate multi-stateful
@@ -2258,3 +2260,44 @@ def stream_stream_full_outer_late(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stream_to_memory(
         joined, "stream_stream_full_outer_late", output_mode="append"
     )
+
+
+@register_staged(
+    "maintenance_ivm_two_grain",
+    oracle="""
+    SELECT 'hour' AS grain,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day' AS grain,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    """,
+)
+def maintenance_ivm_two_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-GRAIN view maintenance from one stored table and one
+    corpus touch (``operators/ivm.py:two_grain_rollup``): only the
+    finest grain (hourly partials) is persisted; the refresh scans
+    the delta once, and the daily grain is derived by re-reducing
+    the refreshed hourly result — hours nest inside days, so the
+    monoid re-reduce is associative across grain boundaries and the
+    derived daily numbers must STILL equal the direct daily
+    aggregate bit-for-bit, which is exactly what the two-armed
+    oracle states (both arms are direct aggregates of raw events;
+    neither arm mirrors the implementation).
+
+    At 100 TB this is the serving-layer contract: N grains cost ONE
+    history pass, one delta scan per refresh, and one stored table
+    sized by the finest grain — adding a coarser grain is a
+    metadata-scale re-reduce, not a pipeline."""
+    from rs_query_engine_spark.operators.ivm import two_grain_rollup
+
+    return two_grain_rollup(spark, sf_dir)

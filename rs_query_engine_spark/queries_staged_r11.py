@@ -25,8 +25,6 @@ don't assume):
   the final form. (The stream-STREAM siblings — inner, left-outer,
   and the chained join-into-agg pipeline with its measured 24 h
   watermark propagation — landed in the r10 pen.)
-- Hourly second grain for the maintained rollup sharing one delta
-  scan with the daily grain (two-grain refresh, one corpus touch).
 - transformWithStateInPandas timer-driven TTL operator (the 4.1
   arbitrary-state API with event-time timers — the one stateful
   surface still untested under out-of-order arrival).
