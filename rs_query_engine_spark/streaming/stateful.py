@@ -53,3 +53,99 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ttl_flush_stream(
+    keyed: DataFrame,
+    key_cols: list[str],
+    out_schema: str,
+    ttl_ms: int,
+) -> DataFrame:
+    """Event-time-TTL flush ledger — the timer-driven expiry operator
+    (``GroupStateTimeout.EventTimeTimeout``): per key, accumulate
+    (count, integer cents, max event-time) across micro-batches; when
+    the key has seen no event-time activity for ``ttl_ms`` (the
+    watermark passed its last event time + TTL), emit ONE flush record
+    and drop the state. The input must carry ``ts`` (event-time,
+    watermarked upstream) and ``cents`` (exact int64 — cast from
+    decimal JVM-side so the Python sum is integer-exact and
+    partition-order-insensitive).
+
+    Measured semantics this operator is built on (probed on Spark
+    4.1.2, pinned in tests/unit/test_streaming_ttl_flush.py):
+
+    - The late-input filter drops rows with ts below the watermark
+      derived from data through batch N-2 (the same two-batch lag as
+      every other stateful operator — see streaming/events.py's feed
+      layout comment) and it is ROW-level: a row older than the filter
+      watermark is gone even if its key is still live (contrast the
+      built-in windowed agg, which admits any row whose WINDOW END is
+      still above the watermark).
+    - ``state.getCurrentWatermarkMs()`` during batch N is the
+      EVICTION watermark (data through N-1); timed-out keys are
+      delivered in the first batch whose eviction watermark passes
+      their timeout timestamp, including the trailing no-data batch
+      Spark runs after the last file.
+    - ``setTimeoutTimestamp`` REJECTS values at or below the current
+      watermark, so a key whose TTL is already past when input
+      arrives (late rows for an old key) must clamp to watermark+1ms
+      — it then times out at the next watermark advance. The clamp
+      never changes WHICH keys flush before stream end (the clamp
+      floor is always below the final watermark), only when.
+    - Emission discipline: flush records only, nothing echoed on
+      input batches. Batch 0 can never fire a timeout (the watermark
+      is still unset), so the operator's output is insensitive to
+      batch-0 sink-delivery quirks, and every emitted row is a
+      finalized, never-updated fact — append-friendly downstream.
+
+    At 100 TB this is the inactivity-flush primitive (session close,
+    cart abandonment, device-offline detection): state is bounded by
+    LIVE keys (RocksDB state store in production), timers are the
+    state store's native eviction index (no scan-all-keys sweep per
+    batch), and the flush stream is idempotent to replay because a
+    flushed key's late stragglers are either dropped by the watermark
+    or open a fresh epoch."""
+
+    def flush(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            mx_us, cnt, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    **{c: [k] for c, k in zip(key_cols, key)},
+                    "n_events": [cnt],
+                    "total_cents": [cents],
+                    # state keeps MICROS so the flushed last_ts is
+                    # exactly MAX(ts), not a ms-floored copy
+                    "last_ts": [pd.Timestamp(mx_us * 1000)],
+                }
+            )
+            return
+        mx_us, cnt, cents = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cnt += len(pdf)
+            cents += int(pdf["cents"].sum())
+            m = int(pdf["ts"].max().value // 1_000)
+            mx_us = m if mx_us is None else max(mx_us, m)
+        state.update((mx_us, cnt, cents))
+        # timers are ms-granular; flooring (mx+ttl) to ms is exact wrt
+        # the strict fire rule because the watermark is ms-aligned:
+        # floor_ms(T) < W  <=>  T < W
+        state.setTimeoutTimestamp(max((mx_us + ttl_ms * 1000) // 1000, wm + 1))
+        return
+        yield  # pragma: no cover — make flush a generator on all paths
+
+    return keyed.groupBy(*key_cols).applyInPandasWithState(
+        flush,
+        outputStructType=out_schema,
+        stateStructType="mx_ms bigint, cnt bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
