@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rs_query_engine_spark.queries import QueryFn
+from rs_query_engine_spark.queries import QueryFn, _t
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
@@ -168,4 +168,192 @@ def stream_ttl_flush_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_stream_to_memory(
         out, "stream_ttl_flush_ledger", output_mode="update"
+    )
+
+
+# =====================================================================
+# Warehouse-maintenance completion: snapshot DIFF (the CDC feed
+# between two table generations) and SCD2 time travel (reconstruct
+# the dimensional state as of an instant) — the read-side halves of
+# the RF1/RF2 + IVM write-side family the r10 pen finished.
+# =====================================================================
+
+# Deterministic snapshot evolution for the diff: one modulus keys all
+# three change classes (content-stable, SF-independent — the RF_MOD
+# convention from queries_staged_r10.py).
+DIFF_MOD = 101
+DIFF_DEL_REM = 5  # keys deleted in snapshot B
+DIFF_UPD_REM = 7  # keys whose o_totalprice changed in B
+DIFF_INS_REM = 9  # keys cloned as NEW rows (re-keyed) in B
+DIFF_KEY_OFFSET = 1 << 42  # re-key offset, above any dbgen orderkey
+
+
+@register_staged(
+    "maintenance_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DECIMAL(18,3)) AS p
+        FROM orders
+    ),
+    b AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % {DIFF_MOD} = {DIFF_UPD_REM}
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                              * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(18,3))
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                              AS DECIMAL(18,3)) END AS p
+        FROM orders WHERE o_orderkey % {DIFF_MOD} <> {DIFF_DEL_REM}
+        UNION ALL
+        SELECT o_orderkey + {DIFF_KEY_OFFSET} AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DECIMAL(18,3)) AS p
+        FROM orders WHERE o_orderkey % {DIFF_MOD} = {DIFF_INS_REM}
+    ),
+    j AS (
+        SELECT a.k AS ka, b.k AS kb, a.p AS pa, b.p AS pb
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT CASE WHEN ka IS NULL THEN 'inserted'
+                WHEN kb IS NULL THEN 'deleted'
+                ELSE 'updated' END AS change_type,
+           COALESCE(ka, kb) AS o_orderkey,
+           CAST(pa AS DOUBLE) AS old_totalprice,
+           CAST(pb AS DOUBLE) AS new_totalprice
+    FROM j
+    WHERE ka IS NULL OR kb IS NULL OR pa <> pb
+    """,
+)
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF — derive the change-data feed between two table
+    generations by comparison (the recovery path when no CDC log was
+    kept, and the audit path when one was): FULL OUTER join the old
+    and new snapshots on the primary key, classify each key as
+    inserted (no old row), deleted (no new row), or updated (both
+    present, payload differs), and emit only the changes. Snapshot B
+    is a deterministic evolution of ``orders`` (one modulus drives
+    all three classes; the updated rows' price shifts by an exact
+    decimal ×1.1), so the oracle can state the expected feed
+    independently.
+
+    Scale shape: diffing two 100-TB snapshots is ONE key-shuffle
+    full-outer join (sort-merge; with both generations bucketed by
+    key — operators/layout.py — it is shuffle-free), and the payload
+    comparison is a single column equality here; for wide tables the
+    production form compares a row fingerprint (md5 over canonically
+    serialized columns) computed map-side, so the shuffle carries
+    (key, hash) instead of the full row. Never a collect, never a
+    row-at-a-time loop; the unchanged majority is filtered before
+    anything leaves the join."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    p3 = dec.cast("decimal(18,3)")
+    a = o.select(key.alias("ka"), p3.alias("pa"))
+    b_base = o.filter(key % DIFF_MOD != DIFF_DEL_REM).select(
+        key.alias("kb"),
+        F.when(
+            key % DIFF_MOD == DIFF_UPD_REM,
+            (dec * F.expr("CAST(1.1 AS DECIMAL(2,1))")).cast("decimal(18,3)"),
+        )
+        .otherwise(p3)
+        .alias("pb"),
+    )
+    b_new = (
+        o.filter(key % DIFF_MOD == DIFF_INS_REM)
+        .select((key + DIFF_KEY_OFFSET).alias("kb"), p3.alias("pb"))
+    )
+    b = b_base.unionByName(b_new)
+    j = a.join(b, a["ka"] == b["kb"], "full_outer")
+    return (
+        j.filter(
+            F.col("ka").isNull()
+            | F.col("kb").isNull()
+            | (F.col("pa") != F.col("pb"))
+        )
+        .select(
+            F.when(F.col("ka").isNull(), F.lit("inserted"))
+            .when(F.col("kb").isNull(), F.lit("deleted"))
+            .otherwise(F.lit("updated"))
+            .alias("change_type"),
+            F.coalesce("ka", "kb").alias("o_orderkey"),
+            F.col("pa").cast("double").alias("old_totalprice"),
+            F.col("pb").cast("double").alias("new_totalprice"),
+        )
+    )
+
+
+@register_staged(
+    "maintenance_scd2_asof",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ch AS (
+        SELECT user_id, event_type, ts, event_id FROM o
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ), iv AS (
+        SELECT user_id, event_type,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               CAST(LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS TIMESTAMP) AS valid_to
+        FROM ch
+    ), t AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 15 DAY AS at FROM events
+    )
+    SELECT iv.user_id, iv.event_type AS state_at, iv.valid_from
+    FROM iv, t
+    WHERE iv.valid_from <= t.at
+      AND (iv.valid_to IS NULL OR iv.valid_to > t.at)
+    """,
+)
+def maintenance_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 TIME TRAVEL — reconstruct every entity's state AS OF an
+    instant from the type-2 validity intervals
+    (``events_scd2_intervals``, queries.py): pick, per user, the one
+    interval containing T (mid-corpus: max ts − 15 days; derived from
+    the data so the query is content-stable across SFs). Half-open
+    interval semantics [valid_from, valid_to): a transition exactly
+    at T belongs to the NEW state; NULL valid_to is the current
+    state.
+
+    The as-of instant is an aggregated scalar crossed in (broadcast,
+    one row) — no collect, no driver round-trip; the interval scan is
+    the same single per-user sort+shuffle the SCD2 reconstruction
+    itself costs (Catalyst reuses one exchange for LAG and LEAD), and
+    the containment filter is map-side after it. At 100 TB
+    'state-as-of' over a trillion-row log is exactly this shape —
+    the alternative (as-of join per query) re-sorts the log every
+    time, while SCD2 intervals amortize the sort across every
+    downstream time-travel question."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    iv = ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    at = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 15 DAY")).alias("at")
+    )
+    return (
+        iv.crossJoin(at)
+        .filter(
+            (F.col("valid_from") <= F.col("at"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("at")))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at"),
+            "valid_from",
+        )
     )
