@@ -357,3 +357,111 @@ def maintenance_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
         )
     )
+
+
+# =====================================================================
+# Resampling statistics: deterministic Poisson bootstrap — the
+# distributed-uncertainty primitive (metric confidence without a
+# second pass or any RNG state).
+# =====================================================================
+
+# Inverse-CDF thresholds for Poisson(1) on a 32-bit uniform, embedded
+# as INTEGER literals so Spark and the oracle compare the same
+# numbers with no float anywhere in the draw:
+# floor(CDF(k) * 2^32) for k = 0..7 (beyond-7 mass is ~1e-8 -> w=8).
+POISSON_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+)
+BOOT_REPLICATES = 32
+
+
+def _poisson_w_sql(u: str) -> str:
+    """CASE expression mapping a 32-bit uniform to a Poisson(1) draw —
+    same text for Spark SQL and DuckDB."""
+    arms = "".join(
+        f" WHEN {u} < {t} THEN {k}" for k, t in enumerate(POISSON_T)
+    )
+    return f"CASE{arms} ELSE 8 END"
+
+
+@register_staged(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH rep AS (
+        SELECT CAST(UNNEST(generate_series(0, {BOOT_REPLICATES - 1})) AS INTEGER)
+            AS replicate
+    ),
+    x AS (
+        SELECT r.replicate, CAST(e.value AS DECIMAL(12,2)) AS v,
+               ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                               || CAST(r.replicate AS VARCHAR)), 1, 8))::BIGINT
+                   AS u
+        FROM events e, rep r
+        WHERE e.value IS NOT NULL
+    ),
+    w AS (SELECT replicate, v, {_poisson_w_sql("u")} AS w FROM x)
+    SELECT replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_value
+    FROM w GROUP BY replicate
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP — per-replicate resampled means
+    of ``events.value`` in ONE pass: each (row, replicate) pair draws
+    a Poisson(1) weight by inverse-CDF over a content-hash uniform
+    (md5(event_id:replicate) — no RNG state, so the replicate set is
+    identical across re-runs, partitionings, and engines; the CDF
+    thresholds are integer literals, no float compare anywhere). The
+    spread of the {BOOT_REPLICATES} replicate means IS the sampling
+    distribution of the metric — the classic way to put a confidence
+    interval on a pipeline statistic without N data passes (Poisson
+    bootstrap ≈ multinomial bootstrap for large n, and unlike it
+    needs no global count up front).
+
+    Per-replicate means go through exact decimal sums with ONE final
+    double division; the per-replicate rows are emitted (not the
+    stddev across them) so the result stays float-deterministic.
+
+    Scale shape: the ×{BOOT_REPLICATES} fan-out is a broadcast nested
+    -loop against a {BOOT_REPLICATES}-row literal frame — map-side,
+    no shuffle for the expansion; the only shuffle is the final
+    {BOOT_REPLICATES}-group aggregate, with map-side partials
+    carrying (sum_w, sum_wv) pairs. At 100 TB the fan-out never
+    materializes: weights are computed and partially aggregated
+    inside the scan stage."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id", F.col("value").cast("decimal(12,2)").alias("v")
+        )
+    )
+    rep = spark.range(BOOT_REPLICATES).select(
+        F.col("id").cast("int").alias("replicate")
+    )
+    x = e.crossJoin(F.broadcast(rep))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id"), F.col("replicate"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    x = x.withColumn("__u__", u).withColumn("w", F.expr(_poisson_w_sql("__u__")))
+    return x.groupBy("replicate").agg(
+        F.sum("w").alias("n_eff"),
+        (
+            F.sum(F.col("w") * F.col("v")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_value"),
+    )
