@@ -465,3 +465,91 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w").cast("double")
         ).alias("mean_value"),
     )
+
+
+# =====================================================================
+# Embedding-corpus monitoring: per-dimension drift between two
+# snapshot halves — the model-upgrade / re-embedding audit.
+# =====================================================================
+
+
+@register_staged(
+    "embedding_snapshot_drift",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), x AS (
+        SELECT vec_id % 2 = 0 AS is_old,
+               generate_subscripts(v, 1) - 1 AS dim,
+               CAST(FLOOR(unnest(v) * 1073741824.0) AS BIGINT) AS xq
+        FROM e
+    ), s AS (
+        SELECT CAST(dim AS INT) AS dim,
+               CAST(COUNT(CASE WHEN is_old THEN 1 END) AS BIGINT) AS n_old,
+               CAST(COUNT(CASE WHEN NOT is_old THEN 1 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN is_old THEN xq END) AS DOUBLE) AS sum_old,
+               CAST(SUM(CASE WHEN NOT is_old THEN xq END) AS DOUBLE) AS sum_new
+        FROM x GROUP BY dim
+    )
+    SELECT dim, n_old, n_new,
+           sum_old / 1073741824.0 / CAST(n_old AS DOUBLE) AS mean_old,
+           sum_new / 1073741824.0 / CAST(n_new AS DOUBLE) AS mean_new,
+           sum_new / 1073741824.0 / CAST(n_new AS DOUBLE)
+               - sum_old / 1073741824.0 / CAST(n_old AS DOUBLE) AS mean_shift
+    FROM s
+    """,
+)
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION drift between two embedding-corpus snapshots —
+    the audit run after a model upgrade or re-embedding backfill
+    (centroid shift per dimension catches scaling bugs, dead dims,
+    and projection changes that similarity metrics only show after
+    quality has already regressed). The two 'snapshots' are the
+    deterministic even/odd vec_id halves, so the expected drift is
+    content-stable and the oracle states it independently.
+
+    Float discipline: cross-row float addition is order-dependent,
+    and double→decimal casts tie-break differently across engines
+    (measured: half-up vs half-even flips the 15th digit on exact
+    midpoints), so each component is quantized EXACTLY first —
+    floor(x · 2^30) is a pure exponent shift plus floor, bit-identical
+    everywhere — and the integer sums are exact. The means then divide
+    back out in a fixed two-step float sequence (sum/2^30/n). The
+    2^-30 quantization (~1e-9, far below embedding noise) is part of
+    the metric's definition, stated identically in the oracle.
+
+    Scale shape: posexplode fans map-side and the partial aggregate
+    collapses to |dims| rows per task BEFORE the one shuffle —
+    shuffle volume is dims x partitions regardless of corpus size.
+    The conditional sums compute both snapshots in a single pass
+    (no self-join of the embeddings table)."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        (F.col("vec_id") % 2 == 0).alias("is_old"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "xv"
+        ),
+    ).withColumn(
+        "xq", F.floor(F.col("xv") * F.lit(1073741824.0)).cast("long")
+    )
+    s = x.groupBy("dim").agg(
+        F.count(F.when(F.col("is_old"), 1)).alias("n_old"),
+        F.count(F.when(~F.col("is_old"), 1)).alias("n_new"),
+        F.sum(F.when(F.col("is_old"), F.col("xq")))
+        .cast("double")
+        .alias("sum_old"),
+        F.sum(F.when(~F.col("is_old"), F.col("xq")))
+        .cast("double")
+        .alias("sum_new"),
+    )
+    q = F.lit(1073741824.0)
+    mean_old = F.col("sum_old") / q / F.col("n_old").cast("double")
+    mean_new = F.col("sum_new") / q / F.col("n_new").cast("double")
+    return s.select(
+        "dim",
+        "n_old",
+        "n_new",
+        mean_old.alias("mean_old"),
+        mean_new.alias("mean_new"),
+        (mean_new - mean_old).alias("mean_shift"),
+    )
