@@ -231,3 +231,59 @@ def dedup_clusters(
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: (node, dist)
+    with dist = hop count from the NEAREST seed, bounded by
+    ``max_depth``. ``seeds`` is a one-column frame of start nodes
+    (emitted at dist 0 even when isolated).
+
+    Frontier expansion, not transitive closure: each round joins only
+    the NEW frontier against the edges and anti-joins already-settled
+    nodes away, so a node is visited exactly once (its first — hence
+    minimal — level) and per-round work is proportional to the
+    frontier, not to everything reached so far. ``truncate_lineage``
+    caps the plan per round (the connected-components pattern);
+    partitioning is sized to the edge list, which for near-dup graphs
+    is tiny relative to the corpus. Rounds = max_depth: at 100 TB the
+    depth bound is what makes blast-radius queries predictable —
+    O(depth) shuffles over frontier-sized frames, never a full
+    closure."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.transform(truncate_lineage)
+    n_edges = sym.count()
+    p = max(1, int(n_edges // 1_000_000) + 1)
+    sym = sym.coalesce(p)
+
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias(node_col))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .coalesce(p)
+        .transform(truncate_lineage)
+    )
+    frontier = dist
+    for k in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym["d"] == frontier[node_col])
+            .select(F.col("s").alias(node_col))
+            .distinct()
+            .join(dist.select(node_col), node_col, "left_anti")
+            .withColumn("dist", F.lit(k).cast("int"))
+            .coalesce(p)
+            .transform(truncate_lineage)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist

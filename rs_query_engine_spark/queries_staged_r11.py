@@ -553,3 +553,61 @@ def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_new.alias("mean_new"),
         (mean_new - mean_old).alias("mean_shift"),
     )
+
+
+# =====================================================================
+# Graph completion: bounded multi-source BFS — the blast-radius /
+# contamination-spread primitive over the near-dup graph.
+# =====================================================================
+
+
+def _bfs_oracle() -> str:
+    from rs_query_engine_spark.queries import _MH_PAIRS_CTES
+
+    return rf"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk AS (
+        SELECT doc_id AS node, 0 AS dist
+        FROM documents WHERE doc_id % 20 = 0
+        UNION
+        SELECT sym.s AS node, walk.dist + 1 AS dist
+        FROM walk JOIN sym ON walk.node = sym.d
+        WHERE walk.dist < 3
+    )
+    SELECT node AS doc_id, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    """
+
+
+@register_staged("graph_bfs_contamination", oracle=_bfs_oracle())
+def graph_bfs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the near-dup graph — the BLAST
+    RADIUS question every takedown/contamination event asks: given a
+    seed set of known-bad documents (here the deterministic
+    ``doc_id % 20 = 0`` slice), which documents are within 3 near-dup
+    hops, and how close? Transitive near-duplication is how benchmark
+    contamination and license taint actually spread through a corpus
+    (A~B and B~C with A!~C), so the radius — not just direct pairs —
+    is the actionable set.
+
+    ``operators/graph.py:bfs_levels``: frontier expansion with
+    settled-node anti-joins (each node visited exactly once at its
+    minimal level, per-round cost proportional to the frontier;
+    O(depth) rounds, never a full transitive closure). The oracle
+    computes the same minimal levels via DuckDB's recursive CTE with
+    the identical depth bound over the identical MinHash-LSH pair
+    graph (the ``pairs`` CTE proven by dedup_connected_clusters)."""
+    from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
+    from rs_query_engine_spark.operators.graph import bfs_levels
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    seeds = d.filter(F.col("doc_id") % 20 == 0).select("doc_id")
+    return bfs_levels(pairs, seeds, max_depth=3).withColumnRenamed(
+        "node", "doc_id"
+    )
