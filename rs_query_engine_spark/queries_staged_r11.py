@@ -611,3 +611,118 @@ def graph_bfs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(pairs, seeds, max_depth=3).withColumnRenamed(
         "node", "doc_id"
     )
+
+
+# =====================================================================
+# Two-stage retrieval: ADC shortlist -> exact rerank — the production
+# ANN serving shape (compressed recall stage + exact precision stage).
+# =====================================================================
+
+REFINE_SHORTLIST = 40  # ADC candidates per query fed to the exact stage
+REFINE_K = 10
+
+
+def _pq_refine_oracle() -> str:
+    from rs_query_engine_spark.operators.ivf_index import PQ_NUM_SUB
+    from rs_query_engine_spark.queries import _COS_SQL, _pq_cte_block
+
+    adc = " + ".join(f"qt.d{b}[c.c{b} + 1]" for b in range(PQ_NUM_SUB))
+    return f"""
+    WITH {_pq_cte_block()}, scored AS (
+        SELECT qt.query_id, c.vec_id, {adc} AS adc
+        FROM codes c JOIN qt ON c.centroid_id = qt.centroid_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY adc, vec_id) AS arnk
+            FROM scored
+        ) WHERE arnk <= {REFINE_SHORTLIST}
+    ),
+    cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+           FROM embeddings WHERE vec_id % 100 = 0),
+    rer AS (
+        SELECT s.query_id, s.vec_id,
+               {_COS_SQL.format(a="cv.v", b="qv.q")} AS cos
+        FROM short s
+        JOIN cv ON s.vec_id = cv.vec_id
+        JOIN qv ON s.query_id = qv.query_id
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM rer
+    ) WHERE rnk <= {REFINE_K}
+    """
+
+
+@register_staged("similarity_pq_refine", oracle=_pq_refine_oracle())
+def similarity_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — ADC shortlist, exact rerank: the
+    persisted PQ index ranks a {REFINE_SHORTLIST}-candidate shortlist
+    per query by table lookups over the compressed codes (recall
+    stage: corpus-side I/O is the 64x-smaller codes scan,
+    partition-pruned by list), then ONLY those candidates' raw
+    vectors are fetched and reranked by exact cosine (precision
+    stage: per query a bounded {REFINE_SHORTLIST}-row equi-join
+    against the corpus, never a second corpus scan). This is the
+    serving shape every production PQ deployment uses — compression
+    errors decide the shortlist, never the final order.
+
+    The oracle composes the proven ADC pipeline CTEs
+    (``queries._pq_adc_oracle_sql``'s generated block, by reference)
+    with the proven exact-cosine SQL (``_COS_SQL``) and the same
+    (cos DESC, vec_id) tiebreak, so both stages and their composition
+    are hash-verified end-to-end."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.operators.ivf_index import (
+        ensure_pq_index,
+        probe_pq_index,
+    )
+    from rs_query_engine_spark.operators.similarity import (
+        _as_double,
+        dot,
+        norm_sq,
+    )
+
+    root = ensure_pq_index(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    short = probe_pq_index(spark, root, q, REFINE_SHORTLIST, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    cv = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("_v"),
+        F.sqrt(norm_sq(_as_double(F.col("embedding")))).alias("_n"),
+    )
+    qv = q.select(
+        "query_id",
+        _as_double(F.col("query_vec")).alias("_qv"),
+        F.sqrt(norm_sq(_as_double(F.col("query_vec")))).alias("_qn"),
+    )
+    rer = (
+        short.join(cv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.try_divide(
+                dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= REFINE_K)
+    )
