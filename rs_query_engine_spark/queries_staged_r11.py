@@ -726,3 +726,106 @@ def similarity_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= REFINE_K)
     )
+
+
+# =====================================================================
+# Pipeline monitoring: day-over-day metric anomalies with a robust
+# (median/MAD) gate — the freshness/volume alarm a landing zone runs
+# after every partition lands.
+# =====================================================================
+
+
+@register_staged(
+    "quality_anomaly_daily_volume",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS med
+        FROM daily GROUP BY 1
+    ),
+    mad AS (
+        SELECT d.event_type,
+               quantile_cont(ABS(CAST(d.n_events AS DOUBLE) - m.med), 0.5)
+                   AS mad
+        FROM daily d JOIN med m USING (event_type) GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, event_type, n_events,
+               LAG(n_events) OVER (
+                   PARTITION BY event_type ORDER BY day) AS prev
+        FROM daily
+    )
+    SELECT l.day, l.event_type, l.n_events,
+           CAST(l.n_events - l.prev AS DOUBLE) / CAST(l.prev AS DOUBLE)
+               AS dod_delta,
+           ABS(CAST(l.n_events AS DOUBLE) - m.med) > 3.0 * a.mad
+               AS is_anomaly
+    FROM lagged l
+    JOIN med m USING (event_type)
+    JOIN mad a USING (event_type)
+    """,
+)
+def quality_anomaly_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day VOLUME anomaly detection per event type — the
+    alarm that catches a broken producer or a double-delivered
+    partition before it poisons training mixtures: daily counts, the
+    relative day-over-day delta, and a robust median/MAD gate
+    (|count − median| > 3·MAD) that a single bad day cannot drag the
+    way mean/stddev gates famously can.
+
+    Float determinism: counts are integers below 2^52, so the
+    interpolated median, the absolute deviations, the MAD, and the
+    3·MAD comparison are all EXACT float arithmetic — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    identically on exact inputs, and the strict > gate agrees on
+    boundary ties because both sides are exact.
+
+    Scale shape: one corpus scan into a (day × type) partial-agg
+    rollup, then everything downstream — two quantile passes, the
+    lag, the gate — runs over the TINY rollup (days × types rows);
+    the per-type quantiles shuffle the rollup, never the corpus. At
+    100 TB this is the standing pattern: monitor the maintained
+    aggregate (maintenance_ivm_rollup keeps it fresh), not the
+    fact table."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(CAST(n_events AS DOUBLE), 0.5)").alias("med")
+    )
+    mad = (
+        daily.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(ABS(CAST(n_events AS DOUBLE) - med), 0.5)"
+            ).alias("mad")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("prev", F.lag("n_events").over(w))
+    return (
+        lagged.join(med, "event_type")
+        .join(mad, "event_type")
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            (
+                (F.col("n_events") - F.col("prev")).cast("double")
+                / F.col("prev").cast("double")
+            ).alias("dod_delta"),
+            (
+                F.abs(F.col("n_events").cast("double") - F.col("med"))
+                > 3.0 * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+    )
