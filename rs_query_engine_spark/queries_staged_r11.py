@@ -829,3 +829,80 @@ def quality_anomaly_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+# =====================================================================
+# Governance completion: the retention SWEEP PLAN — which partitions a
+# policy deletes, holds, or retains, and what that costs, computed
+# before anything is touched.
+# =====================================================================
+
+RETAIN_DAYS = 21  # policy: delete event data older than this
+LEGAL_HOLD_TYPES = ("purchase",)  # types under legal hold, never swept
+
+
+@register_staged(
+    "governance_retention_sweep",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day,
+               event_type, user_id
+        FROM events
+    ),
+    cutoff AS (
+        SELECT MAX(day) - INTERVAL {RETAIN_DAYS} DAY AS cut FROM e
+    )
+    SELECT e.day, e.event_type,
+           CASE WHEN e.day >= c.cut THEN 'retain'
+                WHEN e.event_type IN ('{"','".join(LEGAL_HOLD_TYPES)}')
+                    THEN 'hold'
+                ELSE 'delete' END AS action,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_subjects
+    FROM e, cutoff c
+    GROUP BY 1, 2, 3
+    """,
+)
+def governance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention SWEEP PLAN — the governance dry-run every scheduled
+    deletion job should emit before touching data: per (day,
+    event_type) partition, the policy verdict (retain: younger than
+    the {RETAIN_DAYS}-day horizon; hold: older but under legal hold;
+    delete: otherwise) with the affected row and distinct-subject
+    counts. The horizon anchors to the data's own max day, so the
+    plan is content-stable; the legal-hold set is the exception list
+    a litigation hold injects.
+
+    Scale shape: the verdict is a pure function of the PARTITION KEY
+    (day, event_type) — which is the point: with the fact table
+    partitioned by day (operators/layout.py), executing the plan is
+    partition DROPS for 'delete' rows and metadata no-ops for the
+    rest, never a rewrite of surviving data; and this audit itself is
+    one scan with map-side partial aggregation (the distinct-subject
+    count is the only per-partition shuffle). The cutoff is an
+    aggregated scalar crossed in broadcast — no collect."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "user_id",
+    )
+    cut = e.agg(
+        (F.max("day") - F.expr(f"INTERVAL {RETAIN_DAYS} DAY")).alias("cut")
+    )
+    return (
+        e.crossJoin(cut)
+        .withColumn(
+            "action",
+            F.when(F.col("day") >= F.col("cut"), F.lit("retain"))
+            .when(
+                F.col("event_type").isin(*LEGAL_HOLD_TYPES), F.lit("hold")
+            )
+            .otherwise(F.lit("delete")),
+        )
+        .groupBy("day", "event_type", "action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_subjects"),
+        )
+    )
