@@ -906,3 +906,119 @@ def governance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_subjects"),
         )
     )
+
+
+# =====================================================================
+# Spark-4-native surfaces: VARIANT semi-structured type, Arrow-native
+# Python (mapInArrow), and the pure-Python DataSource API — the
+# engine-surface completions a Spark-4 deployment expects.
+# =====================================================================
+
+
+@register_staged(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           COUNT(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                      THEN 1 END) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` decodes each props document ONCE into the binary
+    variant encoding, and every extraction (``try_variant_get`` with
+    a typed target) is a cheap path lookup on the decoded value — the
+    third generation of the JSON family (get_json_object re-parses
+    per field, from_json needs the schema up front; VARIANT keeps the
+    full value queryable with open schema AND single-parse cost, and
+    is what columnar shredding operates on at rest).
+
+    Missing paths yield NULL (counted in ``n_missing`` — the
+    open-schema probe), typed extraction casts inside the variant
+    reader. The oracle states the same aggregates over DuckDB's JSON
+    extraction — the variant layer must be semantically invisible.
+
+    At 100 TB the variant encoding is the difference between parsing
+    event payloads once at ingest (then columnar-shredding hot paths)
+    and re-parsing text JSON in every query; extraction is
+    whole-stage-codegen'd, no Python."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.try_variant_get(F.col("pv"), "$.k", "bigint")).alias(
+            "sum_k"
+        ),
+        F.max(F.try_variant_get(F.col("pv"), "$.k", "bigint")).alias(
+            "max_k"
+        ),
+        F.count(
+            F.when(
+                F.try_variant_get(F.col("pv"), "$.absent", "string").isNull(),
+                1,
+            )
+        ).alias("n_missing"),
+    )
+
+
+@register_staged(
+    "udf_arrow_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_cp,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(replace(text, ' ', ''))
+                AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+)
+def udf_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE Python stage via ``mapInArrow`` — the lowest-
+    overhead Python interop tier (the pandas tiers convert Arrow ⇄
+    pandas per batch; this one hands the raw ``RecordBatch`` to
+    pyarrow.compute kernels, zero-copy both ways): per-document
+    codepoint count, encoded byte count, and space count, all exact
+    integers from vectorized C++ kernels. The byte/codepoint spread
+    is the multibyte-density signal tokenizer-budget planning uses;
+    the point here is the SURFACE — when Python is unavoidable and
+    pandas semantics add nothing, mapInArrow removes the last
+    conversion cost (the UDF-family ladder: row-Python never,
+    pandas_udf for pandas semantics, mapInArrow for kernel work).
+
+    The oracle states the same integers in SQL; exactness needs no
+    float discipline at all. Scale: map-only (no shuffle), one
+    C++-kernel pass per batch, output schema declared so downstream
+    stays columnar."""
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.binary_length(pc.cast(text, pa.binary())),
+                        pa.int64(),
+                    ),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["doc_id", "n_cp", "n_bytes", "n_spaces"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        stats, "doc_id bigint, n_cp bigint, n_bytes bigint, n_spaces bigint"
+    )
