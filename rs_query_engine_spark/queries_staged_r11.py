@@ -1022,3 +1022,53 @@ def udf_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         stats, "doc_id bigint, n_cp bigint, n_bytes bigint, n_spaces bigint"
     )
+
+
+CUSTOMER_DDL = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+@register_staged(
+    "source_python_datasource",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_acctbal > 1000.0
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-Python DataSource surface
+    (``sources/pydatasource.py``, Spark 4's
+    ``pyspark.sql.datasource``): the customer CSV artifact — the SAME
+    files source_csv_roundtrip scans with the JVM reader — read back
+    through a user-defined Python format with one input partition per
+    part file, stdlib-csv parsing on executors, and schema-driven
+    coercion. The filter + oracle match the JVM roundtrip query
+    exactly, so a hash-PASS proves the custom format preserves every
+    value bit-for-bit (doubles via shortest-repr -> float() identity)
+    AND that partition-parallel pure-Python scans compose with the
+    rest of the engine.
+
+    This is the extension contract for formats with no JVM connector
+    (the reference's Table trait, ``src/datasource/table.rs:10-19``):
+    at scale the reader yields Arrow batches and pushes filters, but
+    the planning shape — N files -> N partitions -> executor-side
+    reads — is already the real one here."""
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvLinesDataSource,
+        ensure_customer_csv,
+    )
+
+    path = ensure_customer_csv(spark, sf_dir)
+    try:
+        spark.dataSource.register(CsvLinesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("rsqes_pycsv")
+        .schema(CUSTOMER_DDL)
+        .option("path", path)
+        .load()
+    )
+    return df.filter(F.col("c_acctbal") > 1000.0)
