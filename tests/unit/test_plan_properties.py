@@ -610,6 +610,13 @@ BIG_TABLE_BROADCAST_OK = {
     # cadence rule: bounded probe batch (every-100th vector) broadcast,
     # corpus streams map-only; same contract as bruteforce_topk.
     "similarity_range_search": "query set broadcast; corpus streams (no shuffle at all)",
+    # Staged for round 12 (queries_staged_r11.py) — pre-listed per the
+    # cadence rule: the exact-rerank stage broadcasts the query-vector
+    # batch (every-100th vector, the bounded ANN probe-batch contract)
+    # against the shortlist join; the corpus-side raw vectors arrive
+    # through the shortlist equi-join (queries x 40 rows), never as a
+    # corpus broadcast.
+    "similarity_pq_refine": "probe-batch vectors broadcast for the rerank; corpus reduced by the shortlist join",
 }
 
 
@@ -975,3 +982,75 @@ def test_ivm_rollup_scans_only_the_delta(spark):
         if "PushedFilters" in ln and "GreaterThanOrEqual(ts" in ln
     ]
     assert pushed, "delta cutoff not pushed into the events scan"
+
+
+# =====================================================================
+# Round-11 staged operators (queries_staged_r11.py) — plan shapes
+# =====================================================================
+
+
+def test_poisson_bootstrap_expansion_is_broadcast_mapside(spark):
+    """The x32 replicate fan-out must be a broadcast nested-loop
+    against the literal replicate frame (map-side, no shuffle to
+    expand) and the per-replicate means must partially aggregate
+    before the one 32-group exchange — at 100 TB the fan-out never
+    materializes through a shuffle."""
+    from rs_query_engine_spark import queries_staged_r11 as r11
+
+    df = r11.sample_poisson_bootstrap(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the literal fan-out
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_snapshot_diff_is_single_key_join_no_cartesian(spark):
+    """Diffing two snapshot generations must be ONE key-equi full
+    outer join (sort-merge under disabled auto-broadcast), never a
+    cartesian/nested-loop compare."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from rs_query_engine_spark import queries_staged_r11 as r11
+
+        df = r11.maintenance_snapshot_diff(spark, SF_DIR)
+        plan = explain_str(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_refine_rerank_joins_shortlist_never_rescans_corpus_pairs(spark):
+    """The exact rerank stage must reach raw vectors through the
+    bounded shortlist equi-join — never a cartesian pairing of
+    queries x corpus. (A BroadcastNestedLoopJoin IS present inside
+    the ADC stage: the fixed literal codebook/probe cross join the
+    proven probe plan carries — tiny constant relations, not corpus
+    pairing — so the pin here is no-cartesian plus equi-join nodes
+    for the vec_id/query_id hops.)"""
+    from rs_query_engine_spark import queries_staged_r11 as r11
+
+    df = r11.similarity_pq_refine(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_arrow_byte_stats_is_maponly_with_pruned_scan(spark):
+    """The mapInArrow stage must be map-only (no Exchange) and the
+    documents scan must be pruned to (doc_id, text) — an Arrow kernel
+    pass is pointless if the scan drags every column along."""
+    from rs_query_engine_spark import queries_staged_r11 as r11
+
+    df = r11.udf_arrow_byte_stats(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
+    m = [b for b in plan.split("\n\n") if "documents.parquet" in b]
+    assert m and all("lang" not in b and "n_chars" not in b for b in m)
