@@ -96,7 +96,11 @@ def main() -> None:
                  "similarity_pq_index_build", "similarity_pq_index_probe",
                  "similarity_ivf_trained_invariants",
                  "stream_late_data_drop", "maintenance_ivm_rollup",
-                 "maintenance_ivm_merge", "maintenance_ivm_two_grain"):
+                 "maintenance_ivm_merge", "maintenance_ivm_two_grain",
+                 # r11 pen (inert until STAGED_R11_ENABLED flips):
+                 # late-feed replay, persisted PQ index, customer CSV
+                 "stream_ttl_flush_ledger", "similarity_pq_refine",
+                 "source_python_datasource"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

@@ -1,33 +1,51 @@
 """Staged query registrations for ROUND 12 — the round-11 holding pen.
 
-EMPTY at round-10 end by design: the activation gate
-(``tests/oracle/test_staged_r11_parity.py`` + ``STAGED_R11_ENABLED``
-in ``queries.py``) is created BEFORE the first round-11 query lands
-(ADVICE r07 precedent), so every registration here is
-verified-by-construction from its first commit. Round 11 fills this
-pen while activating the r10 one; round 12 flips the flag.
+The activation gate (``tests/oracle/test_staged_r11_parity.py`` +
+``STAGED_R11_ENABLED`` in ``queries.py``) pre-existed this content
+(ADVICE r07 precedent), so every registration below was
+verified-by-construction from its first commit. Round 12 flips the
+flag.
+
+Round-11 pen — 12 queries, ALL with exact oracles. The r10-named
+stateful lead heads it:
+
+- **Timer-driven event-time-TTL flush** — the r10 lead named
+  ``transformWithStateInPandas``, but that API cannot run in this
+  container (its driver worker hard-imports ``google.protobuf``
+  [StateMessage_pb2], which is not installed and cannot be — probed,
+  see the round-11 session log); the SAME operator semantics land on
+  ``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``
+  (Arrow-only), with every timer rule MEASURED first (strict fire,
+  eviction-wm delivery incl. the trailing batch, row-level late
+  filter with the two-batch lag, the below-watermark clamp) and
+  pinned in tests/unit/test_streaming_ttl_flush.py before the oracle
+  encodes them.
+- **Warehouse maintenance, read side**: snapshot DIFF (CDC-by-
+  comparison between two table generations) and SCD2 time travel
+  (state-as-of-T over validity intervals).
+- **Resampling statistics**: deterministic Poisson bootstrap
+  (content-hash draws, integer CDF thresholds — replicate means with
+  no RNG state and no float in the draw).
+- **Embedding-corpus monitoring**: per-dimension snapshot drift via
+  EXACTLY-quantized sums (floor(x·2^30) — measured that
+  double→decimal casts tie-break differently across engines, so
+  decimal casting is NOT oracle-safe for arbitrary doubles).
+- **Graph**: bounded multi-source BFS over the near-dup graph (the
+  takedown blast-radius query; frontier expansion, never a closure).
+- **Two-stage retrieval**: ADC shortlist → exact-cosine rerank over
+  the persisted PQ index (the production serving shape).
+- **Monitoring/governance**: robust (median/MAD) day-over-day volume
+  anomalies; the retention sweep plan (partition verdicts before any
+  deletion).
+- **Spark-4 surfaces**: VARIANT extraction (``parse_json`` /
+  ``try_variant_get``), an Arrow-native ``mapInArrow`` stage, and a
+  pure-Python DataSource (``pyspark.sql.datasource``) reading the
+  CSV artifact partition-parallel.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
 decimals, every aggregate/computed column aliased identically in the
 Spark code and the DuckDB oracle.
-
-Candidate leads for round 11 (from round-10 loose ends — evaluate,
-don't assume):
-
-- Streaming dedup horizon-expiry: DO NOT attempt a corpus-scale
-  exact oracle — when a key has several rows in one micro-batch,
-  which row's timestamp lands in state is partition-order-dependent,
-  and every later expiry epoch inherits that nondeterminism (r10
-  finding). The synthetic pin
-  (tests/unit/test_streaming_dedup_expiry.py — no TTL extension by
-  duplicates, one-batch eviction lag, two-batch late-filter lag) is
-  the final form. (The stream-STREAM siblings — inner, left-outer,
-  and the chained join-into-agg pipeline with its measured 24 h
-  watermark propagation — landed in the r10 pen.)
-- transformWithStateInPandas timer-driven TTL operator (the 4.1
-  arbitrary-state API with event-time timers — the one stateful
-  surface still untested under out-of-order arrival).
 """
 
 from __future__ import annotations
@@ -437,12 +455,18 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying (sum_w, sum_wv) pairs. At 100 TB the fan-out never
     materializes: weights are computed and partially aggregated
     inside the scan stage."""
+    from rs_query_engine_spark.sources.corpus import spread
+
+    # the corpus ships one row group -> one partition; the x32 md5
+    # fan-out is CPU-bound, so spread it across cores first (no-op on
+    # a real multi-file table)
     e = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "event_id", F.col("value").cast("decimal(12,2)").alias("v")
         )
+        .transform(spread)
     )
     rep = spark.range(BOOT_REPLICATES).select(
         F.col("id").cast("int").alias("replicate")
