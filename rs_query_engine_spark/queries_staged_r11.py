@@ -1096,3 +1096,104 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.filter(F.col("c_acctbal") > 1000.0)
+
+
+# =====================================================================
+# Distribution-shift testing: exact two-sample Kolmogorov-Smirnov —
+# the nonparametric "did this metric's distribution change" gate that
+# pairs with the mean-level drift/anomaly monitors.
+# =====================================================================
+
+
+@register_staged(
+    "sample_ks_two_sample",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(value AS DECIMAL(12,2)) AS v,
+               user_id % 2 = 0 AS in_a
+        FROM events WHERE value IS NOT NULL
+    ),
+    n AS (
+        SELECT CAST(COUNT(CASE WHEN in_a THEN 1 END) AS DOUBLE) AS na,
+               CAST(COUNT(CASE WHEN NOT in_a THEN 1 END) AS DOUBLE) AS nb
+        FROM x
+    ),
+    steps AS (
+        SELECT v,
+               SUM(CASE WHEN in_a THEN 1 ELSE 0 END)
+                   OVER (ORDER BY v) AS ca,
+               SUM(CASE WHEN in_a THEN 0 ELSE 1 END)
+                   OVER (ORDER BY v) AS cb
+        FROM x
+    ),
+    ecdf AS (
+        SELECT v, MAX(ca) AS ca, MAX(cb) AS cb FROM steps GROUP BY v
+    )
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           MAX(ABS(CAST(ecdf.ca AS DOUBLE) / n.na
+                   - CAST(ecdf.cb AS DOUBLE) / n.nb)) AS ks_stat
+    FROM ecdf, n
+    GROUP BY n.na, n.nb
+    """,
+)
+def sample_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    even/odd user_id strata of ``events.value`` — the nonparametric
+    distribution-shift gate (a mean-level monitor like
+    quality_anomaly_daily_volume misses a variance or shape change;
+    KS = sup |ECDF_a - ECDF_b| catches any of them). One sort-based
+    pass: cumulative per-side counts over the pooled ordered values
+    (ties collapsed per distinct value, so the supremum is evaluated
+    exactly at every step point), then the max absolute ECDF gap.
+
+    Float determinism: counts are integers; each ECDF value is ONE
+    double division (count/n), the gap is one subtraction, and MAX
+    over exact doubles is order-insensitive — no accumulation
+    anywhere. Grid values (decimal 2dp) make the sort key exact.
+
+    Scale shape: the window's ORDER BY v is the one global sort
+    (range-partitioned at scale — the honest cost of an exact ECDF);
+    everything after collapses to distinct values then one row. For
+    100-TB monitoring runs the standard move is this exact form on a
+    content-hash sample plus sketch-based bounds on the full stream —
+    the exact operator is what validates the sketch."""
+    from pyspark.sql import Window
+
+    x = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("value").cast("decimal(12,2)").alias("v"),
+            (F.col("user_id") % 2 == 0).alias("in_a"),
+        )
+    )
+    n = x.agg(
+        F.count(F.when(F.col("in_a"), 1)).cast("double").alias("na"),
+        F.count(F.when(~F.col("in_a"), 1)).cast("double").alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    steps = x.select(
+        "v",
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).over(w).alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).over(w).alias("cb"),
+    )
+    ecdf = steps.groupBy("v").agg(
+        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    )
+    return (
+        ecdf.crossJoin(n)
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+            ).alias("ks_stat")
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_stat",
+        )
+    )
