@@ -1197,3 +1197,102 @@ def sample_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat",
         )
     )
+
+
+# =====================================================================
+# Point-in-time feature assembly: the training-example join — one
+# as-of join per feature source, every feature frozen at label time.
+# =====================================================================
+
+
+@register_staged(
+    "join_pit_feature_matrix",
+    oracle="""
+    WITH labels AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS vts,
+               ARG_MAX(value, event_id) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+               ARG_MAX(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    ords AS (
+        SELECT o_custkey, o_orderdate,
+               ARG_MAX(o_totalprice, o_orderkey) AS order_total
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value AS label_value,
+           v.vts AS view_ts, v.view_value,
+           c.cts AS click_ts, c.click_value,
+           CAST(o.o_orderdate AS TIMESTAMP) AS order_ts, o.order_total
+    FROM labels l
+    ASOF LEFT JOIN views v ON l.user_id = v.user_id AND l.ts >= v.vts
+    ASOF LEFT JOIN clicks c ON l.user_id = c.user_id AND l.ts >= c.cts
+    ASOF LEFT JOIN ords o
+        ON l.user_id = o.o_custkey AND l.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+    """,
+)
+def join_pit_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature matrix — the training-example assembly
+    join done correctly: every purchase event (the label) picks up,
+    per feature source, the most recent value AT OR BEFORE label time
+    — the user's last view, last click, and last order total — via
+    one as-of join per source (``operators/joins.asof_join``). This
+    is the leakage-free feature join a feature store exists to
+    provide: an ordinary equi-join on user would leak FUTURE feature
+    values into training examples, the classic offline/online skew
+    bug.
+
+    Each feature side is pre-deduped per (key, ts) with a
+    deterministic max_by tie-break; each as-of join is the
+    union+window form — one shuffle on the user key, no pair
+    explosion, and Catalyst reuses the per-user partitioning across
+    the chained joins. DuckDB's native chained ASOF LEFT JOINs are
+    the oracle. At 100 TB the cost is one per-key ordering per
+    feature source — the same shape a feature-store backfill runs,
+    embarrassingly parallel in the user dimension."""
+    from rs_query_engine_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("label_value")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("order_total"))
+    )
+    out = asof_join(labels, views, by=["user_id"], left_ts="ts", right_ts="vts")
+    out = asof_join(out, clicks, by=["user_id"], left_ts="ts", right_ts="cts")
+    out = asof_join(out, ords, by=["user_id"], left_ts="ts", right_ts="ots")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "label_value",
+        F.col("vts").alias("view_ts"),
+        "view_value",
+        F.col("cts").alias("click_ts"),
+        "click_value",
+        F.col("ots").alias("order_ts"),
+        "order_total",
+    )
