@@ -1296,3 +1296,101 @@ def join_pit_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ots").alias("order_ts"),
         "order_total",
     )
+
+
+# =====================================================================
+# Governance completion #2: the subject-access-report export — one
+# row per data subject across every table that knows them.
+# =====================================================================
+
+
+@register_staged(
+    "governance_sar_export",
+    oracle="""
+    WITH subjects AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 25 = 3
+    ),
+    ev AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+               MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY user_id
+    ),
+    o AS (
+        SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT s.user_id,
+           COALESCE(ev.n_events, 0) AS n_events,
+           ev.first_seen, ev.last_seen,
+           COALESCE(ev.n_purchases, 0) AS n_purchases,
+           ev.total_value,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           o.total_spend
+    FROM subjects s
+    LEFT JOIN ev USING (user_id)
+    LEFT JOIN o USING (user_id)
+    """,
+)
+def governance_sar_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access-report EXPORT — the GDPR Art. 15 / CCPA question
+    run as a batch: for a requested subject set (the deterministic
+    ``user_id % 25 = 3`` slice), one row per subject aggregating what
+    every table that knows them holds — event counts, first/last
+    seen, purchase counts, decimal-exact value totals, and the orders
+    side through the same custkey≙user_id linkage the as-of queries
+    use. LEFT joins from the subject list so a subject with no data
+    still gets a (zero-filled) row — a SAR must answer 'nothing held'
+    explicitly, not by omission.
+
+    Scale shape: both per-table aggregates reduce map-side BEFORE
+    their key shuffle (subject-cardinality output, never row-level
+    export of the fact tables), and the final joins are
+    subject-list-sized — AQE broadcasts them. At 100 TB the same plan
+    serves batched SAR processing: aggregate once per table, join the
+    request list, nothing re-scans per subject."""
+    e = _t(spark, sf_dir, "events")
+    subjects = (
+        e.filter(F.col("user_id") % 25 == 3).select("user_id").distinct()
+    )
+    ev = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+    return (
+        subjects.join(ev, "user_id", "left")
+        .join(o, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "first_seen",
+            "last_seen",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            "total_value",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            "total_spend",
+        )
+    )
