@@ -150,6 +150,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R9_ENABLED", "queries_staged_r9"),
     ("STAGED_R10_ENABLED", "queries_staged_r10"),
     ("STAGED_R11_ENABLED", "queries_staged_r11"),
+    ("STAGED_R12_ENABLED", "queries_staged_r12"),
 )
 
 
@@ -6281,9 +6282,21 @@ STAGED_R9_ENABLED = True
 # (tests/oracle/test_staged_r10_parity.py). Round 11 flips this flag.
 STAGED_R10_ENABLED = False
 
-# Round-11 holding pen (``queries_staged_r11.py``): EMPTY at round-10
-# end by design — the gate (flag + test_staged_r11_parity.py) exists
-# before the first round-11 query lands (ADVICE r07 precedent), so
-# round 11 fills it while activating the r10 pen, and round 12 flips
-# this flag.
+# Round-11 holding pen (``queries_staged_r11.py``): filled during the
+# round-10 continuation session (15 queries, all exact-oracled:
+# timer-driven event-time-TTL flush with measured
+# applyInPandasWithState semantics, snapshot diff, SCD2 time travel,
+# Poisson bootstrap, embedding snapshot drift, bounded BFS blast
+# radius, two-stage PQ refine, daily-volume anomaly gate, retention
+# sweep plan, VARIANT extraction, mapInArrow, a pure-Python
+# DataSource, exact two-sample KS, the point-in-time feature matrix,
+# and the SAR export), locally hash-verified at sf0.001 + sf0.01
+# (tests/oracle/test_staged_r11_parity.py). Round 12 flips this flag.
 STAGED_R11_ENABLED = False
+
+# Round-12 holding pen (``queries_staged_r12.py``): EMPTY at round-10
+# end by design — the gate (flag + test_staged_r12_parity.py) exists
+# before the first round-12 query lands (ADVICE r07 precedent), so
+# round 12 fills it while activating the r11 pen, and round 13 flips
+# this flag.
+STAGED_R12_ENABLED = False

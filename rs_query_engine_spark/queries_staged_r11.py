@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r11_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 flag.
 
-Round-11 pen — 12 queries, ALL with exact oracles. The r10-named
+Round-11 pen — 16 queries, ALL with exact oracles. The r10-named
 stateful lead heads it:
 
 - **Timer-driven event-time-TTL flush** — the r10 lead named
@@ -41,6 +41,17 @@ stateful lead heads it:
   ``try_variant_get``), an Arrow-native ``mapInArrow`` stage, and a
   pure-Python DataSource (``pyspark.sql.datasource``) reading the
   CSV artifact partition-parallel.
+- **Distribution-shift testing**: exact two-sample Kolmogorov-
+  Smirnov (sort-based ECDF, zero float accumulation).
+- **Training assembly**: the point-in-time feature matrix (one as-of
+  join per feature source — the leakage-free feature-store join).
+- **Governance #2**: the subject-access-report export (one row per
+  requested subject across every subject-keyed table; 'nothing held'
+  answered explicitly).
+- **State-store inspection** (Spark 4 ``statestore`` data source):
+  the TTL-flush checkpoint read back as a table — held keys are the
+  exact complement of the flush ledger, so emitted ∪ held closes the
+  operator's books under one oracle model.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -89,6 +100,8 @@ def oracle_sql() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 # Timer-driven TTL flush (applyInPandasWithState + EventTimeTimeout)
 # ---------------------------------------------------------------------------
+
+TTL_FLUSH_MS = 12 * 3600 * 1000  # shared by the ledger and the state reader
 
 
 @register_staged(
@@ -156,34 +169,10 @@ def stream_ttl_flush_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     2/3 are withheld. 100-TB shape: state bounded by live keys, timer
     index does the eviction (no key-scan per batch), integer-cents
     accumulation keeps the Python stage partition-order-exact."""
-    from rs_query_engine_spark.streaming.events import (
-        LATE_DELAY,
-        ensure_late_feed,
-        run_stream_to_memory,
-    )
-    from rs_query_engine_spark.streaming.stateful import ttl_flush_stream
+    from rs_query_engine_spark.streaming.events import run_stream_to_memory
+    from rs_query_engine_spark.streaming.stateful import user_day_ttl_stream
 
-    feed = ensure_late_feed(spark, sf_dir)
-    schema = spark.read.parquet(feed).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
-    keyed = (
-        stream.withWatermark("ts", LATE_DELAY)
-        .withColumn("day", F.date_trunc("day", F.col("ts")))
-        .withColumn(
-            "cents", (F.col("value").cast("decimal(12,2)") * 100).cast("long")
-        )
-    )
-    out = ttl_flush_stream(
-        keyed,
-        ["user_id", "day"],
-        "user_id BIGINT, day TIMESTAMP, n_events BIGINT, "
-        "total_cents BIGINT, last_ts TIMESTAMP",
-        ttl_ms=12 * 3600 * 1000,
-    )
+    out = user_day_ttl_stream(spark, sf_dir, TTL_FLUSH_MS)
     return run_stream_to_memory(
         out, "stream_ttl_flush_ledger", output_mode="update"
     )
@@ -1393,4 +1382,73 @@ def governance_sar_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             "total_spend",
         )
+    )
+
+
+@register_staged(
+    "stream_state_inspection",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (SELECT MAX(ts) AS mx FROM e),
+    t0 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 5 DAY AND ts <= mx - INTERVAL 3 DAY),
+    w1 AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM t0),
+    w4 AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM e),
+    admitted AS (
+        SELECT e.* FROM e, m, w1
+        WHERE ts > m.mx - INTERVAL 5 DAY OR ts > w1.w
+    ),
+    keys AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               MAX(ts) AS last_ts
+        FROM admitted GROUP BY 1, 2
+    )
+    SELECT user_id, day, n_events, total_cents, last_ts
+    FROM keys, w4
+    WHERE NOT (last_ts + INTERVAL 12 HOUR < w4.w)
+    """,
+)
+def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE INSPECTION — Spark 4's ``statestore`` data source
+    reads a streaming checkpoint's live state back as a TABLE: the
+    TTL-flush run is checkpointed once per corpus generation
+    (``streaming/stateful.py:ensure_ttl_flush_checkpoint``), and this
+    query returns every key still HELD at stream end — the exact
+    complement of ``stream_ttl_flush_ledger``'s emitted set, which
+    the oracle states by negating the ledger's flush rule over the
+    same replay arithmetic (same admitted set, same accumulations,
+    ``NOT (last_ts + TTL < W4)``).
+
+    Together the pair closes the stateful operator's books: emitted ∪
+    held = every admitted key, disjointly — nothing leaks, nothing is
+    double-counted, and the stored micros-exact ``mx_us`` round-trips
+    to the same MAX(ts) the SQL computes. Operationally this surface
+    is how production debugs a stateful query (why is state growing?
+    which keys never flush?) WITHOUT touching the running stream: the
+    reader scans checkpoint files, partition-parallel, no state-store
+    locks. The stored timer is deliberately NOT emitted: its value
+    carries the below-watermark clamp (wm-at-last-input + 1ms), an
+    arrival-schedule detail, while the held-key SET is pure event-time
+    arithmetic."""
+    from rs_query_engine_spark.streaming.stateful import (
+        ensure_ttl_flush_checkpoint,
+    )
+
+    ck = ensure_ttl_flush_checkpoint(spark, sf_dir, TTL_FLUSH_MS)
+    ss = spark.read.format("statestore").load(ck)
+    return ss.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("key.day").alias("day"),
+        F.col("value.groupState.cnt").alias("n_events"),
+        F.col("value.groupState.cents").alias("total_cents"),
+        F.timestamp_micros(F.col("value.groupState.mx_us")).alias("last_ts"),
     )

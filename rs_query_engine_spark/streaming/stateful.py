@@ -145,7 +145,93 @@ def ttl_flush_stream(
     return keyed.groupBy(*key_cols).applyInPandasWithState(
         flush,
         outputStructType=out_schema,
-        stateStructType="mx_ms bigint, cnt bigint, cents bigint",
+        stateStructType="mx_us bigint, cnt bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def user_day_ttl_stream(spark, sf_dir: str, ttl_ms: int) -> DataFrame:
+    """The (user, day)-keyed TTL-flush stream over the late-arrival
+    feed — shared by the flush-ledger query (memory sink) and the
+    checkpoint builder (noop sink + persisted state), so both drive
+    the IDENTICAL operator."""
+    from pyspark.sql import functions as F
+
+    from rs_query_engine_spark.streaming.events import (
+        LATE_DELAY,
+        ensure_late_feed,
+    )
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    keyed = (
+        stream.withWatermark("ts", LATE_DELAY)
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn(
+            "cents", (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+        )
+    )
+    return ttl_flush_stream(
+        keyed,
+        ["user_id", "day"],
+        "user_id BIGINT, day TIMESTAMP, n_events BIGINT, "
+        "total_cents BIGINT, last_ts TIMESTAMP",
+        ttl_ms=ttl_ms,
+    )
+
+
+def ensure_ttl_flush_checkpoint(spark, sf_dir: str, ttl_ms: int) -> str:
+    """Persisted streaming CHECKPOINT of the (user, day) TTL-flush
+    run over the late feed — the artifact the state-store reader
+    queries (``spark.read.format("statestore")``). Built once per
+    corpus generation via the standard mtime+params-keyed atomic
+    install; completeness = the commit log contains batch 4 (four
+    feed files + the trailing watermark-advance batch), so a
+    half-written checkpoint is never served. State content is
+    deterministic (order-insensitive integer accumulations; the
+    replay arithmetic is pinned by the flush ledger's oracle), which
+    is what makes reading it back oracle-checkable at all."""
+    import os
+
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+    from rs_query_engine_spark.streaming.events import LATE_DELAY
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    root = artifact_root(src, "ttlckpt", f"ttl={ttl_ms}|delay={LATE_DELAY}")
+    ck = os.path.join(root, "ckpt")
+
+    def complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "ckpt", "commits", "4"))
+
+    if complete(root):
+        return ck
+
+    def write(tmp: str) -> None:
+        out = user_day_ttl_stream(spark, sf_dir, ttl_ms)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    install_artifact(root, "ttlckpt", src, write, complete)
+    return ck
