@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r11_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 flag.
 
-Round-11 pen — 16 queries, ALL with exact oracles. The r10-named
+Round-11 pen — 17 queries, ALL with exact oracles. The r10-named
 stateful lead heads it:
 
 - **Timer-driven event-time-TTL flush** — the r10 lead named
@@ -38,9 +38,11 @@ stateful lead heads it:
   anomalies; the retention sweep plan (partition verdicts before any
   deletion).
 - **Spark-4 surfaces**: VARIANT extraction (``parse_json`` /
-  ``try_variant_get``), an Arrow-native ``mapInArrow`` stage, and a
-  pure-Python DataSource (``pyspark.sql.datasource``) reading the
-  CSV artifact partition-parallel.
+  ``try_variant_get``), Arrow-native ``mapInArrow`` AND grouped
+  ``applyInArrow`` stages (completing the four-tier Python-interop
+  ladder), and a pure-Python DataSource
+  (``pyspark.sql.datasource``) reading the CSV artifact
+  partition-parallel.
 - **Distribution-shift testing**: exact two-sample Kolmogorov-
   Smirnov (sort-based ECDF, zero float accumulation).
 - **Training assembly**: the point-in-time feature matrix (one as-of
@@ -1451,4 +1453,63 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.groupState.cnt").alias("n_events"),
         F.col("value.groupState.cents").alias("total_cents"),
         F.timestamp_micros(F.col("value.groupState.mx_us")).alias("last_ts"),
+    )
+
+
+@register_staged(
+    "udf_arrow_grouped_lang_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_cp,
+           CAST(MAX(length(text)) AS BIGINT) AS max_cp,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udf_arrow_grouped_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Arrow-native Python via ``applyInArrow`` — the
+    per-group twin of the mapInArrow stage (udf_arrow_byte_stats):
+    each language's documents arrive as one Arrow ``Table``,
+    pyarrow.compute kernels reduce it (count, codepoint sum/max,
+    distinct sources), one row out per group — no pandas conversion
+    on either edge. This completes the four-tier Python-interop
+    ladder the engine documents: row-Python (never), pandas_udf /
+    applyInPandas (pandas semantics), mapInArrow (per-batch
+    kernels), applyInArrow (per-GROUP kernels).
+
+    All outputs are exact integers, so the oracle is plain SQL with
+    no float discipline needed. Scale shape: the one shuffle is the
+    groupBy's hash partitioning on lang; per-group reduction is a
+    C++ kernel pass over that group's Arrow buffers. Grouped-Python
+    caveat at 100 TB: a group must fit one task (fine for
+    language-sized groups; a skewed group wants the salted two-stage
+    form instead — operators/skew.py)."""
+
+    def stats(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        text = table.column("text")
+        cp = pc.utf8_length(text)
+        return pa.Table.from_arrays(
+            [
+                pa.array([table.column("lang")[0].as_py()], pa.string()),
+                pa.array([table.num_rows], pa.int64()),
+                pa.array([pc.sum(cp).as_py() or 0], pa.int64()),
+                pa.array([pc.max(cp).as_py()], pa.int64()),
+                pa.array(
+                    [pc.count_distinct(table.column("source")).as_py()],
+                    pa.int64(),
+                ),
+            ],
+            names=["lang", "n_docs", "total_cp", "max_cp", "n_sources"],
+        )
+
+    d = _t(spark, sf_dir, "documents").select("lang", "text", "source")
+    return d.groupBy("lang").applyInArrow(
+        stats,
+        "lang string, n_docs bigint, total_cp bigint, "
+        "max_cp bigint, n_sources bigint",
     )

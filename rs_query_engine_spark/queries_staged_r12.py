@@ -33,9 +33,6 @@ don't assume):
   ``DataSourceReader.pushFilters``): demonstrate predicate pushdown
   crossing the Python boundary — plan-assert the pushed filter, and
   oracle the filtered read.
-- **applyInArrow** (grouped twin of mapInArrow): per-group Arrow
-  kernels without pandas conversion — e.g. a per-language grouped
-  stat over documents; cheap exact oracle.
 - **transformWithStateInPandas** remains BLOCKED in this container:
   its driver worker hard-imports ``google.protobuf``
   (StateMessage_pb2), which is not installed and cannot be (probed
