@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r11_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 flag.
 
-Round-11 pen — 17 queries, ALL with exact oracles. The r10-named
+Round-11 pen — 18 queries, ALL with exact oracles. The r10-named
 stateful lead heads it:
 
 - **Timer-driven event-time-TTL flush** — the r10 lead named
@@ -1513,3 +1513,55 @@ def udf_arrow_grouped_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, n_docs bigint, total_cp bigint, "
         "max_cp bigint, n_sources bigint",
     )
+
+
+@register_staged(
+    "source_python_pushdown",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_nationkey = 7 AND c_acctbal > 5000.0
+    """,
+)
+def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICATE PUSHDOWN through the pure-Python DataSource
+    (``sources/pydatasource.py:CsvPushdownDataSource`` — 4.1's
+    ``DataSourceReader.pushFilters``): the equality + range filters
+    are negotiated INTO the Python reader and applied during the CSV
+    parse, so non-qualifying rows never cross the Python→JVM Arrow
+    boundary. Plan-verified (tests/unit/test_plan_properties.py):
+    the BatchScan carries ``PushedFilters: [... EqualTo(c_nationkey,7),
+    GreaterThan(c_acctbal,5000.0)]`` and NO Filter node remains above
+    it — Spark treats accepted filters as exact, which makes the
+    reader's predicate evaluation load-bearing and is precisely what
+    this oracle hash-verifies.
+
+    The pushdown format is a separate registration from the plain
+    reader because implementing pushFilters is a contract: Spark
+    refuses the scan when ``spark.sql.python.filterPushdown.enabled``
+    is off (measured — hard AnalysisException), so the conf is
+    ensured per query the same way ensure_nanos_as_long handles the
+    driver's own session. At 100 TB this boundary is the difference
+    between shipping a full partition through Arrow to drop 99% of
+    it JVM-side and dropping it where the bytes already are."""
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvPushdownDataSource,
+        ensure_customer_csv,
+        ensure_python_filter_pushdown,
+    )
+
+    path = ensure_customer_csv(spark, sf_dir)
+    ensure_python_filter_pushdown(spark)
+    try:
+        spark.dataSource.register(CsvPushdownDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("rsqes_pycsv_fp")
+        .schema(CUSTOMER_DDL)
+        .option("path", path)
+        .load()
+    )
+    return df.filter(
+        (F.col("c_nationkey") == 7) & (F.col("c_acctbal") > 5000.0)
+    ).select("c_custkey", "c_name", "c_acctbal")

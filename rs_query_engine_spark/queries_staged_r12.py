@@ -29,10 +29,6 @@ don't assume):
   completes the custom-format contract and the streaming reader
   would be the first pure-Python incremental source. Keep the
   partition-per-file planning and exact round-trip discipline.
-- **pushFilters on the Python DataSource** (4.1 adds
-  ``DataSourceReader.pushFilters``): demonstrate predicate pushdown
-  crossing the Python boundary — plan-assert the pushed filter, and
-  oracle the filtered read.
 - **transformWithStateInPandas** remains BLOCKED in this container:
   its driver worker hard-imports ``google.protobuf``
   (StateMessage_pb2), which is not installed and cannot be (probed

@@ -12,13 +12,15 @@ the user-supplied schema; numeric fields round-trip exactly because
 Spark's CSV writer emits shortest-repr doubles and ``float()`` parses
 them back to the identical bits.
 
-This is the demo-scale reference implementation of the surface: a
-production Python source adds column pruning via the reader's schema
-argument and predicate pushdown via ``pushFilters`` (Spark 4.1+), and
-yields Arrow ``RecordBatch``es instead of tuples once per-row Python
-cost matters. What it demonstrates is the part that cannot be faked:
-partition planning, executor-side pure-Python reads, and exact value
-round-trip through a user-defined format.
+This is the demo-scale reference implementation of the surface,
+including PREDICATE PUSHDOWN across the Python boundary
+(``pushFilters`` — simple comparisons applied during the parse,
+unsupported shapes handed back to Spark); a production source adds
+column pruning via the reader's schema argument and yields Arrow
+``RecordBatch``es instead of tuples once per-row Python cost
+matters. What it demonstrates is the part that cannot be faked:
+partition planning, pushdown negotiation, executor-side pure-Python
+reads, and exact value round-trip through a user-defined format.
 """
 
 from __future__ import annotations
@@ -61,6 +63,7 @@ class CsvLinesReader(DataSourceReader):
     def __init__(self, schema: StructType, path: str) -> None:
         self.fields = [(f.name, f.dataType.simpleString()) for f in schema]
         self.path = path
+        self.pushed: list = []
 
     def partitions(self):
         files = sorted(
@@ -89,7 +92,113 @@ class CsvLinesReader(DataSourceReader):
                     f"schema {[h for h, _ in self.fields]}"
                 )
             for row in rows:
-                yield tuple(coerce(x, t) for x, (_, t) in zip(row, self.fields))
+                out = tuple(
+                    coerce(x, t) for x, (_, t) in zip(row, self.fields)
+                )
+                if self._keep(out):
+                    yield out
+
+    def _keep(self, row: tuple) -> bool:
+        """Base format accepts no pushed filters (``pushed`` stays
+        empty); the pushdown subclass overrides this with the real
+        predicate evaluation."""
+        return True
+
+
+class CsvPushdownDataSource(CsvLinesDataSource):
+    """``rsqes_pycsv_fp`` — the same format WITH predicate pushdown.
+
+    A separate registration because implementing ``pushFilters`` is a
+    CONTRACT, not a hint: once a reader defines it, Spark refuses to
+    plan the scan unless ``spark.sql.python.filterPushdown.enabled``
+    is true (a hard AnalysisException, measured) — so the base format
+    stays conf-free and this subclass carries the negotiated surface.
+    Call :func:`ensure_python_filter_pushdown` before reading."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rsqes_pycsv_fp"
+
+    def reader(self, schema: StructType) -> "CsvPushdownReader":
+        return CsvPushdownReader(schema, self.options["path"])
+
+
+class CsvPushdownReader(CsvLinesReader):
+    def pushFilters(self, filters):
+        """Predicate pushdown across the Python boundary (4.1's
+        ``DataSourceReader.pushFilters``): accept the simple
+        comparison filters and apply them DURING the parse, so
+        filtered rows never cross the Python→JVM Arrow boundary;
+        unsupported shapes are yielded back and Spark re-applies them
+        above the scan. Spark treats accepted filters as EXACT (they
+        are not re-checked — verified by the oracle parity of the
+        pushdown query), so ``_keep`` must implement each accepted
+        class faithfully. At scale the production extension is a
+        per-file min/max sidecar so accepted filters skip whole
+        partitions; here they skip rows at parse time."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            IsNotNull,
+        )
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _keep(self, row: tuple) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        idx = {name: i for i, (name, _) in enumerate(self.fields)}
+        for f in self.pushed:
+            v = row[idx[f.attribute[0]]]
+            if isinstance(f, IsNotNull):
+                if v is None:
+                    return False
+                continue
+            if v is None:
+                return False
+            if isinstance(f, EqualTo) and not v == f.value:
+                return False
+            if isinstance(f, GreaterThan) and not v > f.value:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not v >= f.value:
+                return False
+            if isinstance(f, LessThan) and not v < f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and not v <= f.value:
+                return False
+        return True
+
+
+def ensure_python_filter_pushdown(spark) -> None:
+    """Idempotently enable Python-DataSource filter pushdown on an
+    externally-owned session (the verification driver builds its own
+    SparkSession without our defaults — the ensure_nanos_as_long
+    pattern). Runtime-settable SQL conf, so this is safe per query."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
 
 
 def ensure_customer_csv(spark, sf_dir: str) -> str:

@@ -1054,3 +1054,20 @@ def test_arrow_byte_stats_is_maponly_with_pruned_scan(spark):
     assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
     m = [b for b in plan.split("\n\n") if "documents.parquet" in b]
     assert m and all("lang" not in b and "n_chars" not in b for b in m)
+
+
+def test_python_datasource_pushdown_reaches_scan_with_no_refilter(spark):
+    """The Python-DataSource pushdown query's plan must carry the
+    predicates as PushedFilters on the BatchScan with NO Filter node
+    left above it (Spark treats filters a Python reader accepts as
+    exact — measured; the reader's evaluation is therefore
+    load-bearing and the oracle hash-verifies it)."""
+    from rs_query_engine_spark import queries_staged_r11 as r11
+
+    df = r11.source_python_pushdown(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchScan rsqes_pycsv_fp" in plan
+    assert "EqualTo(c_nationkey,7)" in plan
+    assert "GreaterThan(c_acctbal,5000.0)" in plan
+    tree = plan.split("(1) BatchScan")[0]
+    assert "Filter" not in tree  # nothing re-checks above the scan
