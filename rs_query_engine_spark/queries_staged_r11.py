@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r11_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 flag.
 
-Round-11 pen — 18 queries, ALL with exact oracles. The r10-named
+Round-11 pen — 19 queries, ALL with exact oracles. The r10-named
 stateful lead heads it:
 
 - **Timer-driven event-time-TTL flush** — the r10 lead named
@@ -62,6 +62,8 @@ Spark code and the DuckDB oracle.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1565,3 +1567,54 @@ def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         (F.col("c_nationkey") == 7) & (F.col("c_acctbal") > 5000.0)
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register_staged(
+    "source_python_writer_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def source_python_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of the pure-Python DataSource contract
+    (``sources/pydatasource.py:CsvLinesWriter``): the filtered
+    customer slice is written through the Python writer — one
+    executor task per partition, each staging a uniquely-named file,
+    with the standard two-phase commit (rename-to-final + overwrite
+    cleanup + _SUCCESS happen only in driver-side ``commit``, so a
+    concurrent reader never sees a torn write; ``abort`` reaps the
+    staged files) — then read BACK through Spark's JVM CSV reader
+    and compared against the parquet original. A hash-PASS proves
+    the Python writer's serialization is value-exact (floats via
+    shortest-repr str()) AND its commit protocol produced exactly
+    the committed row set, nothing duplicated or dropped.
+
+    The output directory is pid-keyed (same single-runner-per-process
+    contract as stream_index_probe) and rewritten per invocation —
+    writing IS the surface under test, so caching it would defeat
+    the query. At scale the identical protocol carries: tasks stage,
+    the driver commits, speculative/failed attempts abort — the
+    file-committer model, in Python."""
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvLinesDataSource,
+    )
+
+    try:
+        spark.dataSource.register(CsvLinesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    src = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"rsqes_pywr_{digest}_{os.getpid()}"
+    )
+    src.write.format("rsqes_pycsv").option("path", out).mode(
+        "overwrite"
+    ).save()
+    return spark.read.csv(out, schema=CUSTOMER_DDL, header=True)

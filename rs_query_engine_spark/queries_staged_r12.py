@@ -23,12 +23,12 @@ don't assume):
   structs), and snapshot-version time travel
   (``option("snapshotStartBatchId")``) if supported on HDFS-backed
   stores.
-- **Python DataSource writer + streaming reader halves**
-  (``DataSource.writer`` / ``simpleStreamReader``): round-11 landed
-  the batch reader (``sources/pydatasource.py``); the writer
-  completes the custom-format contract and the streaming reader
-  would be the first pure-Python incremental source. Keep the
-  partition-per-file planning and exact round-trip discipline.
+- **Python DataSource streaming reader**
+  (``DataSource.simpleStreamReader``): round-11 landed the batch
+  reader, pushFilters, AND the writer (two-phase commit); the
+  streaming reader would be the first pure-Python incremental
+  source. Keep the partition-per-file planning and exact round-trip
+  discipline.
 - **transformWithStateInPandas** remains BLOCKED in this container:
   its driver worker hard-imports ``google.protobuf``
   (StateMessage_pb2), which is not installed and cannot be (probed

@@ -27,11 +27,14 @@ from __future__ import annotations
 
 import csv
 import os
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -57,6 +60,9 @@ class CsvLinesDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "CsvLinesReader":
         return CsvLinesReader(schema, self.options["path"])
+
+    def writer(self, schema: StructType, overwrite: bool) -> "CsvLinesWriter":
+        return CsvLinesWriter(schema, self.options["path"], overwrite)
 
 
 class CsvLinesReader(DataSourceReader):
@@ -216,3 +222,64 @@ def ensure_customer_csv(spark, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_csv(load_table(spark, sf_dir, "customer"), path, coalesce_files=4)
     return path
+
+
+@dataclass(frozen=True)
+class _PartFile(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced."""
+
+    staged: str
+
+
+class CsvLinesWriter(DataSourceWriter):
+    """Executor-parallel pure-Python CSV writer with the standard
+    two-phase commit: each task writes a ``.staged`` file under a
+    unique name and reports it in its commit message; ``commit``
+    (driver, runs once, only after every task succeeded) renames the
+    staged set to final ``.csv`` names, removes superseded finals on
+    overwrite, and drops a ``_SUCCESS`` marker; ``abort`` deletes the
+    staged files. A reader never sees a torn write: final names
+    appear only in commit, and overwrite's deletions also happen
+    there — the same atomicity contract the JVM file committers
+    provide, expressed in ~30 lines of Python."""
+
+    def __init__(self, schema: StructType, path: str, overwrite: bool) -> None:
+        self.names = [f.name for f in schema]
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, rows) -> "_PartFile":
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"part-{uuid.uuid4().hex}.staged")
+        with open(staged, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(self.names)
+            for r in rows:
+                # str() of a float is the shortest round-trip repr, so
+                # doubles survive write->JVM-read bit-exactly
+                w.writerow(
+                    ["" if v is None else str(v) for v in r]
+                )
+        return _PartFile(staged=staged)
+
+    def commit(self, messages) -> None:
+        finals = []
+        for m in messages:
+            final = m.staged[: -len(".staged")] + ".csv"
+            os.rename(m.staged, final)
+            finals.append(os.path.basename(final))
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".csv") and f not in finals:
+                    os.remove(os.path.join(self.path, f))
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except OSError:
+                pass
