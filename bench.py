@@ -100,7 +100,8 @@ def main() -> None:
                  # r11 pen (inert until STAGED_R11_ENABLED flips):
                  # late-feed replay, persisted PQ index, customer CSV
                  "stream_ttl_flush_ledger", "similarity_pq_refine",
-                 "source_python_datasource", "stream_state_inspection"):
+                 "source_python_datasource", "stream_state_inspection",
+                 "stream_window_state_inspection"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

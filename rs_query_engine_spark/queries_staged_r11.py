@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r11_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 flag.
 
-Round-11 pen — 19 queries, ALL with exact oracles. The r10-named
+Round-11 pen — 20 queries, ALL with exact oracles. The r10-named
 stateful lead heads it:
 
 - **Timer-driven event-time-TTL flush** — the r10 lead named
@@ -50,10 +50,13 @@ stateful lead heads it:
 - **Governance #2**: the subject-access-report export (one row per
   requested subject across every subject-keyed table; 'nothing held'
   answered explicitly).
-- **State-store inspection** (Spark 4 ``statestore`` data source):
-  the TTL-flush checkpoint read back as a table — held keys are the
-  exact complement of the flush ledger, so emitted ∪ held closes the
-  operator's books under one oracle model.
+- **State-store inspection** (Spark 4 ``statestore`` data source),
+  BOTH state layouts: the aPWS TTL-flush checkpoint (held keys ≙
+  flush-ledger complement) and the built-in windowed agg's
+  checkpoint (held windows ≙ stream_late_data_drop complement) —
+  emitted ∪ held books-closure for both operator families, plus the
+  measured coordinator-bootstrap requirement
+  (``ensure_state_reader_ready``).
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -1443,11 +1446,15 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the below-watermark clamp (wm-at-last-input + 1ms), an
     arrival-schedule detail, while the held-key SET is pure event-time
     arithmetic."""
+    from rs_query_engine_spark.streaming.events import (
+        ensure_state_reader_ready,
+    )
     from rs_query_engine_spark.streaming.stateful import (
         ensure_ttl_flush_checkpoint,
     )
 
     ck = ensure_ttl_flush_checkpoint(spark, sf_dir, TTL_FLUSH_MS)
+    ensure_state_reader_ready(spark)
     ss = spark.read.format("statestore").load(ck)
     return ss.select(
         F.col("key.user_id").alias("user_id"),
@@ -1618,3 +1625,75 @@ def source_python_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         "overwrite"
     ).save()
     return spark.read.csv(out, schema=CUSTOMER_DDL, header=True)
+
+
+@register_staged(
+    "stream_window_state_inspection",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    a1 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 5 DAY AND ts <= mx - INTERVAL 3 DAY),
+    a2 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 3 DAY AND ts <= mx - INTERVAL 2 DAY),
+    b AS (SELECT e.* FROM e, m WHERE ts <= mx - INTERVAL 5 DAY),
+    c AS (SELECT e.* FROM e, m WHERE ts > mx - INTERVAL 2 DAY),
+    wa AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM a1),
+    wf AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM c),
+    accepted AS (
+        SELECT ts, event_type FROM a1
+        UNION ALL SELECT ts, event_type FROM a2
+        UNION ALL SELECT ts, event_type FROM c
+        UNION ALL SELECT b.ts, b.event_type FROM b, wa
+        WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wa.w
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events
+        FROM accepted GROUP BY 1, 2
+    )
+    SELECT g.window_start, g.event_type, g.n_events
+    FROM agg g, wf
+    WHERE g.window_start + INTERVAL 1 HOUR > wf.w
+    """,
+)
+def stream_window_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store inspection of the BUILT-IN windowed aggregate —
+    the second state layout the ``statestore`` reader exposes (the
+    aPWS read in ``stream_state_inspection`` sees
+    ``value.groupState``; a windowed agg's state is keyed by the
+    window struct itself with the running aggregate as the value).
+    The checkpointed operator is the SAME 1-hour count
+    ``stream_late_data_drop`` replays (same feed, delay, aggregate —
+    ``streaming/events.py:ensure_hourly_agg_checkpoint``), so its
+    held windows are that query's exact complement under append-mode
+    finalization: a window is in state iff its end is still above
+    the final watermark (emission is ``window_end <= wm``,
+    non-strict — measured in r10), with counts over the same
+    window-end-rule admitted rows. The two oracles partition the
+    admitted (window, type) space with nothing shared and nothing
+    lost — emitted ∪ held books-closure for the BUILT-IN operator,
+    matching the aPWS pair.
+
+    Operationally: this is how you answer 'how much state is this
+    windowed stream carrying and which windows refuse to close'
+    without stopping the stream — the reader scans checkpoint files
+    only (warm cost here is a bare file scan)."""
+    from rs_query_engine_spark.streaming.events import (
+        ensure_hourly_agg_checkpoint,
+        ensure_state_reader_ready,
+    )
+
+    ck = ensure_hourly_agg_checkpoint(spark, sf_dir)
+    ensure_state_reader_ready(spark)
+    ss = spark.read.format("statestore").load(ck)
+    return ss.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        # the state value struct carries the operator's INTERNAL
+        # partial-aggregate slot name ("count"), not the query alias
+        F.col("value.count").alias("n_events"),
+    )

@@ -331,3 +331,89 @@ def ensure_late_feed(spark: SparkSession, sf_dir: str) -> str:
 
     install_artifact(root, "latefeed", src, write, complete)
     return feed
+
+
+def ensure_hourly_agg_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted streaming CHECKPOINT of the 1-hour windowed count
+    over the late feed — the same operator ``stream_late_data_drop``
+    replays to a memory sink (same window, delay, and aggregate; that
+    query's oracle pins the emitted set, this checkpoint's state
+    holds the complement) — built once per corpus generation via the
+    standard atomic install; completeness = the batch-4 commit
+    exists."""
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    root = artifact_root(src, "winaggckpt", f"delay={LATE_DELAY}|win=1h")
+    ck = os.path.join(root, "ckpt")
+
+    def complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "ckpt", "commits", "4"))
+
+    if complete(root):
+        return ck
+
+    def write(tmp: str) -> None:
+        feed = ensure_late_feed(spark, sf_dir)
+        schema = spark.read.parquet(feed).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        agg = (
+            stream.withWatermark("ts", LATE_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    install_artifact(root, "winaggckpt", src, write, complete)
+    return ck
+
+
+def ensure_state_reader_ready(spark: SparkSession) -> None:
+    """Make ``spark.read.format("statestore")`` usable in THIS session.
+
+    The state reader's partition tasks report to the session's
+    StateStoreCoordinator RPC endpoint, but Spark only instantiates
+    that endpoint when a streaming query starts — a fresh session
+    reading a CACHED checkpoint artifact (built by an earlier
+    process) fails with RpcEndpointNotFoundException (measured). One
+    trivial availableNow rate→noop stream instantiates the
+    coordinator; memoized per session."""
+    if getattr(spark, "_rsqes_state_reader_ready", False):
+        return
+    df = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    q = (
+        df.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark._rsqes_state_reader_ready = True
