@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r11_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 flag.
 
-Round-11 pen — 20 queries, ALL with exact oracles. The r10-named
+Round-11 pen — 21 queries, ALL with exact oracles. The r10-named
 stateful lead heads it:
 
 - **Timer-driven event-time-TTL flush** — the r10 lead named
@@ -1696,4 +1696,64 @@ def stream_window_state_inspection(spark: SparkSession, sf_dir: str) -> DataFram
         # the state value struct carries the operator's INTERNAL
         # partial-aggregate slot name ("count"), not the query alias
         F.col("value.count").alias("n_events"),
+    )
+
+
+@register_staged(
+    "source_python_stream_reader",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def source_python_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the pure-Python DataSource
+    (``sources/pydatasource.py:CsvSimpleStreamReader`` — Spark 4's
+    ``simpleStreamReader``): the customer CSV artifact's part files
+    replay as micro-batches (offset = files consumed, in stable
+    sorted order; ``readBetweenOffsets`` re-parses exactly a
+    committed range on failure replay — exactly-once by offset
+    arithmetic over immutable files), feeding a complete-mode
+    per-segment count + decimal-exact balance sum. Complete-mode
+    aggregation is invariant to batch slicing, so the final table
+    must equal the one-shot batch aggregate — which is the oracle,
+    making the custom source's exactly-once file accounting the
+    thing the hash-pass actually proves (a skipped or re-read file
+    shifts a count).
+
+    With this, the Python-format contract is complete end to end:
+    batch read, predicate pushdown, two-phase-commit write, and
+    incremental streaming read. The 'simple' reader reads on the
+    driver (prefetch-sized batches); the partitioned
+    DataSourceStreamReader is the executor-parallel scale path with
+    the same offset model."""
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvStreamDataSource,
+        ensure_customer_csv,
+    )
+    from rs_query_engine_spark.streaming.events import run_stream_to_memory
+
+    path = ensure_customer_csv(spark, sf_dir)
+    try:
+        spark.dataSource.register(CsvStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("rsqes_pycsv_stream")
+        .schema(CUSTOMER_DDL)
+        .option("path", path)
+        .load()
+    )
+    agg = stream.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )
+    return run_stream_to_memory(
+        agg, "source_python_stream_reader", output_mode="complete"
     )

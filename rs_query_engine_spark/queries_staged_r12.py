@@ -23,12 +23,12 @@ don't assume):
   structs), and snapshot-version time travel
   (``option("snapshotStartBatchId")``) if supported on HDFS-backed
   stores.
-- **Python DataSource streaming reader**
-  (``DataSource.simpleStreamReader``): round-11 landed the batch
-  reader, pushFilters, AND the writer (two-phase commit); the
-  streaming reader would be the first pure-Python incremental
-  source. Keep the partition-per-file planning and exact round-trip
-  discipline.
+- **Python DataSource: executor-parallel streaming reader**
+  (``DataSourceStreamReader`` with partitions): round-11 landed the
+  full simple contract (batch read, pushFilters, two-phase-commit
+  write, simpleStreamReader); the partitioned stream reader is the
+  scale path — same offset model, one InputPartition per file per
+  batch.
 - **transformWithStateInPandas** remains BLOCKED in this container:
   its driver worker hard-imports ``google.protobuf``
   (StateMessage_pb2), which is not installed and cannot be (probed
