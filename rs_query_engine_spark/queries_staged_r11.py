@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r11_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 flag.
 
-Round-11 pen — 21 queries, ALL with exact oracles. The r10-named
+Round-11 pen — 22 queries, ALL with exact oracles. The r10-named
 stateful lead heads it:
 
 - **Timer-driven event-time-TTL flush** — the r10 lead named
@@ -1756,4 +1756,59 @@ def source_python_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_stream_to_memory(
         agg, "source_python_stream_reader", output_mode="complete"
+    )
+
+
+@register_staged(
+    "source_python_stream_partitioned",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def source_python_stream_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EXECUTOR-PARALLEL Python streaming source
+    (``sources/pydatasource.py:CsvPartitionedStreamReader`` —
+    ``DataSourceStreamReader``, the scale path the simple reader's
+    docstring promises): the driver only does offset arithmetic
+    (files-consumed counter over the stable sorted listing) and each
+    micro-batch plans one InputPartition per new file, parsed ON
+    EXECUTORS — a batch of N files scans N-way parallel, exactly the
+    planning/execution split the JVM file sources use, for a format
+    Spark has no connector for. Complete-mode per-nation aggregation
+    equals the one-shot batch aggregate (the oracle), so the
+    hash-pass again proves exactly-once file accounting — this time
+    through the partition-planning path (a partition planned twice
+    or dropped shifts a count)."""
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvPartitionedStreamDataSource,
+        ensure_customer_csv,
+    )
+    from rs_query_engine_spark.streaming.events import run_stream_to_memory
+
+    path = ensure_customer_csv(spark, sf_dir)
+    try:
+        spark.dataSource.register(CsvPartitionedStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("rsqes_pycsv_pstream")
+        .schema(CUSTOMER_DDL)
+        .option("path", path)
+        .load()
+    )
+    agg = stream.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )
+    return run_stream_to_memory(
+        agg, "source_python_stream_partitioned", output_mode="complete"
     )

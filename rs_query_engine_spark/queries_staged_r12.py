@@ -23,12 +23,10 @@ don't assume):
   structs), and snapshot-version time travel
   (``option("snapshotStartBatchId")``) if supported on HDFS-backed
   stores.
-- **Python DataSource: executor-parallel streaming reader**
-  (``DataSourceStreamReader`` with partitions): round-11 landed the
-  full simple contract (batch read, pushFilters, two-phase-commit
-  write, simpleStreamReader); the partitioned stream reader is the
-  scale path — same offset model, one InputPartition per file per
-  batch.
+- The pure-Python DataSource family is COMPLETE as of round 11
+  (batch read, pushFilters, two-phase-commit write, simple AND
+  executor-parallel partitioned stream readers) — nothing left on
+  this surface worth a pen slot.
 - **transformWithStateInPandas** remains BLOCKED in this container:
   its driver worker hard-imports ``google.protobuf``
   (StateMessage_pb2), which is not installed and cannot be (probed

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -359,3 +360,69 @@ class CsvLinesWriter(DataSourceWriter):
                 os.remove(m.staged)
             except OSError:
                 pass
+
+
+class CsvPartitionedStreamDataSource(DataSource):
+    """``rsqes_pycsv_pstream`` — the EXECUTOR-PARALLEL streaming
+    reader (``DataSourceStreamReader``): same files-consumed offset
+    model as the simple reader, but each micro-batch plans one
+    InputPartition per newly-arrived file and the parsing runs on
+    executors — the scale path for a pure-Python incremental source
+    (driver does offset arithmetic only; a batch of N new files
+    parses N-way parallel)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rsqes_pycsv_pstream"
+
+    def schema(self) -> str:
+        ddl = self.options.get("schema_ddl")
+        if not ddl:
+            raise ValueError(
+                "rsqes_pycsv_pstream requires .schema(ddl) or a "
+                "schema_ddl option"
+            )
+        return ddl
+
+    def streamReader(self, schema: StructType):
+        return CsvPartitionedStreamReader(schema, self.options["path"])
+
+
+class CsvPartitionedStreamReader(DataSourceStreamReader):
+    """Offsets are file counts over the stable sorted listing;
+    ``partitions(start, end)`` maps the half-open file range to one
+    InputPartition per file (executor-side ``read`` parses exactly
+    that file); replay of a committed range re-plans the identical
+    partitions — exactly-once by offset arithmetic over immutable
+    files, now with the planning/execution split the JVM file
+    sources use."""
+
+    def __init__(self, schema: StructType, path: str) -> None:
+        self.fields = [(f.name, f.dataType.simpleString()) for f in schema]
+        self.path = path
+
+    def _files(self) -> list:
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".csv")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        return {"i": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        return [InputPartition(f) for f in files[start["i"] : end["i"]]]
+
+    def read(self, partition: InputPartition):
+        return iter(_parse_csv_file(partition.value, self.fields))
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to clean up
+
+    def stop(self) -> None:
+        pass
