@@ -5573,7 +5573,16 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition is hash-verified against a GENERATED DuckDB oracle
     (``_pq_adc_oracle_sql`` — same codebook literals, fold order, and
     tiebreaks), and additionally NumPy-pinned in
-    tests/unit/test_similarity_recall.py."""
+    tests/unit/test_similarity_recall.py.
+
+    PAIRING: this query deliberately re-encodes the corpus from
+    scratch each run — it is the self-contained algorithmic
+    cross-check. The PRODUCTION form is its persisted twin
+    ``similarity_pq_index_probe`` (queries_staged_r10.py), which ADC-
+    probes the one-time ``pqidx`` artifact (operators/ivf_index.py:
+    ensure_pq_index) at ~2× lower latency and O(query) cost; both are
+    oracle-verified to the same ranking semantics, so agreement
+    between them is itself a lifecycle check (build ≡ live encode)."""
     from rs_query_engine_spark.operators.similarity import ivf_pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -6273,24 +6282,31 @@ STAGED_R8_ENABLED = True
 STAGED_R9_ENABLED = True
 
 # Round-10 holding pen (``queries_staged_r10.py``): filled in round
-# 10 (22 queries, all exact-oracled: LSH index delete/compact/
+# 10 (35 queries, all exact-oracled: LSH index delete/compact/
 # tombstone-stats + merged-generation compaction, the persisted IVF
-# index full lifecycle incl.
-# merge/compaction/streaming probe, cosine range search, TPC-H
-# Q4/Q8/Q9/Q11/Q12/Q15/Q16 shapes), locally
-# hash-verified at sf0.001 + sf0.01
-# (tests/oracle/test_staged_r10_parity.py). Round 11 flips this flag.
-STAGED_R10_ENABLED = False
+# index full lifecycle incl. merge/compaction/streaming probe, the
+# persisted PQ-code index, trained-centroid IVF, cosine range search,
+# TPC-H Q4/Q8/Q9/Q11/Q12/Q15/Q16 shapes, RF1/RF2 refresh analogues,
+# the IVM rollup family, the watermark late-data semantics family,
+# and the takedown audit), locally hash-verified at sf0.001 + sf0.01
+# (tests/oracle/test_staged_r10_parity.py). Flipped True in round 11
+# per the r10 brief: all 35 front-load the driver window as
+# unverified (35 + 15 re-check slots, covering the seven r6-stamped
+# carry rows).
+STAGED_R10_ENABLED = True
 
 # Round-11 holding pen (``queries_staged_r11.py``): filled during the
-# round-10 continuation session (15 queries, all exact-oracled:
+# round-10 continuation session (22 queries, all exact-oracled:
 # timer-driven event-time-TTL flush with measured
-# applyInPandasWithState semantics, snapshot diff, SCD2 time travel,
-# Poisson bootstrap, embedding snapshot drift, bounded BFS blast
-# radius, two-stage PQ refine, daily-volume anomaly gate, retention
-# sweep plan, VARIANT extraction, mapInArrow, a pure-Python
-# DataSource, exact two-sample KS, the point-in-time feature matrix,
-# and the SAR export), locally hash-verified at sf0.001 + sf0.01
+# applyInPandasWithState semantics, BOTH state-store inspections,
+# snapshot diff, SCD2 time travel, Poisson bootstrap, embedding
+# snapshot drift, bounded BFS blast radius, two-stage PQ refine,
+# daily-volume anomaly gate, retention sweep plan, VARIANT
+# extraction, mapInArrow + grouped applyInArrow byte/lang stats, the
+# complete pure-Python DataSource family (batch read, pushFilters,
+# two-phase-commit write, simple + executor-parallel stream readers),
+# exact two-sample KS, the point-in-time feature matrix, and the SAR
+# export), locally hash-verified at sf0.001 + sf0.01
 # (tests/oracle/test_staged_r11_parity.py). Round 12 flips this flag.
 STAGED_R11_ENABLED = False
 

@@ -75,6 +75,15 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
         spark.conf.set(key, "true")
 
 
+# applicationId -> env value already pointed at via setCheckpointDir.
+# getCheckpointDir() returns a Hadoop-qualified URI (``file:/...``), so
+# comparing it against the raw (possibly scheme-less) env value is
+# unreliable; memoizing the "already pointed" fact per session keeps
+# setCheckpointDir to one call (one checkpoint-<uuid> subdir) per
+# session per env value (ADVICE r10).
+_CHECKPOINT_POINTED: dict[str, str] = {}
+
+
 def truncate_lineage(df):
     """Cut a DataFrame's lineage so downstream consumers reuse the
     materialized result instead of recomputing the subtree (the
@@ -103,7 +112,8 @@ def truncate_lineage(df):
     sc = df.sparkSession.sparkContext
     # setCheckpointDir mints a fresh checkpoint-<uuid> subdir per call;
     # set once per session, re-pointing only if the env var moved.
-    current = sc.getCheckpointDir()
-    if current is None or not current.startswith(ckpt_dir.rstrip("/")):
+    app_id = sc.applicationId
+    if _CHECKPOINT_POINTED.get(app_id) != ckpt_dir:
         sc.setCheckpointDir(ckpt_dir)
+        _CHECKPOINT_POINTED[app_id] = ckpt_dir
     return df.checkpoint(eager=True)

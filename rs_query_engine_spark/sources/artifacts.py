@@ -50,7 +50,19 @@ def artifact_root(src: str, tag: str, params: str = "") -> str:
     st = os.stat(src)
     key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{tag}|{params}"
     digest = hashlib.md5(key.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"rsqes_{tag}_{digest}")
+    root = os.path.join(tempfile.gettempdir(), f"rsqes_{tag}_{digest}")
+    # Revive a tombstoned generation that became current again (source
+    # reverted to an earlier mtime_ns+size, e.g. fixtures restored from
+    # an archive): the key computing to THIS root makes it the live
+    # generation by definition, so an aged swept.txt left from its
+    # stale period must not let a later sweep reap it mid-serve
+    # (ADVICE r10). Covers both the ensure-complete fast path (which
+    # never reaches install_artifact) and the install path.
+    try:
+        os.remove(os.path.join(root, "swept.txt"))
+    except OSError:
+        pass
+    return root
 
 
 def install_artifact(
@@ -91,9 +103,18 @@ def _sweep_stale_generations(tag: str, src: str, keep: str) -> None:
     parent = tempfile.gettempdir()
     now = time.time()
     for d in os.listdir(parent):
-        if not d.startswith(f"rsqes_{tag}_") or d == keep:
+        if not d.startswith(f"rsqes_{tag}_"):
             continue
         path = os.path.join(parent, d)
+        if d == keep:
+            # The generation being kept may carry a tombstone from an
+            # earlier stale period (source reverted): clear it so the
+            # grace clock restarts if it ever goes stale again.
+            try:
+                os.remove(os.path.join(path, "swept.txt"))
+            except OSError:
+                pass
+            continue
         try:
             with open(os.path.join(path, "source.txt")) as f:
                 stale_src = f.read()

@@ -15,12 +15,16 @@ them back to the identical bits.
 This is the demo-scale reference implementation of the surface,
 including PREDICATE PUSHDOWN across the Python boundary
 (``pushFilters`` — simple comparisons applied during the parse,
-unsupported shapes handed back to Spark); a production source adds
-column pruning via the reader's schema argument and yields Arrow
+unsupported shapes handed back to Spark) and COLUMN PRUNING via the
+bound schema (the user-supplied schema may be any subset of the
+file's header; only those fields are parsed and shipped — see
+``_parse_csv_file``; the engine itself never prunes a Python scan,
+measured on 4.1). The remaining production upgrade is yielding Arrow
 ``RecordBatch``es instead of tuples once per-row Python cost
-matters. What it demonstrates is the part that cannot be faked:
-partition planning, pushdown negotiation, executor-side pure-Python
-reads, and exact value round-trip through a user-defined format.
+matters (``CsvArrowDataSource`` below is exactly that). What the
+family demonstrates is the part that cannot be faked: partition
+planning, pushdown negotiation, executor-side pure-Python reads, and
+exact value round-trip through a user-defined format.
 """
 
 from __future__ import annotations
@@ -181,6 +185,56 @@ class CsvPushdownReader(CsvLinesReader):
         return True
 
 
+class CsvArrowDataSource(CsvLinesDataSource):
+    """``rsqes_pycsv_arrow`` — the PRODUCTION-SHAPE batch reader: the
+    same format, partition-per-file planning, and schema contract as
+    ``rsqes_pycsv``, but ``read`` yields ``pyarrow.RecordBatch``es
+    parsed by ``pyarrow.csv`` (C-speed, zero per-row Python) instead
+    of stdlib-csv tuples. The worker ships RecordBatches to the JVM
+    as-is, so the Python-side cost is one vectorized parse per file —
+    this is the upgrade the tuple reader's docstring promises, kept as
+    a separate registration so the oracle can pin the two readers
+    value-identical over the same files.
+
+    Null/empty semantics match the tuple reader exactly: numeric ""
+    parses to null (pyarrow's default null set), string "" stays ""
+    (``strings_can_be_null`` defaults False) — the writer emits ""
+    for None, so both readers round-trip the same way. Column pruning
+    rides the same bound-schema surface (``include_columns`` keeps
+    only and exactly the schema's fields, in schema order)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rsqes_pycsv_arrow"
+
+    def reader(self, schema: StructType) -> "CsvArrowReader":
+        return CsvArrowReader(schema, self.options["path"])
+
+
+class CsvArrowReader(CsvLinesReader):
+    def __init__(self, schema: StructType, path: str) -> None:
+        super().__init__(schema, path)
+        # arrow schema computed DRIVER-side (pure conversion, but
+        # StructType parsing helpers need a live context executors
+        # lack); pyarrow schemas pickle into the serialized reader
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.target = to_arrow_schema(schema)
+
+    def read(self, partition: InputPartition):
+        import pyarrow.csv as pacsv
+
+        target = self.target
+        conv = pacsv.ConvertOptions(
+            include_columns=list(target.names),
+            column_types={n: target.field(n).type for n in target.names},
+        )
+        table = pacsv.read_csv(partition.value, convert_options=conv)
+        # cast pins exact arrow types (e.g. large_string vs string)
+        # to what the JVM expects for the declared Spark schema
+        yield from table.cast(target).to_batches()
+
+
 def ensure_python_filter_pushdown(spark) -> None:
     """Idempotently enable Python-DataSource filter pushdown on an
     externally-owned session (the verification driver builds its own
@@ -219,16 +273,37 @@ def _coerce(x: str, t: str):
 def _parse_csv_file(path: str, fields) -> "list[tuple]":
     """Parse one headered CSV part file to schema-coerced tuples —
     shared by the batch reader's partitions and the streaming
-    reader's per-batch file consumption."""
+    reader's per-batch file consumption.
+
+    COLUMN PRUNING lives here: the user-supplied schema may be any
+    SUBSET of the file's header columns (in any order), and only
+    those fields are coerced and emitted — narrow data is all that
+    crosses the Python→JVM Arrow boundary. This is the pruning
+    surface the engine actually offers a Python source: Spark 4.1's
+    PythonDataSourceV2 scan does NOT push required columns down to
+    ``reader(schema)`` (measured — a ``select("b")`` over a 3-column
+    source still hands the reader the full struct and plans a
+    Project above the BatchScan), so projection must ride the schema
+    the caller binds at load time."""
     out = []
     with open(path, newline="") as f:
         rows = csv.reader(f)
         header = next(rows, None)
-        if header is not None and [h for h, _ in fields] != header:
-            raise ValueError(
-                f"{path}: header {header} does not match "
-                f"schema {[h for h, _ in fields]}"
-            )
+        want = [h for h, _ in fields]
+        if header is not None and want != header:
+            pos = {h: i for i, h in enumerate(header)}
+            missing = [h for h in want if h not in pos]
+            if missing:
+                raise ValueError(
+                    f"{path}: schema columns {missing} not in "
+                    f"header {header}"
+                )
+            sel = [pos[h] for h in want]
+            for row in rows:
+                out.append(
+                    tuple(_coerce(row[i], t) for i, (_, t) in zip(sel, fields))
+                )
+            return out
         for row in rows:
             out.append(tuple(_coerce(x, t) for x, (_, t) in zip(row, fields)))
     return out

@@ -134,6 +134,11 @@ def ttl_flush_stream(
             cents += int(pdf["cents"].sum())
             m = int(pdf["ts"].max().value // 1_000)
             mx_us = m if mx_us is None else max(mx_us, m)
+        if mx_us is None:
+            # aPWS normally invokes a key only with data or a timeout,
+            # but guard the empty-chunks-no-state edge: nothing to
+            # track, and (mx_us + ttl) would TypeError (ADVICE r10).
+            return
         state.update((mx_us, cnt, cents))
         # timers are ms-granular; flooring (mx+ttl) to ms is exact wrt
         # the strict fire rule because the watermark is ms-aligned:

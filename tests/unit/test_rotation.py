@@ -91,14 +91,19 @@ def _without_pens_newer_than(qs: dict, fixture_round: int) -> dict:
     actually saw regardless of future STAGED_R{N}_ENABLED flips
     (ADVICE r07 medium — otherwise a populated newer pen front-loads
     into the frozen fixture and evicts the asserted rows)."""
-    pens = []  # (activation round, pen module)
-    from rs_query_engine_spark import queries_staged_r7, queries_staged_r8
+    # derive (activation round, module) from the one pen declaration
+    # table: "queries_staged_r{N}" activates in round N, the original
+    # "queries_staged" pen activated in round 6. Hardcoding r7/r8 here
+    # broke when the r10 pen (35 names) flipped live — the frozen
+    # round-5/6 fixtures overflowed their 50-row windows.
+    import importlib
 
-    pens.append((7, queries_staged_r7))
-    pens.append((8, queries_staged_r8))
     newer = set()
-    for rnd, mod in pens:
+    for _, mod_name in registry._PEN_MODULES:
+        parts = mod_name.rsplit("_r", 1)
+        rnd = int(parts[1]) if len(parts) == 2 and parts[1].isdigit() else 6
         if rnd > fixture_round + 1:
+            mod = importlib.import_module(f"rs_query_engine_spark.{mod_name}")
             newer |= set(mod.queries())
     return {n: f for n, f in qs.items() if n not in newer}
 
