@@ -38,7 +38,10 @@ don't assume):
 
 from __future__ import annotations
 
-from rs_query_engine_spark.queries import QueryFn
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.queries import QueryFn, _t
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
@@ -69,3 +72,441 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# State-store data source, remaining surfaces (the r11 leads): the
+# state-metadata audit, the stream-stream JOIN state layout, snapshot
+# time travel (batchId), and the state-growth curve it enables.
+# ---------------------------------------------------------------------------
+
+# Shared replay arithmetic for the HOURLY WINDOWED AGG checkpoint
+# (streaming/events.py:ensure_hourly_agg_checkpoint over the 4-file
+# late feed): tier CTEs, the per-prefix watermarks, and the
+# window-end admission rule — the same measured semantics
+# stream_late_data_drop / stream_window_state_inspection pin, here
+# parameterized by BATCH PREFIX so point-in-time state is expressible.
+# Batch layout: 0=a1, 1=a2, 2=b(late), 3=c(catch-up), 4=no-data.
+# Eviction watermark for batch N derives from data through N-1
+# (w_evict: batch1→wa, batch2/3→w1, batch4→wf); the late filter for
+# batch N derives from data through N-2 (b admitted iff window end
+# > wa; a1/a2/c see no effective filter).
+_WAGG_TIERS = """
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    a1 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 5 DAY AND ts <= mx - INTERVAL 3 DAY),
+    a2 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 3 DAY AND ts <= mx - INTERVAL 2 DAY),
+    b AS (SELECT e.* FROM e, m WHERE ts <= mx - INTERVAL 5 DAY),
+    c AS (SELECT e.* FROM e, m WHERE ts > mx - INTERVAL 2 DAY),
+    wa AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM a1),
+    w1 AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w
+           FROM (SELECT ts FROM a1 UNION ALL SELECT ts FROM a2)),
+    wf AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM c),
+    badm AS (SELECT b.ts, b.event_type FROM b, wa
+             WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wa.w)"""
+
+
+@register_staged(
+    "stream_state_time_travel",
+    oracle=f"""{_WAGG_TIERS},
+    accepted AS (
+        SELECT ts, event_type FROM a1
+        UNION ALL SELECT ts, event_type FROM a2
+        UNION ALL SELECT ts, event_type FROM badm
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events
+        FROM accepted GROUP BY 1, 2
+    )
+    SELECT g.window_start, g.event_type, g.n_events
+    FROM agg g, w1
+    WHERE g.window_start + INTERVAL 1 HOUR > w1.w
+    """,
+)
+def stream_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME state read — ``option("batchId", 2)`` on the
+    ``statestore`` reader replays the HDFS-backed store's delta files
+    only up to batch 2's commit, reconstructing the windowed agg's
+    state AS OF mid-stream (after the late tier landed, before the
+    catch-up tier): held windows are the batch-≤2 admitted rows
+    (a1 ∪ a2 ∪ late-tier rows whose window end clears the batch-0
+    watermark) grouped per (window, type), minus windows finalized by
+    the batch-2 eviction watermark (derived from data through batch
+    1). Validated cell-exact against this arithmetic before
+    registration (round-11 probe).
+
+    Operationally this is the state-debugging time machine: 'what was
+    this operator holding when batch 2 misbehaved' — answered from
+    checkpoint files alone, after the fact, without replaying the
+    stream. At 100 TB the read stays partition-parallel and touches
+    one store's delta chain up to the requested batch, never the
+    stream's input data. The reference has no streaming concept
+    (SURVEY §2.6); this extends the §7 M2.6 streaming family."""
+    from rs_query_engine_spark.streaming.events import (
+        ensure_hourly_agg_checkpoint,
+        ensure_state_reader_ready,
+    )
+
+    ck = ensure_hourly_agg_checkpoint(spark, sf_dir)
+    ensure_state_reader_ready(spark)
+    ss = spark.read.format("statestore").option("batchId", 2).load(ck)
+    return ss.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )
+
+
+@register_staged(
+    "stream_state_growth_curve",
+    oracle=f"""{_WAGG_TIERS},
+    held0 AS (SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type
+              FROM a1),
+    acc1 AS (SELECT ts, event_type FROM a1
+             UNION ALL SELECT ts, event_type FROM a2),
+    held1 AS (SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type
+              FROM acc1
+              WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                    > (SELECT w FROM wa)),
+    acc2 AS (SELECT * FROM acc1
+             UNION ALL SELECT ts, event_type FROM badm),
+    held2 AS (SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type
+              FROM acc2
+              WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                    > (SELECT w FROM w1)),
+    acc3 AS (SELECT * FROM acc2
+             UNION ALL SELECT ts, event_type FROM c),
+    held3 AS (SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type
+              FROM acc3
+              WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                    > (SELECT w FROM w1)),
+    held4 AS (SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type
+              FROM acc3
+              WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                    > (SELECT w FROM wf))
+    SELECT 0 AS batch_id, COUNT(*) AS n_state_rows FROM held0
+    UNION ALL SELECT 1, COUNT(*) FROM held1
+    UNION ALL SELECT 2, COUNT(*) FROM held2
+    UNION ALL SELECT 3, COUNT(*) FROM held3
+    UNION ALL SELECT 4, COUNT(*) FROM held4
+    """,
+)
+def stream_state_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-GROWTH CURVE — the operational 'is my state bounded?'
+    audit: the windowed agg's held-row count at EVERY batch of its
+    checkpoint (``batchId`` time travel × 5), showing state swell
+    (late tier admitted at batch 2) and drain (catch-up tier's
+    watermark advance finalizes old windows at batch 4). The oracle
+    replays the per-prefix arithmetic: held rows at batch N = admitted
+    (window, type) pairs through batch N whose window end clears the
+    batch-N eviction watermark (wa/w1/w1/wf for batches 1-4; batch 0
+    evicts nothing — its watermark is still unset).
+
+    Five bounded scans of one small checkpoint, each
+    partition-parallel; nothing touches the stream's input. In
+    production this curve is the first thing to pull when a stateful
+    job's memory grows — it localizes WHICH batch started hoarding.
+    Counts are exact integers; no float discipline needed."""
+    from functools import reduce
+
+    from rs_query_engine_spark.streaming.events import (
+        ensure_hourly_agg_checkpoint,
+        ensure_state_reader_ready,
+    )
+
+    ck = ensure_hourly_agg_checkpoint(spark, sf_dir)
+    ensure_state_reader_ready(spark)
+    parts = []
+    for b in range(5):
+        ss = spark.read.format("statestore").option("batchId", b).load(ck)
+        parts.append(
+            ss.agg(F.count(F.lit(1)).alias("n_state_rows")).select(
+                F.lit(b).alias("batch_id"), "n_state_rows"
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _join_state_oracle() -> str:
+    """Oracle for the buffered stream-stream JOIN state: the same
+    admitted-set arithmetic the live join queries replay
+    (queries_staged_r10._SS_PROLOGUE), with the final min-of-sides
+    watermark applied as the RETENTION rule instead of the emission
+    rule — a view is buffered while ``view_ts + 24 h >= wf``, a
+    purchase while ``ts >= wf`` (eviction requires the watermark to
+    strictly pass the condition-derived bound, pinned in
+    tests/unit/test_stream_join_eviction.py)."""
+    from rs_query_engine_spark.queries_staged_r10 import (
+        _SS_ACC,
+        _SS_PROLOGUE,
+        _ss_wf,
+    )
+
+    return f"""{_SS_PROLOGUE}
+{_ss_wf()}{_SS_ACC}
+    SELECT 'view' AS side, user_id, event_id, ts
+    FROM acc, wf
+    WHERE event_type = 'view' AND ts + INTERVAL 24 HOUR >= wf.w
+    UNION ALL
+    SELECT 'purchase' AS side, user_id, event_id, ts
+    FROM acc, wf
+    WHERE event_type = 'purchase' AND ts >= wf.w
+    """
+
+
+@register_staged("stream_join_state_inspection", oracle=_join_state_oracle())
+def stream_join_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN state layout — the third state family the
+    ``statestore`` reader exposes (``symmetricHashJoin`` keeps four
+    stores: per side ``keyToNumValues`` + ``keyWithIndexToValue``;
+    ``option("joinSide", ...)`` merges each side's pair into plain
+    key/value rows). The checkpointed pipeline is exactly
+    ``stream_stream_join_late``'s view→purchase attribution join over
+    the 4-file late feed (``streaming/events.py:
+    ensure_join_checkpoint``), so the buffered rows at stream end are
+    value-exactly the admitted events still inside their
+    condition-derived retention bounds against the final watermark —
+    which is what the oracle states, side by side.
+
+    This closes the join operator's books the way the aPWS and
+    windowed-agg pairs do: emitted pairs (the live query) come from
+    admitted × admitted, and the BUFFER holds precisely the admitted
+    rows a future partner could still legally match — the memory the
+    watermark has not yet reclaimed. Production reads this surface to
+    answer 'which side's buffer is growing and what ages are stuck in
+    it' with a partition-parallel checkpoint-file scan, never pausing
+    the stream. Validated count-exact against the replay arithmetic
+    at sf0.001 before registration (round-11 probe: 30 views + 18
+    purchases buffered)."""
+    from rs_query_engine_spark.streaming.events import (
+        ensure_join_checkpoint,
+        ensure_state_reader_ready,
+    )
+
+    ck = ensure_join_checkpoint(spark, sf_dir)
+    ensure_state_reader_ready(spark)
+    left = (
+        spark.read.format("statestore")
+        .option("joinSide", "left")
+        .load(ck)
+        .select(
+            F.lit("view").alias("side"),
+            F.col("value.vu").alias("user_id"),
+            F.col("value.view_id").alias("event_id"),
+            F.col("value.view_ts").alias("ts"),
+        )
+    )
+    right = (
+        spark.read.format("statestore")
+        .option("joinSide", "right")
+        .load(ck)
+        .select(
+            F.lit("purchase").alias("side"),
+            F.col("value.user_id").alias("user_id"),
+            F.col("value.purchase_id").alias("event_id"),
+            F.col("value.purchase_ts").alias("ts"),
+        )
+    )
+    return left.unionByName(right)
+
+
+@register_staged(
+    "stream_state_metadata_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('hourly_window', 'stateStoreSave', 'default',
+         CAST(8 AS INT), CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
+        ('ttl_flush', 'applyInPandasWithState', 'default',
+         CAST(8 AS INT), CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
+        ('vp_join', 'symmetricHashJoin', 'left-keyToNumValues',
+         CAST(8 AS INT), CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
+        ('vp_join', 'symmetricHashJoin', 'left-keyWithIndexToValue',
+         CAST(8 AS INT), CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
+        ('vp_join', 'symmetricHashJoin', 'right-keyToNumValues',
+         CAST(8 AS INT), CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
+        ('vp_join', 'symmetricHashJoin', 'right-keyWithIndexToValue',
+         CAST(8 AS INT), CAST(0 AS BIGINT), CAST(4 AS BIGINT))
+    ) AS t(pipeline, operator_name, store_name,
+           num_partitions, min_batch_id, max_batch_id)
+    """,
+)
+def stream_state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-METADATA audit — ``spark.read.format("state-metadata")``
+    enumerates every state store a checkpoint carries (operator name,
+    store name, partition count, retained batch range) without
+    touching state data. Run across all three checkpointed operator
+    families (aPWS TTL flush, built-in windowed agg, stream-stream
+    join), it pins the full physical state LAYOUT: one default store
+    for each aggregation-family operator, and the join's four-store
+    complement (per side, ``keyToNumValues`` + ``keyWithIndexToValue``).
+
+    The oracle is the expected layout stated literally — every cell
+    is determined by the pipeline specs (operator choice, the
+    8-partition build conf, the 4-file feed ⇒ batches 0-4), so this
+    is an exact-invariant audit in the repo's established sense: it
+    fails if Spark changes an operator's store layout, if a
+    checkpoint builds with the wrong shuffle width, or if a feed
+    change alters the batch count — exactly what a production
+    state-compatibility gate (can this upgraded job resume this
+    checkpoint?) must catch before a restart is attempted."""
+    from rs_query_engine_spark.queries_staged_r11 import TTL_FLUSH_MS
+    from rs_query_engine_spark.streaming.events import (
+        ensure_hourly_agg_checkpoint,
+        ensure_join_checkpoint,
+    )
+    from rs_query_engine_spark.streaming.stateful import (
+        ensure_ttl_flush_checkpoint,
+    )
+
+    cks = [
+        ("hourly_window", ensure_hourly_agg_checkpoint(spark, sf_dir)),
+        ("ttl_flush", ensure_ttl_flush_checkpoint(spark, sf_dir, TTL_FLUSH_MS)),
+        ("vp_join", ensure_join_checkpoint(spark, sf_dir)),
+    ]
+    parts = [
+        spark.read.format("state-metadata")
+        .load(ck)
+        .select(
+            F.lit(label).alias("pipeline"),
+            F.col("operatorName").alias("operator_name"),
+            F.col("stateStoreName").alias("store_name"),
+            F.col("numPartitions").alias("num_partitions"),
+            F.col("minBatchId").alias("min_batch_id"),
+            F.col("maxBatchId").alias("max_batch_id"),
+        )
+        for label, ck in cks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register_staged(
+    "stream_checkpoint_watermark_audit",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    t AS (SELECT e.*, CASE
+            WHEN ts <= mx - INTERVAL 5 DAY THEN 2
+            WHEN ts <= mx - INTERVAL 3 DAY THEN 0
+            WHEN ts <= mx - INTERVAL 2 DAY THEN 1
+            ELSE 3 END AS tier
+          FROM e, m),
+    agg_wm AS (
+        SELECT 1 AS batch_id,
+               (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                       - INTERVAL 84 HOUR) FROM t WHERE tier = 0) AS w
+        UNION ALL SELECT 2,
+               (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                       - INTERVAL 84 HOUR) FROM t WHERE tier IN (0, 1))
+        UNION ALL SELECT 3,
+               (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                       - INTERVAL 84 HOUR) FROM t WHERE tier IN (0, 1, 2))
+        UNION ALL SELECT 4,
+               (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                       - INTERVAL 84 HOUR) FROM t)
+    ),
+    join_wm AS (
+        SELECT 1 AS batch_id, LEAST(
+            (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                    - INTERVAL 84 HOUR) FROM t
+              WHERE tier = 0 AND event_type = 'view'),
+            (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                    - INTERVAL 84 HOUR) FROM t
+              WHERE tier = 0 AND event_type = 'purchase')) AS w
+        UNION ALL SELECT 2, LEAST(
+            (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                    - INTERVAL 84 HOUR) FROM t
+              WHERE tier IN (0, 1) AND event_type = 'view'),
+            (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                    - INTERVAL 84 HOUR) FROM t
+              WHERE tier IN (0, 1) AND event_type = 'purchase'))
+        UNION ALL SELECT 3, LEAST(
+            (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                    - INTERVAL 84 HOUR) FROM t
+              WHERE tier IN (0, 1, 2) AND event_type = 'view'),
+            (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                    - INTERVAL 84 HOUR) FROM t
+              WHERE tier IN (0, 1, 2) AND event_type = 'purchase'))
+        UNION ALL SELECT 4, LEAST(
+            (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                    - INTERVAL 84 HOUR) FROM t
+              WHERE event_type = 'view'),
+            (SELECT epoch_ms(date_trunc('milliseconds', MAX(ts))
+                    - INTERVAL 84 HOUR) FROM t
+              WHERE event_type = 'purchase'))
+    )
+    SELECT 'hourly_window' AS pipeline, batch_id,
+           CAST(0 AS BIGINT) AS watermark_ms
+    FROM (SELECT 0 AS batch_id) z
+    UNION ALL
+    SELECT 'hourly_window', batch_id, CAST(w AS BIGINT) FROM agg_wm
+    UNION ALL
+    SELECT 'vp_join', 0, CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'vp_join', batch_id, CAST(w AS BIGINT) FROM join_wm
+    """,
+)
+def stream_checkpoint_watermark_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WATERMARK-PROGRESS audit from the checkpoint's OFFSET LOG —
+    each ``offsets/N`` file's metadata line records the event-time
+    watermark IN FORCE for batch N (derived from data through N-1).
+    Parsed for both the windowed-agg and the join checkpoints, the
+    series is the ground truth of the engine's watermark arithmetic:
+    batch 0 always 0 (unset), single-stream batches follow
+    ms-floored ``max(ts) - delay`` over the arrived prefix, the late
+    tier advances NOTHING (batch 3 = batch 2), and the join takes the
+    MIN over both sides' raw arrivals (multipleWatermarkPolicy=min).
+    The oracle recomputes every value from the events table — the
+    same per-prefix arithmetic every streaming oracle in this repo
+    replays, here checked against the engine's own persisted record
+    rather than against emitted rows.
+
+    The parse is a distributed text read of the tiny offsets dir
+    (metadata lines keyed by filename), ``from_json`` for the
+    watermark field — no driver-side file walking. In production this
+    is the stall detector: a flat watermark series across batches is
+    the first symptom of a source that stopped advancing event time
+    (stuck partition, frozen producer clock)."""
+    from rs_query_engine_spark.streaming.events import (
+        ensure_hourly_agg_checkpoint,
+        ensure_join_checkpoint,
+    )
+
+    import os as _os
+
+    cks = [
+        ("hourly_window", ensure_hourly_agg_checkpoint(spark, sf_dir)),
+        ("vp_join", ensure_join_checkpoint(spark, sf_dir)),
+    ]
+    parts = []
+    for label, ck in cks:
+        txt = spark.read.text(_os.path.join(ck, "offsets"))
+        parts.append(
+            txt.select(
+                F.lit(label).alias("pipeline"),
+                F.regexp_extract(
+                    F.input_file_name(), r"/offsets/(\d+)$", 1
+                )
+                .cast("int")
+                .alias("batch_id"),
+                F.get_json_object(F.col("value"), "$.batchWatermarkMs")
+                .cast("bigint")
+                .alias("watermark_ms"),
+            ).filter(F.col("value").startswith('{"batchWatermarkMs"'))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

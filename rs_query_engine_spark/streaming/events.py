@@ -417,3 +417,91 @@ def ensure_state_reader_ready(spark: SparkSession) -> None:
     finally:
         q.stop()
     spark._rsqes_state_reader_ready = True
+
+
+def ensure_join_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted streaming CHECKPOINT of the watermarked stream-stream
+    view→purchase attribution join replayed over the 4-file late feed
+    — the THIRD state layout the ``statestore`` reader exposes
+    (``symmetricHashJoin``: per side, ``keyToNumValues`` +
+    ``keyWithIndexToValue``; the reader merges each side's pair under
+    ``option("joinSide", ...)``). The streaming pipeline is exactly
+    ``queries_staged_r10.stream_stream_join_late``'s (same feed,
+    watermark delay, and condition-derived retention bounds), so the
+    buffered state at stream end is that query's replay arithmetic
+    applied to the FINAL min-of-sides watermark: a view is retained
+    while ``view_ts + 24 h >= wf``, a purchase while ``ts >= wf``
+    (eviction at batch N uses the one-batch-lagged watermark —
+    pinned in tests/unit/test_stream_join_eviction.py — and the
+    trailing no-data batch applies the all-data watermark last).
+
+    Built once per corpus generation via the standard mtime+params
+    atomic install; completeness = the batch-4 commit exists."""
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    root = artifact_root(src, "joinckpt", f"delay={LATE_DELAY}|bound=24h")
+    ck = os.path.join(root, "ckpt")
+
+    def complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "ckpt", "commits", "4"))
+
+    if complete(root):
+        return ck
+
+    def write(tmp: str) -> None:
+        feed = ensure_late_feed(spark, sf_dir)
+        schema = spark.read.parquet(feed).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("vu"),
+                F.col("ts").alias("view_ts"),
+                F.col("event_id").alias("view_id"),
+            )
+            .withWatermark("view_ts", LATE_DELAY)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("purchase_ts", LATE_DELAY)
+        )
+        joined = views.join(
+            purchases,
+            (F.col("vu") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")
+            ),
+        ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    install_artifact(root, "joinckpt", src, write, complete)
+    return ck
