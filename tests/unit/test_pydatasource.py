@@ -120,3 +120,70 @@ def test_writer_abort_leaves_no_committed_output(spark):
         assert "_SUCCESS" not in files
         assert not [f for f in files if f.endswith(".csv")]
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_arrow_reader_value_identical_to_tuple_reader(spark):
+    """The Arrow-batch reader (rsqes_pycsv_arrow) must be a pure
+    performance upgrade: same files, same bound schema -> the same
+    rows bit-for-bit as the tuple reader, including double identity
+    and the ""-vs-null convention (numeric "" -> null, string "" ->
+    ""). The staged oracle pair proves each reader against parquet;
+    this pins the two against EACH OTHER on a corpus that contains
+    a null numeric and an empty string."""
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvArrowDataSource,
+    )
+
+    for ds in (CsvLinesDataSource, CsvArrowDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass
+    out = os.path.join(
+        tempfile.gettempdir(), f"rsqes_pyarrow_eq_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    df = spark.range(500).select(
+        F.col("id").alias("c_custkey"),
+        # empty string on every 7th row (stays "" through both readers)
+        F.when(F.col("id") % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("name#"), F.col("id"))
+        ).alias("c_name"),
+        (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        # null double on every 11th row (written as "", parsed to null)
+        F.when(F.col("id") % 11 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("id") / 7.0
+        ).alias("c_acctbal"),
+        F.lit("SEG").alias("c_mktsegment"),
+    )
+    df.coalesce(3).write.format("rsqes_pycsv").option("path", out).mode(
+        "overwrite"
+    ).save()
+    try:
+        reads = {}
+        for fmt in ("rsqes_pycsv", "rsqes_pycsv_arrow"):
+            got = (
+                spark.read.format(fmt)
+                .schema(DDL)
+                .option("path", out)
+                .load()
+                .collect()
+            )
+            reads[fmt] = sorted(tuple(r) for r in got)
+        assert reads["rsqes_pycsv"] == reads["rsqes_pycsv_arrow"]
+        assert len(reads["rsqes_pycsv"]) == 500
+        # pruned + reordered subset schema: both readers agree too
+        for fmt in ("rsqes_pycsv", "rsqes_pycsv_arrow"):
+            got = (
+                spark.read.format(fmt)
+                .schema("c_acctbal double, c_custkey bigint")
+                .option("path", out)
+                .load()
+                .collect()
+            )
+            reads[fmt] = sorted(
+                (r["c_custkey"], r["c_acctbal"]) for r in got
+            )
+        assert reads["rsqes_pycsv"] == reads["rsqes_pycsv_arrow"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
