@@ -615,3 +615,372 @@ def source_python_arrow_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline extensions: bounded-round label propagation over
+# the near-dup graph, epoch/mixture planning, the documents dataset
+# card, and the corrupt-record ingest audit.
+# ---------------------------------------------------------------------------
+
+# DuckDB fragment: the SAME blocked 3-gram Jaccard pair rule
+# dedup_ngram_jaccard's oracle states (prefix-8 blocking, threshold
+# 0.3) — reused here as the EDGE SET so the propagation oracle and the
+# Spark operator walk an identical graph.
+_JACCARD_EDGES = r"""
+    WITH tt AS (
+        SELECT doc_id,
+               array_to_string(regexp_split_to_array(lower(text), '\s+')[1:8], ' ') AS blk,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, len(regexp_split_to_array(lower(text), '\s+')) - 2),
+                       i -> array_to_string(regexp_split_to_array(lower(text), '\s+')[i:i+2], ' ')
+                   )
+               ) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM tt a JOIN tt b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    )"""
+
+
+def _lp_round(prev: str, out: str) -> str:
+    """One unrolled synchronous min-label round as a DuckDB CTE."""
+    return f"""
+    {out} AS (
+        SELECT v.doc_id,
+               LEAST(v.label, COALESCE(MIN(n.label), v.label)) AS label
+        FROM {prev} v
+        LEFT JOIN edges e ON e.dst = v.doc_id
+        LEFT JOIN {prev} n ON n.doc_id = e.src
+        GROUP BY v.doc_id, v.label
+    )"""
+
+
+@register_staged(
+    "graph_label_propagation",
+    oracle=f"""{_JACCARD_EDGES},
+    l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+    {_lp_round("l0", "l1")},
+    {_lp_round("l1", "l2")},
+    {_lp_round("l2", "l3")}
+    SELECT doc_id, label FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-ROUND synchronous min-label propagation over the
+    near-dup graph — the fixed-budget community/cluster assignment
+    that complements the run-to-convergence connected components
+    (``operators/graph.py``): exactly 3 rounds of
+    ``label(v) ← min(label(v), min over neighbors)``, every label an
+    exact integer, so the oracle is the same recurrence unrolled as
+    three CTEs over the identical edge set (dedup_ngram_jaccard's
+    blocked pair rule — no all-pairs anywhere). Isolated documents
+    keep their own id, making the output a TOTAL labeling.
+
+    Bounded rounds are the production trade at 100 TB: each round is
+    one edges⋈labels shuffle hash-partitioned on the vertex id (the
+    same key every round, so AQE reuses the exchange), cost is
+    3 × O(|E|), and the diameter-k tail that forces large-star/
+    small-star's O(log n) dance is deliberately left unconverged —
+    'how far did labels travel in k hops' is itself the signal
+    (influence radius, partial-cluster preview before committing to
+    the full CC job)."""
+    from rs_query_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spread(d), "doc_id", "text")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(3):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"), F.col("label").alias("nl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels
+
+
+@register_staged(
+    "sample_epoch_mixture_plan",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(regexp_split_to_array(lower(text), '\s+')))
+                    AS BIGINT) AS n_tokens,
+               CASE WHEN source IN ('src0','src1','src2','src3')
+                    THEN 3 ELSE 1 END AS w
+        FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(w) AS sum_w FROM tok)
+    SELECT source,
+           CAST(w AS BIGINT) AS weight,
+           n_tokens,
+           CAST(4000000 * w // sum_w AS BIGINT) AS quota_tokens,
+           CAST((4000000 * w // sum_w) // n_tokens AS BIGINT) AS full_epochs,
+           CAST((4000000 * w // sum_w) % n_tokens AS BIGINT) AS rem_tokens,
+           CAST((4000000 * w // sum_w) // n_tokens
+                + CASE WHEN (4000000 * w // sum_w) % n_tokens > 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS repeat_factor,
+           CAST(4000000 * w // sum_w AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS coverage
+    FROM tok, tot
+    """,
+)
+def sample_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH/MIXTURE PLANNING — the arithmetic that turns 'train on
+    this corpus with these domain weights for T tokens' into a
+    concrete per-domain repeat plan (the data-mixture step every
+    large-model run starts with): per source, its available token
+    supply, its integer token QUOTA under the weight vector (the
+    text_domain_mixture convention: src0-3 upweighted 3:1), the full
+    epochs + remainder that quota implies, the ceil repeat factor a
+    loader needs, and the coverage ratio (quota/supply — >1 means the
+    domain repeats, <1 means it is subsampled). All the planning
+    columns are pure integer arithmetic (DIV/%), so the oracle is
+    exact; the one double is a single bigint/bigint division, raw in
+    both engines.
+
+    One shuffle (the per-source token aggregate, map-side partials);
+    the plan itself is source-cardinality-sized. At 100 TB this
+    output IS the sampler config — paired with
+    sample_temperature_mix / sample_split_assign it closes the
+    mixture pipeline from weights to served batches."""
+    from rs_query_engine_spark.functions.text import token_count
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        spread(d)
+        .groupBy("source")
+        .agg(F.sum(token_count("text")).alias("n_tokens"))
+        .withColumn(
+            "w",
+            F.when(
+                F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(3)
+            ).otherwise(F.lit(1)),
+        )
+    )
+    # the weight-vector total is a constant of the weighting scheme,
+    # not of the data — but derive it from the same frame so a source
+    # appearing/vanishing reprices every quota (window-function sum,
+    # no driver round-trip)
+    from pyspark.sql import Window
+
+    tok = tok.withColumn("sum_w", F.sum("w").over(Window.partitionBy()))
+    quota = F.expr("4000000 * w div sum_w")
+    return tok.select(
+        "source",
+        F.col("w").cast("bigint").alias("weight"),
+        "n_tokens",
+        quota.cast("bigint").alias("quota_tokens"),
+        F.expr("(4000000 * w div sum_w) div n_tokens")
+        .cast("bigint")
+        .alias("full_epochs"),
+        F.expr("(4000000 * w div sum_w) % n_tokens")
+        .cast("bigint")
+        .alias("rem_tokens"),
+        F.expr(
+            "(4000000 * w div sum_w) div n_tokens"
+            " + if((4000000 * w div sum_w) % n_tokens > 0, 1, 0)"
+        )
+        .cast("bigint")
+        .alias("repeat_factor"),
+        (quota.cast("double") / F.col("n_tokens").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
+@register_staged(
+    "profile_documents_card",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id, source, lang,
+               length(text) AS n_chars_m,
+               len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+               md5(text) AS f
+        FROM documents
+    ), dup AS (
+        SELECT f, COUNT(*) AS cnt FROM fp GROUP BY f
+    )
+    SELECT fp.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(fp.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(fp.n_chars_m) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT fp.lang) AS n_langs,
+           CAST(SUM(CASE WHEN dup.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           MIN(fp.n_chars_m) AS min_chars,
+           MAX(fp.n_chars_m) AS max_chars,
+           quantile_cont(fp.n_chars_m, 0.5) AS median_chars
+    FROM fp JOIN dup ON fp.f = dup.f
+    GROUP BY fp.source
+    """,
+)
+def profile_documents_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD for the documents corpus — the per-source summary
+    a training-data release ships (datasheet/dataset-card practice):
+    document and token volumes, language spread, the exact-duplicate
+    exposure (docs whose md5 fingerprint collides CORPUS-WIDE, not
+    just within the source — cross-source contamination counts), and
+    the length distribution's min/median/max. The documents twin of
+    ``profile_lineitem``; everything is exact integers except the
+    median, which both engines compute as the same (a+b)/2
+    interpolation over exactly-representable ints.
+
+    Plan shape: one fingerprint aggregate (map-side partials), one
+    fingerprint-keyed equi-join back (AQE broadcasts the duplicate
+    side when small), one per-source aggregate — the same
+    two-aggregate cadence the dedup family uses, nothing
+    quadratic. At 100 TB this query IS the nightly corpus-health
+    dashboard feed."""
+    from rs_query_engine_spark.functions.text import token_count
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    fp = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("text").alias("n_chars_m"),
+        token_count("text").alias("n_tokens"),
+        F.md5("text").alias("f"),
+    )
+    dup = fp.groupBy("f").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        fp.join(dup, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars_m").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.min("n_chars_m").alias("min_chars"),
+            F.max("n_chars_m").alias("max_chars"),
+            F.percentile("n_chars_m", F.lit(0.5)).alias("median_chars"),
+        )
+    )
+
+
+def _ensure_corrupt_orders_json(spark: SparkSession, sf_dir: str) -> str:
+    """JSON-lines copy of orders with DETERMINISTIC corruption: every
+    row whose ``o_orderkey % 97 == 0`` loses its closing brace (a
+    torn-write/truncated-record simulation — the commonest real-world
+    JSON corruption). Same stable-path + _SUCCESS convention as
+    ensure_customer_csv; o_orderdate ships as a STRING cell so the
+    fixture is not hostage to JSON timestamp-format round-tripping."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    path = os.path.join(
+        tempfile.gettempdir(), f"rsqes_badjson_{digest}", "orders"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("string")
+        )
+        js = o.select(
+            F.col("o_orderkey").alias("k"),
+            F.to_json(F.struct(*[F.col(c) for c in o.columns])).alias("j"),
+        ).select(
+            F.when(
+                F.col("k") % 97 == 0,
+                F.expr("substring(j, 1, length(j) - 1)"),
+            )
+            .otherwise(F.col("j"))
+            .alias("value")
+        )
+        js.coalesce(4).write.mode("overwrite").text(path)
+    return path
+
+
+@register_staged(
+    "source_corrupt_records_audit",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) FILTER (o_orderkey % 97 = 0) AS BIGINT)
+               AS n_corrupt,
+           CAST(COUNT(*) FILTER (o_orderkey % 97 <> 0) AS BIGINT)
+               AS n_good,
+           CAST(CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                        THEN CAST(o_totalprice AS DECIMAL(14,2)) END)
+                AS VARCHAR) AS DOUBLE) AS sum_price_good,
+           MIN(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END)
+               AS min_good_key,
+           MAX(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END)
+               AS max_good_key
+    FROM orders
+    """,
+)
+def source_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest audit — semi-structured reality at
+    100 TB is that some fraction of records is torn, and the engine
+    must quarantine rather than fail or silently drop. The fixture is
+    a JSON-lines orders copy with every 97th key's record truncated;
+    the read binds the schema plus ``_corrupt_record``
+    (``columnNameOfCorruptRecord``), so malformed lines surface as
+    NULL-field rows carrying their raw text. The audit aggregates
+    what a data-quality gate needs: total/corrupt/good counts, the
+    decimal-exact price mass of the GOOD rows (the corrupt rows
+    contribute nothing — no silent partial parses), and the good-key
+    range. The oracle recomputes all of it from the clean parquet
+    via the same deterministic corruption rule, so a hash-PASS proves
+    the quarantine boundary is exactly the rule — nothing leaked into
+    the good set, nothing good was quarantined.
+
+    Plan shape: one schema-bound distributed JSON scan (no inference
+    pass), one global aggregate. The corrupt-row fraction (~1%)
+    rides the same scan — no second pass over the data."""
+    path = _ensure_corrupt_orders_json(spark, sf_dir)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string, "
+        "_corrupt_record string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad.cast("bigint")).alias("n_corrupt"),
+        F.sum((~bad).cast("bigint")).alias("n_good"),
+        F.sum(F.when(~bad, F.col("o_totalprice").cast("decimal(14,2)")))
+        .cast("string")
+        .cast("double")
+        .alias("sum_price_good"),
+        F.min(F.when(~bad, F.col("o_orderkey"))).alias("min_good_key"),
+        F.max(F.when(~bad, F.col("o_orderkey"))).alias("max_good_key"),
+    )
