@@ -101,7 +101,14 @@ def main() -> None:
                  # late-feed replay, persisted PQ index, customer CSV
                  "stream_ttl_flush_ledger", "similarity_pq_refine",
                  "source_python_datasource", "stream_state_inspection",
-                 "stream_window_state_inspection"):
+                 "stream_window_state_inspection",
+                 # r12 pen (inert until STAGED_R12_ENABLED flips):
+                 # the join checkpoint, the corrupt-JSON fixture, and
+                 # the arrow reader's customer CSV
+                 "stream_join_state_inspection",
+                 "stream_state_metadata_audit",
+                 "source_python_arrow_batch",
+                 "source_corrupt_records_audit"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

@@ -151,6 +151,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R10_ENABLED", "queries_staged_r10"),
     ("STAGED_R11_ENABLED", "queries_staged_r11"),
     ("STAGED_R12_ENABLED", "queries_staged_r12"),
+    ("STAGED_R13_ENABLED", "queries_staged_r13"),
 )
 
 
@@ -6310,9 +6311,20 @@ STAGED_R10_ENABLED = True
 # (tests/oracle/test_staged_r11_parity.py). Round 12 flips this flag.
 STAGED_R11_ENABLED = False
 
-# Round-12 holding pen (``queries_staged_r12.py``): EMPTY at round-10
-# end by design — the gate (flag + test_staged_r12_parity.py) exists
-# before the first round-12 query lands (ADVICE r07 precedent), so
-# round 12 fills it while activating the r11 pen, and round 13 flips
-# this flag.
+# Round-12 holding pen (``queries_staged_r12.py``): filled in round
+# 11 (11 queries, all exact-oracled: the remaining state-store reader
+# surfaces — stream-stream JOIN state, state-metadata layout audit,
+# batchId point-in-time reads, the state-growth curve, the
+# offset-log watermark audit — plus the Arrow-batch Python DataSource
+# pair, bounded-round label propagation, epoch/mixture planning, the
+# documents dataset card, and the corrupt-record ingest audit),
+# locally hash-verified at sf0.001 + sf0.01
+# (tests/oracle/test_staged_r12_parity.py). Round 13 flips this flag.
 STAGED_R12_ENABLED = False
+
+# Round-13 holding pen (``queries_staged_r13.py``): EMPTY at round-11
+# end by design — the gate (flag + test_staged_r13_parity.py) exists
+# before the first round-13 query lands (ADVICE r07 precedent), so
+# round 13 fills it while activating the r12 pen, and round 14 flips
+# this flag.
+STAGED_R13_ENABLED = False

@@ -1,39 +1,55 @@
 """Staged query registrations for ROUND 13 — the round-12 holding pen.
 
-EMPTY at round-10 end by design: the activation gate
-(``tests/oracle/test_staged_r12_parity.py`` + ``STAGED_R12_ENABLED``
-in ``queries.py``) is created BEFORE the first round-12 query lands
-(ADVICE r07 precedent), so every registration here is
-verified-by-construction from its first commit. Round 12 fills this
-pen while activating the r11 one; round 13 flips the flag.
+The activation gate (``tests/oracle/test_staged_r12_parity.py`` +
+``STAGED_R12_ENABLED`` in ``queries.py``) pre-existed this content
+(ADVICE r07 precedent), so every registration below was
+verified-by-construction from its first commit. Round 12 flips the
+r11 flag; round 13 flips this one.
+
+Round-12 pen — 11 queries, ALL with exact oracles:
+
+- **State-store reader, remaining surfaces** (the r11-named leads,
+  all probed before registration): the stream-stream JOIN state
+  layout (per-side reads of the ``symmetricHashJoin`` stores over a
+  new persisted join checkpoint — buffered rows ≙ admitted events
+  still inside their condition-derived retention bounds), the
+  ``state-metadata`` layout audit across all three checkpointed
+  operator families, ``batchId`` POINT-IN-TIME reads (state as of
+  mid-stream, oracle = the per-prefix watermark arithmetic), the
+  per-batch state-GROWTH curve those enable, and a
+  watermark-progress audit parsed from the checkpoints' own offset
+  logs. ``snapshotStartBatchId`` was probed and SKIPPED: the
+  HDFS-backed store writes ``.snapshot`` files only after enough
+  deltas accumulate (minDeltasForSnapshot), and a 5-batch checkpoint
+  has none — the option fails with CANNOT_LOAD_STATE_STORE
+  (measured r11); it also only changes WHERE replay starts, never
+  WHAT is reconstructed, so ``batchId`` is the user-visible
+  time-travel surface.
+- **Arrow-batch Python DataSource** (VERDICT r10 next-#3's named
+  lead): ``rsqes_pycsv_arrow`` — same format contract as the tuple
+  reader, ``pyarrow.csv`` parsing, RecordBatch yield, zero per-row
+  Python; measured ~3.8× on a 600k-row scan (BENCH_NOTES r11).
+  Registered twice: complement-filter row-level parity (the pair
+  row-covers the table across both readers) and a pruned
+  subset-schema aggregate.
+- **Training-pipeline extensions**: bounded-round min-label
+  propagation over the blocked near-dup graph (fixed-budget
+  clustering; oracle = the recurrence unrolled), epoch/mixture
+  planning (domain weights + token budget → integer-exact repeat
+  factors), the per-source documents DATASET CARD (volumes,
+  language spread, corpus-wide duplicate exposure, length
+  distribution), and a PERMISSIVE-mode corrupt-record ingest audit
+  over a deterministically truncated JSON fixture.
+- **transformWithStateInPandas** remains BLOCKED in this container
+  (its driver worker hard-imports ``google.protobuf``, not
+  installed — probed r11). Semantics covered by
+  ``streaming/stateful.py:ttl_flush_stream``; do not re-probe
+  unless protobuf appears in the image.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
 decimals, every aggregate/computed column aliased identically in the
 Spark code and the DuckDB oracle.
-
-Candidate leads for round 12 (from round-11 loose ends — evaluate,
-don't assume):
-
-- **State-store data source, remaining surfaces**: round 11 landed
-  the aPWS read (``stream_state_inspection`` — held keys ≙ ledger
-  complement). Left: ``state-metadata`` as a registered audit,
-  reading a WINDOWED AGG or stream-stream JOIN operator's state
-  (different state layouts: ``value.groupState`` vs window/join
-  structs), and snapshot-version time travel
-  (``option("snapshotStartBatchId")``) if supported on HDFS-backed
-  stores.
-- The pure-Python DataSource family is COMPLETE as of round 11
-  (batch read, pushFilters, two-phase-commit write, simple AND
-  executor-parallel partitioned stream readers) — nothing left on
-  this surface worth a pen slot.
-- **transformWithStateInPandas** remains BLOCKED in this container:
-  its driver worker hard-imports ``google.protobuf``
-  (StateMessage_pb2), which is not installed and cannot be (probed
-  round 11; ImportError in TransformWithStateInPySparkPythonPreInitRunner).
-  The semantics are covered by ``streaming/stateful.py:
-  ttl_flush_stream`` on applyInPandasWithState — do NOT burn a round
-  re-probing unless protobuf appears in the image.
 """
 
 from __future__ import annotations

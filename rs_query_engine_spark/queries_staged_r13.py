@@ -1,0 +1,75 @@
+"""Staged query registrations for ROUND 14 — the round-13 holding pen.
+
+EMPTY at round-11 end by design: the activation gate
+(``tests/oracle/test_staged_r13_parity.py`` + ``STAGED_R13_ENABLED``
+in ``queries.py``) is created BEFORE the first round-13 query lands
+(ADVICE r07 precedent), so every registration here is
+verified-by-construction from its first commit. Round 13 fills this
+pen while activating the r12 one; round 14 flips the flag.
+
+Float-determinism discipline matches ``queries.py`` (see its module
+docstring): row-level doubles raw, no round(), SUM/AVG through exact
+decimals, every aggregate/computed column aliased identically in the
+Spark code and the DuckDB oracle.
+
+Candidate leads for round 13 (from round-11 loose ends — evaluate,
+don't assume):
+
+- **State-store reader is COMPLETE as of the r12 pen** (aPWS,
+  windowed agg, stream-stream join, state-metadata, batchId time
+  travel, growth curve, offset-log watermark audit).
+  ``snapshotStartBatchId`` was probed r11 and fails on 5-batch
+  HDFS checkpoints (no ``.snapshot`` written below
+  minDeltasForSnapshot) — only worth revisiting with a
+  deliberately long feed or a lowered snapshot threshold.
+- **Python DataSource family is COMPLETE** (tuple + Arrow batch
+  readers, pushFilters, schema-subset pruning, two-phase-commit
+  writer, simple + partitioned stream readers). A possible last
+  surface: an Arrow-batch STREAM reader (the streaming twin of
+  ``rsqes_pycsv_arrow``) if a pen slot is spare.
+- **transformWithStateInPandas** remains BLOCKED in this container
+  (hard ``google.protobuf`` import, probed r11) — do not re-probe
+  unless protobuf appears in the image.
+- Possible operator families not yet covered: windowed DISTINCT
+  aggregation in streams (approx_count_distinct over windows with
+  an exact companion), a bounded-round personalized-PageRank-style
+  integer diffusion (label propagation's weighted twin — needs an
+  exact-integer formulation to stay oracle-checkable), and a
+  quarantine WRITER (the corrupt-record audit's write side: route
+  bad rows to a dead-letter sink, good rows onward, both
+  oracle-checked).
+"""
+
+from __future__ import annotations
+
+from rs_query_engine_spark.queries import QueryFn
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+# Queries deliberately registered WITHOUT a DuckDB oracle (rows-only
+# driver check). Every entry needs a registration-site docstring
+# justifying why SQL can't express it; the r13 parity harness asserts
+# this list is exactly the oracle-less set.
+ROWS_ONLY_BY_DESIGN: frozenset[str] = frozenset()
+
+
+def register_staged(name: str, oracle: str | None = None):
+    """Decorator twin of ``queries.register`` writing to the round-13
+    staged registry (merged live when STAGED_R13_ENABLED flips)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)

