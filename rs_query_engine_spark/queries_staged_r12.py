@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r12_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 r11 flag; round 13 flips this one.
 
-Round-12 pen — 11 queries, ALL with exact oracles:
+Round-12 pen — 12 queries, ALL with exact oracles:
 
 - **State-store reader, remaining surfaces** (the r11-named leads,
   all probed before registration): the stream-stream JOIN state
@@ -29,9 +29,11 @@ Round-12 pen — 11 queries, ALL with exact oracles:
   lead): ``rsqes_pycsv_arrow`` — same format contract as the tuple
   reader, ``pyarrow.csv`` parsing, RecordBatch yield, zero per-row
   Python; measured ~3.8× on a 600k-row scan (BENCH_NOTES r11).
-  Registered twice: complement-filter row-level parity (the pair
-  row-covers the table across both readers) and a pruned
-  subset-schema aggregate.
+  Registered three times: complement-filter row-level parity (the
+  pair row-covers the table across both readers), a pruned
+  subset-schema aggregate, and the ARROW-BATCH STREAMING twin
+  (``rsqes_pycsv_astream`` — the family's last per-row-Python
+  surface closed; exactly-once through the vectorized path).
 - **Training-pipeline extensions**: bounded-round min-label
   propagation over the blocked near-dup graph (fixed-budget
   clustering; oracle = the recurrence unrolled), epoch/mixture
@@ -999,4 +1001,61 @@ def source_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_price_good"),
         F.min(F.when(~bad, F.col("o_orderkey"))).alias("min_good_key"),
         F.max(F.when(~bad, F.col("o_orderkey"))).alias("max_good_key"),
+    )
+
+
+@register_staged(
+    "source_python_arrow_stream",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_acctbal,
+           MAX(c_acctbal) AS max_acctbal,
+           CAST(SUM(c_nationkey) AS BIGINT) AS sum_nationkey
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def source_python_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW-BATCH Python STREAMING source
+    (``sources/pydatasource.py:CsvArrowStreamReader``) — the last
+    per-row-Python surface in the DataSource family closed: the
+    executor-parallel stream reader's offset model and per-file
+    partition planning, with each partition parsed by ``pyarrow.csv``
+    into RecordBatches (~3.8× the tuple parse at 600k rows,
+    BENCH_NOTES r11; unit-pinned value-identical to the tuple stream
+    reader in tests/unit/test_pydatasource.py). Complete-mode
+    per-segment aggregation equals the one-shot batch aggregate, so
+    the hash-pass proves exactly-once file accounting through the
+    Arrow path: a batch replayed, double-planned, or truncated by the
+    vectorized parse shifts a count or an extremum. MIN/MAX are raw
+    row-level doubles (no accumulation — float-discipline safe);
+    counts and the key sum are exact integers (streaming aggregates
+    cannot COUNT DISTINCT — measured AnalysisException — so the
+    third exactness witness is an integer sum)."""
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvArrowStreamDataSource,
+        ensure_customer_csv,
+    )
+    from rs_query_engine_spark.streaming.events import run_stream_to_memory
+
+    path = ensure_customer_csv(spark, sf_dir)
+    try:
+        spark.dataSource.register(CsvArrowStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("rsqes_pycsv_astream")
+        .schema(_ARROW_CUSTOMER_DDL)
+        .option("path", path)
+        .load()
+    )
+    agg = stream.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.sum("c_nationkey").cast("bigint").alias("sum_nationkey"),
+    )
+    return run_stream_to_memory(
+        agg, "source_python_arrow_stream", output_mode="complete"
     )

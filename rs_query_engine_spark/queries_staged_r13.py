@@ -24,9 +24,11 @@ don't assume):
   deliberately long feed or a lowered snapshot threshold.
 - **Python DataSource family is COMPLETE** (tuple + Arrow batch
   readers, pushFilters, schema-subset pruning, two-phase-commit
-  writer, simple + partitioned stream readers). A possible last
-  surface: an Arrow-batch STREAM reader (the streaming twin of
-  ``rsqes_pycsv_arrow``) if a pen slot is spare.
+  writer, simple + partitioned + ARROW-BATCH stream readers — the
+  last landed round 11 as ``pydatasource.CsvArrowStreamDataSource``,
+  unit-pinned value-identical to the tuple stream reader AND
+  registered with an exact oracle in the r12 pen
+  (``source_python_arrow_stream``) — nothing left on this surface.
 - **transformWithStateInPandas** remains BLOCKED in this container
   (hard ``google.protobuf`` import, probed r11) — do not re-probe
   unless protobuf appears in the image.

@@ -187,3 +187,64 @@ def test_arrow_reader_value_identical_to_tuple_reader(spark):
         assert reads["rsqes_pycsv"] == reads["rsqes_pycsv_arrow"]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_arrow_stream_reader_matches_tuple_stream_reader(spark):
+    """The Arrow-batch STREAMING reader (rsqes_pycsv_astream) must
+    replay the same files to the same rows as the tuple-based
+    partitioned stream reader — same offsets (file counts), same
+    per-file partitions, RecordBatch yield instead of tuples —
+    including null numerics and empty strings."""
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvArrowStreamDataSource,
+        CsvPartitionedStreamDataSource,
+    )
+
+    for ds in (CsvLinesDataSource, CsvPartitionedStreamDataSource,
+               CsvArrowStreamDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass
+    out = os.path.join(
+        tempfile.gettempdir(), f"rsqes_astream_eq_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    df = spark.range(300).select(
+        F.col("id").alias("c_custkey"),
+        F.when(F.col("id") % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("name#"), F.col("id"))
+        ).alias("c_name"),
+        (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        F.when(F.col("id") % 11 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("id") / 7.0
+        ).alias("c_acctbal"),
+        F.lit("SEG").alias("c_mktsegment"),
+    )
+    df.coalesce(3).write.format("rsqes_pycsv").option("path", out).mode(
+        "overwrite"
+    ).save()
+    reads = {}
+    try:
+        for fmt in ("rsqes_pycsv_pstream", "rsqes_pycsv_astream"):
+            stream = (
+                spark.readStream.format(fmt)
+                .schema(DDL)
+                .option("path", out)
+                .option("schema_ddl", DDL)
+                .load()
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(f"eq_{fmt}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            reads[fmt] = sorted(
+                tuple(r) for r in spark.sql(f"SELECT * FROM eq_{fmt}").collect()
+            )
+        assert reads["rsqes_pycsv_pstream"] == reads["rsqes_pycsv_astream"]
+        assert len(reads["rsqes_pycsv_astream"]) == 300
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
