@@ -287,3 +287,60 @@ def bfs_levels(
         dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
+
+
+def min_label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+    node_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BOUNDED synchronous min-label propagation: exactly ``rounds``
+    iterations of ``label(v) ← min(label(v), min over in-neighbors'
+    labels)`` from the identity labeling — the fixed-budget variant
+    of :func:`connected_components` (which runs the same recurrence
+    to convergence). ``edges`` is DIRECTED as given (pass both
+    directions for the undirected semantics the dedup graph wants);
+    nodes absent from ``edges`` keep their own id, so the output is a
+    total ``(node_col, label)`` labeling of ``nodes``.
+
+    After k rounds a node's label is the minimum node id within k
+    hops — precisely 'how far has this identity traveled', the
+    partial-cluster preview / influence-radius semantics
+    (property-pinned in tests/unit/test_properties.py against a
+    Python k-hop BFS reference).
+
+    Scale shape: each round is one edges⋈labels equi-join plus a
+    min-aggregate, every one hash-partitioned on the same vertex id
+    (AQE reuses the exchange); cost is rounds × O(|E|) with no
+    frontier state and no convergence check — the budget IS the
+    bound. Lineage is cut per round (``truncate_lineage``) exactly
+    like the converging iteration."""
+    labels = nodes.select(
+        F.col(node_col), F.col(node_col).alias("label")
+    )
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    for _ in range(rounds):
+        nbr = (
+            e.join(
+                labels.select(
+                    F.col(node_col).alias("s"), F.col("label").alias("nl")
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias(node_col))
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, node_col, "left")
+            .select(
+                node_col,
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .transform(truncate_lineage)
+        )
+    return labels

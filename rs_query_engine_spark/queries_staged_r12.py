@@ -710,6 +710,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (influence radius, partial-cluster preview before committing to
     the full CC job)."""
     from rs_query_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from rs_query_engine_spark.operators.graph import min_label_propagation
     from rs_query_engine_spark.sources.corpus import spread
 
     d = _t(spark, sf_dir, "documents")
@@ -717,28 +718,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    labels = d.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(3):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("src"), F.col("label").alias("nl")
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("nl").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
-        )
-    return labels
+    return min_label_propagation(
+        d.select("doc_id"), edges, rounds=3, node_col="doc_id"
+    )
 
 
 @register_staged(

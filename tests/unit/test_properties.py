@@ -328,3 +328,51 @@ def test_winnowing_shared_substring_guarantee(sp):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared 6-token substring must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(edges=edge_lists, rounds=st.integers(1, 4))
+def test_min_label_propagation_is_k_hop_min(sp, edges, rounds):
+    """After exactly k synchronous rounds, a node's label must be the
+    minimum node id within k hops of it (undirected) — computed here
+    by a plain Python BFS ground truth on random graphs. Also pins
+    totality (isolated nodes keep their own id) and monotonicity
+    (label <= own id)."""
+    from rs_query_engine_spark.operators.graph import min_label_propagation
+
+    nodes = sorted({n for e in edges for n in e} | {99})  # 99: isolated
+    adj: dict = {n: set() for n in nodes}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def khop_min(start: int) -> int:
+        seen = {start}
+        frontier = {start}
+        for _ in range(rounds):
+            frontier = {m for n in frontier for m in adj[n]} - seen
+            if not frontier:
+                break
+            seen |= frontier
+        return min(seen)
+
+    want = {n: khop_min(n) for n in nodes}
+
+    ndf = sp.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = sp.createDataFrame(
+        [(a, b) for a, b in edges if a != b]
+        + [(b, a) for a, b in edges if a != b]
+        or [(99, 99)],  # createDataFrame needs >=1 row; self-loop is inert
+        "src long, dst long",
+    )
+    got = {
+        r["doc_id"]: r["label"]
+        for r in min_label_propagation(
+            ndf, edf, rounds=rounds, node_col="doc_id"
+        ).collect()
+    }
+    assert got == want
+    assert all(lbl <= n for n, lbl in got.items())
