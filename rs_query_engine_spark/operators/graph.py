@@ -321,7 +321,12 @@ def min_label_propagation(
     labels = nodes.select(
         F.col(node_col), F.col(node_col).alias("label")
     )
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # materialize the edge list ONCE: it is re-joined every round, and
+    # without the cut each round would recompute its whole upstream
+    # (for the dedup graph, the full shingle+block+verify pipeline)
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).transform(
+        truncate_lineage
+    )
     for _ in range(rounds):
         nbr = (
             e.join(
