@@ -108,7 +108,8 @@ def main() -> None:
                  "stream_join_state_inspection",
                  "stream_state_metadata_audit",
                  "source_python_arrow_batch",
-                 "source_corrupt_records_audit"):
+                 "source_corrupt_records_audit",
+                 "source_quarantine_roundtrip"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

@@ -6312,11 +6312,12 @@ STAGED_R10_ENABLED = True
 STAGED_R11_ENABLED = False
 
 # Round-12 holding pen (``queries_staged_r12.py``): filled in round
-# 11 (12 queries, all exact-oracled: the remaining state-store reader
+# 11 (14 queries, all exact-oracled: the remaining state-store reader
 # surfaces — stream-stream JOIN state, state-metadata layout audit,
 # batchId point-in-time reads, the state-growth curve, the
 # offset-log watermark audit — plus the Arrow-batch Python DataSource
-# batch/pruned/streaming trio, bounded-round label propagation, the
+# batch/pruned/streaming trio, bounded-round label propagation,
+# exact-integer mass diffusion, the quarantine writer roundtrip, the
 # epoch/mixture planner, the
 # documents dataset card, and the corrupt-record ingest audit),
 # locally hash-verified at sf0.001 + sf0.01

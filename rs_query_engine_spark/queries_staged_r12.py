@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r12_parity.py`` +
 verified-by-construction from its first commit. Round 12 flips the
 r11 flag; round 13 flips this one.
 
-Round-12 pen — 12 queries, ALL with exact oracles:
+Round-12 pen — 14 queries, ALL with exact oracles:
 
 - **State-store reader, remaining surfaces** (the r11-named leads,
   all probed before registration): the stream-stream JOIN state
@@ -36,12 +36,15 @@ Round-12 pen — 12 queries, ALL with exact oracles:
   surface closed; exactly-once through the vectorized path).
 - **Training-pipeline extensions**: bounded-round min-label
   propagation over the blocked near-dup graph (fixed-budget
-  clustering; oracle = the recurrence unrolled), epoch/mixture
-  planning (domain weights + token budget → integer-exact repeat
-  factors), the per-source documents DATASET CARD (volumes,
-  language spread, corpus-wide duplicate exposure, length
-  distribution), and a PERMISSIVE-mode corrupt-record ingest audit
-  over a deterministically truncated JSON fixture.
+  clustering; oracle = the recurrence unrolled), EXACT-INTEGER mass
+  diffusion (the weighted blast radius — conservation
+  property-pinned), epoch/mixture planning (domain weights + token
+  budget → integer-exact repeat factors), the per-source documents
+  DATASET CARD (volumes, language spread, corpus-wide duplicate
+  exposure, length distribution), a PERMISSIVE-mode corrupt-record
+  ingest audit over a deterministically truncated JSON fixture, and
+  the QUARANTINE WRITER roundtrip (good→parquet, malformed raw
+  lines→repairable dead-letter text; recovered-key audit).
 - **transformWithStateInPandas** remains BLOCKED in this container
   (its driver worker hard-imports ``google.protobuf``, not
   installed — probed r11). Semantics covered by
@@ -1040,4 +1043,153 @@ def source_python_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_stream_to_memory(
         agg, "source_python_arrow_stream", output_mode="complete"
+    )
+
+
+def _diffusion_round(prev_m: str, rnd: int) -> str:
+    """One unrolled exact-integer diffusion round as DuckDB CTEs:
+    offer = mass // 2, per-neighbor share = offer // degree,
+    remainders stay at the source (the graph.integer_mass_diffusion
+    recurrence, property-pinned in tests/unit/test_properties.py)."""
+    return f"""
+    x{rnd} AS (
+        SELECT m.doc_id, m.mass,
+               COALESCE(d.deg, 0) AS deg,
+               CASE WHEN COALESCE(d.deg, 0) > 0
+                    THEN (m.mass // 2) // d.deg ELSE 0 END AS share
+        FROM {prev_m} m LEFT JOIN deg d ON d.src = m.doc_id
+    ),
+    m{rnd} AS (
+        SELECT doc_id, CAST(SUM(mass) AS BIGINT) AS mass FROM (
+            SELECT doc_id, mass - share * deg AS mass FROM x{rnd}
+            UNION ALL
+            SELECT e.dst AS doc_id, x.share AS mass
+            FROM edges e JOIN x{rnd} x
+              ON x.doc_id = e.src AND x.share > 0
+        ) GROUP BY doc_id
+    )"""
+
+
+@register_staged(
+    "graph_mass_diffusion",
+    oracle=f"""{_JACCARD_EDGES},
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    m0 AS (SELECT doc_id, CAST(1024 AS BIGINT) AS mass
+           FROM documents WHERE doc_id % 50 = 0),
+    {_diffusion_round("m0", 1)},
+    {_diffusion_round("m1", 2)},
+    {_diffusion_round("m2", 3)}
+    SELECT doc_id, mass FROM m3
+    """,
+)
+def graph_mass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED blast radius — exact-integer mass diffusion
+    (``graph.integer_mass_diffusion``) from a deterministic takedown
+    seed set (every 50th doc) over the blocked near-dup graph, 3
+    rounds at 1024 units per seed: each round a node offers half its
+    mass, splits it equally among neighbors by integer floor-div, and
+    keeps the remainders. The output ranks every reached document by
+    hop-discounted proximity to the seeds — the personalized-
+    PageRank-style 'how contaminated is this doc' score — in exact
+    integers, so the oracle is the identical recurrence unrolled as
+    three CTE rounds over the identical edge rule, and TOTAL MASS IS
+    CONSERVED (1024 × |seeds|; property-pinned), which is what lets
+    an audit treat the scores as a closed budget rather than a
+    heuristic.
+
+    Complements the family: bfs_levels answers 'reachable within k',
+    min_label_propagation 'which identity wins within k', this one
+    'HOW MUCH of the seeds' influence lands where'. Scale shape:
+    degrees materialize once; rounds × (one edges⋈mass equi-join +
+    one hash aggregate), all on the vertex id, no cartesian (plan
+    test), frontier-free."""
+    from rs_query_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from rs_query_engine_spark.operators.graph import integer_mass_diffusion
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spread(d), "doc_id", "text")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    seeds = d.select("doc_id").filter(F.col("doc_id") % 50 == 0)
+    return integer_mass_diffusion(
+        seeds, edges, rounds=3, init_mass=1024, node_col="doc_id"
+    )
+
+
+@register_staged(
+    "source_quarantine_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (o_orderkey % 97 <> 0) AS BIGINT)
+               AS n_good,
+           CAST(COUNT(*) FILTER (o_orderkey % 97 = 0) AS BIGINT)
+               AS n_dlq,
+           CAST(CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                        THEN CAST(o_totalprice AS DECIMAL(14,2)) END)
+                AS VARCHAR) AS DOUBLE) AS sum_price_good,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0
+                    THEN o_orderkey ELSE 0 END) AS BIGINT)
+               AS recovered_key_sum
+    FROM orders
+    """,
+)
+def source_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINE WRITER roundtrip — the write side of the
+    corrupt-record story (``sinks.quarantine_json``): the truncated
+    JSON fixture is ROUTED into two Spark-committed sinks (parseable
+    rows → parquet, malformed raw lines → a byte-identical text
+    dead-letter queue), then BOTH sinks are read back: good-side
+    count + decimal-exact price mass prove no corrupt row leaked
+    downstream and no good row was quarantined; the DLQ side is
+    REPAIRED in place (these records lost exactly their closing
+    brace, so ``from_json(raw || '}')`` recovers them) and the
+    recovered keys' sum proves the quarantine preserved the original
+    bytes — the re-submit path a fixed producer would take. Every
+    invocation re-routes through the writer (writing IS the surface —
+    the source_python_writer_roundtrip precedent); the oracle
+    recomputes all four columns from the clean parquet via the same
+    deterministic corruption rule.
+
+    Together with ``source_corrupt_records_audit`` (the read-side
+    gate) this closes the ingest-edge contract: good ∪ dlq = input,
+    disjointly, and the dlq is recoverable, not a write-off."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.sources.sinks import quarantine_json
+
+    raw = _ensure_corrupt_orders_json(spark, sf_dir)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string"
+    )
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"rsqes_quarantine_{digest}")
+    good_path = os.path.join(base, "good")
+    dlq_path = os.path.join(base, "dlq")
+    quarantine_json(spark, raw, schema, good_path, dlq_path)
+
+    good = spark.read.parquet(good_path)
+    repaired = spark.read.text(dlq_path).select(
+        F.from_json(
+            F.concat(F.col("value"), F.lit("}")), schema
+        ).alias("r")
+    )
+    g = good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_price_good"),
+    )
+    b = repaired.agg(
+        F.count(F.lit(1)).alias("n_dlq"),
+        F.coalesce(F.sum("r.o_orderkey"), F.lit(0))
+        .cast("bigint")
+        .alias("recovered_key_sum"),
+    )
+    return g.crossJoin(b).select(
+        "n_good", "n_dlq", "sum_price_good", "recovered_key_sum"
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -157,3 +158,43 @@ def compact_files(
         for f in os.listdir(dst_path)
         if not f.startswith(("_", "."))
     )
+
+
+def quarantine_json(
+    spark: SparkSession,
+    raw_path: str,
+    schema_ddl: str,
+    good_path: str,
+    dlq_path: str,
+    corrupt_col: str = "_corrupt_record",
+) -> None:
+    """DEAD-LETTER ROUTING for a semi-structured ingest: read a
+    JSON-lines directory PERMISSIVEly against ``schema_ddl``, write
+    the parseable rows as parquet to ``good_path`` and the raw text
+    of every malformed line to ``dlq_path`` (text, one line per
+    record, byte-identical to the input so the dead-letter queue is
+    REPAIRABLE — a fixed producer can re-submit it verbatim).
+
+    The scan materializes once (lineage cut) and feeds both filtered
+    writes, so good/dlq are two passes over cached blocks, not two
+    reads of the source; both sinks are Spark-committed (_SUCCESS
+    appears only after every task finished — a torn run leaves no
+    half-routed output visible). At 100 TB this is the ingest-edge
+    contract: nothing is dropped (good ∪ dlq = input, disjointly),
+    nothing corrupt leaks downstream, and the quarantine is
+    re-processable rather than a write-off."""
+    from rs_query_engine_spark.session import truncate_lineage
+
+    df = (
+        spark.read.schema(f"{schema_ddl}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(raw_path)
+        .transform(truncate_lineage)
+    )
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    good.coalesce(4).write.mode("overwrite").parquet(good_path)
+    bad.select(F.col(corrupt_col).alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(dlq_path)

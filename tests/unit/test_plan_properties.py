@@ -1123,3 +1123,15 @@ def test_epoch_mixture_plan_single_shuffle_with_partials(spark):
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
     assert "CartesianProduct" not in plan
+
+
+def test_mass_diffusion_no_cartesian(spark):
+    """Exact-integer diffusion walks the blocked edge set: every
+    round is an equi-join on the vertex id — no cartesian or
+    nested-loop anywhere in the 3-round plan."""
+    from rs_query_engine_spark import queries_staged_r12 as r12
+
+    df = r12.queries()["graph_mass_diffusion"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

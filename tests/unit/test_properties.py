@@ -376,3 +376,49 @@ def test_min_label_propagation_is_k_hop_min(sp, edges, rounds):
     }
     assert got == want
     assert all(lbl <= n for n, lbl in got.items())
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(edges=edge_lists, rounds=st.integers(1, 3))
+def test_integer_mass_diffusion_matches_reference_and_conserves(sp, edges, rounds):
+    """Exact-integer diffusion must match a plain Python reference on
+    random DIRECTED graphs (offer = mass//2, per-neighbor share =
+    offer//deg, remainders stay), and total mass must be conserved
+    bit-for-bit — the property that makes the output auditable as a
+    contamination budget."""
+    from rs_query_engine_spark.operators.graph import integer_mass_diffusion
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    seeds = sorted({a for a, _ in edges})[:3] + [99]  # 99: isolated seed
+    init = 1 << 10
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+
+    mass = {s: init for s in seeds}
+    for _ in range(rounds):
+        nxt: dict = {}
+        for n, m in mass.items():
+            deg = len(adj.get(n, []))
+            offer = m // 2
+            share = offer // deg if deg else 0
+            nxt[n] = nxt.get(n, 0) + m - share * deg
+            for v in adj.get(n, []):
+                if share:
+                    nxt[v] = nxt.get(v, 0) + share
+        mass = nxt
+
+    sdf = sp.createDataFrame([(s,) for s in seeds], "doc_id long")
+    edf = sp.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["doc_id"]: r["mass"]
+        for r in integer_mass_diffusion(
+            sdf, edf, rounds=rounds, init_mass=init, node_col="doc_id"
+        ).collect()
+    }
+    assert got == mass
+    assert sum(got.values()) == init * len(seeds)  # conservation

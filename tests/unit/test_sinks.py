@@ -102,3 +102,34 @@ def test_union_by_name_schema_evolution(spark):
     new = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
     out = union_by_name(old, new).orderBy("id").collect()
     assert [tuple(r) for r in out] == [(1, "a", None), (2, "b", 9.5)]
+
+
+def test_quarantine_json_routes_disjointly_and_preserves_bytes(spark, tmp_path):
+    """quarantine_json's contract: good ∪ dlq = input with nothing
+    shared, the good side carries only parseable rows, and dlq lines
+    are byte-identical to the malformed input (repairable)."""
+    from rs_query_engine_spark.sources.sinks import quarantine_json
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    good_lines = [f'{{"k": {i}, "v": "x{i}"}}' for i in range(20)]
+    bad_lines = ['{"k": 100, "v": "torn', "not json at all", '{"k": }']
+    (raw / "a.json").write_text("\n".join(good_lines[:10] + bad_lines[:2]) + "\n")
+    (raw / "b.json").write_text("\n".join(good_lines[10:] + bad_lines[2:]) + "\n")
+
+    quarantine_json(
+        spark, str(raw), "k bigint, v string",
+        str(tmp_path / "good"), str(tmp_path / "dlq"),
+    )
+    good = spark.read.parquet(str(tmp_path / "good"))
+    assert sorted(r["k"] for r in good.collect()) == list(range(20))
+    dlq = sorted(
+        r["value"] for r in spark.read.text(str(tmp_path / "dlq")).collect()
+    )
+    assert dlq == sorted(bad_lines)
+    # overwrite semantics: a second run replaces, never appends
+    quarantine_json(
+        spark, str(raw), "k bigint, v string",
+        str(tmp_path / "good"), str(tmp_path / "dlq"),
+    )
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 20
