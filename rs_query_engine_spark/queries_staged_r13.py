@@ -32,14 +32,25 @@ don't assume):
 - **transformWithStateInPandas** remains BLOCKED in this container
   (hard ``google.protobuf`` import, probed r11) — do not re-probe
   unless protobuf appears in the image.
-- Possible operator families not yet covered: windowed DISTINCT
-  aggregation in streams (approx_count_distinct over windows with
-  an exact companion), a bounded-round personalized-PageRank-style
-  integer diffusion (label propagation's weighted twin — needs an
-  exact-integer formulation to stay oracle-checkable), and a
-  quarantine WRITER (the corrupt-record audit's write side: route
-  bad rows to a dead-letter sink, good rows onward, both
-  oracle-checked).
+- TWO of the original round-13 leads landed in the r12 pen already
+  (round 11 had slack under the ≤15 cap): exact-integer mass
+  diffusion (``graph.integer_mass_diffusion`` +
+  ``graph_mass_diffusion``, conservation property-pinned) and the
+  quarantine writer (``sinks.quarantine_json`` +
+  ``source_quarantine_roundtrip``, DLQ repaired-and-recovered
+  audit). Do NOT rebuild them.
+- Remaining lead: windowed DISTINCT aggregation in streams —
+  streaming aggs reject COUNT(DISTINCT) outright (measured
+  AnalysisException, see ``source_python_arrow_stream``'s
+  docstring); the streaming form is ``approx_count_distinct`` over
+  event-time windows, registered rows-only-with-invariant-companion
+  or checked via an exact batch twin on the same admitted set.
+- Other candidates: a streaming foreachBatch QUARANTINE (the
+  ingest-edge writer under micro-batch replay — idempotent dlq
+  appends), per-domain quality-gate drift (the dataset card diffed
+  across two corpus generations), and a bucketed-broadcast hybrid
+  similarity join if any plan audit surfaces a shuffle worth
+  removing.
 """
 
 from __future__ import annotations
