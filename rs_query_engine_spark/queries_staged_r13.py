@@ -45,9 +45,12 @@ don't assume):
   docstring); the streaming form is ``approx_count_distinct`` over
   event-time windows, registered rows-only-with-invariant-companion
   or checked via an exact batch twin on the same admitted set.
-- Other candidates: a streaming foreachBatch QUARANTINE (the
-  ingest-edge writer under micro-batch replay — idempotent dlq
-  appends), per-domain quality-gate drift (the dataset card diffed
+- Other candidates: a streaming foreachBatch QUARANTINE query — the
+  SINK already exists and is unit-pinned
+  (``sinks.quarantine_json_stream``: batch-id-partitioned dynamic
+  overwrite, restart-idempotent, valid-all-null objects stay good);
+  registering it is a cheap slot like the arrow stream reader was.
+  Also: per-domain quality-gate drift (the dataset card diffed
   across two corpus generations), and a bucketed-broadcast hybrid
   similarity join if any plan audit surfaces a shuffle worth
   removing.

@@ -198,3 +198,73 @@ def quarantine_json(
     bad.select(F.col(corrupt_col).alias("value")).coalesce(1).write.mode(
         "overwrite"
     ).text(dlq_path)
+
+
+def quarantine_json_stream(
+    raw_lines: DataFrame,
+    schema_ddl: str,
+    good_path: str,
+    dlq_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """STREAMING dead-letter routing — :func:`quarantine_json`'s
+    incremental twin for an unbounded ingest edge: ``raw_lines`` is a
+    streaming frame of raw JSON text lines (``value: string`` — a
+    file-stream text source, Kafka values, a Python stream reader);
+    each micro-batch parses permissively via ``from_json`` and routes
+    parseable rows to ``good_path`` (parquet) and malformed raw lines
+    to ``dlq_path`` (text-typed parquet, byte-identical ``value`` —
+    repairable) through one ``foreachBatch``.
+
+    Replay safety is idempotence-by-partition (the engine's
+    established foreachBatch contract — streaming/events.py): both
+    sinks are ``_batch_id``-partitioned with dynamic partition
+    overwrite, so a batch retried after failure OVERWRITES its own
+    partition instead of appending duplicates, and the checkpoint's
+    batch accounting makes good ∪ dlq = input hold across restarts —
+    the same closed-books contract as the batch writer, now under
+    micro-batch replay. Runs the stream to completion
+    (availableNow-style drivers call ``processAllAvailable``)."""
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        # the corrupt-record column rides INSIDE from_json's schema
+        # (same PERMISSIVE contract as the batch reader) — an all-null
+        # but VALID object stays good; only malformed text marks
+        parsed = batch_df.select(
+            "value",
+            F.from_json(
+                F.col("value"),
+                f"{schema_ddl}, _corrupt_record string",
+                {"columnNameOfCorruptRecord": "_corrupt_record"},
+            ).alias("r"),
+        )
+        bad = parsed.filter(F.col("r._corrupt_record").isNotNull())
+        good = (
+            parsed.filter(F.col("r._corrupt_record").isNull())
+            .select("r.*")
+            .drop("_corrupt_record")
+        )
+        (
+            good.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(good_path)
+        )
+        (
+            bad.select("value")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(dlq_path)
+        )
+
+    q = (
+        raw_lines.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

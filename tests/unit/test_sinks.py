@@ -133,3 +133,54 @@ def test_quarantine_json_routes_disjointly_and_preserves_bytes(spark, tmp_path):
         str(tmp_path / "good"), str(tmp_path / "dlq"),
     )
     assert spark.read.parquet(str(tmp_path / "good")).count() == 20
+
+
+def test_quarantine_json_stream_routes_per_batch_idempotently(spark, tmp_path):
+    """The streaming quarantine must partition the input exactly
+    (good ∪ dlq = every line, disjointly) across micro-batches, keep
+    dlq lines byte-identical, NOT quarantine a valid all-null object,
+    and restart from the checkpoint without duplicating (the
+    batch-id-partitioned dynamic-overwrite contract)."""
+    from rs_query_engine_spark.sources.sinks import quarantine_json_stream
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    good_a = [f'{{"k": {i}, "v": "x{i}"}}' for i in range(10)]
+    bad_a = ['{"k": 7, "v": "torn']
+    good_b = [f'{{"k": {i}, "v": "y{i}"}}' for i in range(10, 20)]
+    bad_b = ["nope", '{"k": null, "v": null}']  # last one is VALID
+    (raw / "a.json").write_text("\n".join(good_a + bad_a) + "\n")
+    (raw / "b.json").write_text("\n".join(good_b + bad_b) + "\n")
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(raw))
+    )
+    ck = str(tmp_path / "ck")
+    quarantine_json_stream(
+        stream, "k bigint, v string",
+        str(tmp_path / "good"), str(tmp_path / "dlq"), ck,
+    )
+    good = spark.read.parquet(str(tmp_path / "good"))
+    # 20 parseable + the valid all-null object
+    assert good.count() == 21
+    assert sorted(
+        r["k"] for r in good.collect() if r["k"] is not None
+    ) == list(range(20))
+    dlq = sorted(
+        r["value"] for r in spark.read.parquet(str(tmp_path / "dlq")).collect()
+    )
+    assert dlq == sorted(bad_a + ["nope"])
+    # restart against the SAME checkpoint: no new batches, no dupes
+    stream2 = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(raw))
+    )
+    quarantine_json_stream(
+        stream2, "k bigint, v string",
+        str(tmp_path / "good"), str(tmp_path / "dlq"), ck,
+    )
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 21
+    assert spark.read.parquet(str(tmp_path / "dlq")).count() == 2
