@@ -401,7 +401,8 @@ def integer_mass_diffusion(
             node_col,
             "mass",
             F.coalesce("deg", F.lit(0)).alias("deg"),
-            (F.col("mass") / 2).cast("bigint").alias("offer"),
+            # integer div, NOT float /2: mass beyond 2^53 must not round
+            F.expr("mass div 2").cast("bigint").alias("offer"),
         )
         m = m.select(
             node_col,

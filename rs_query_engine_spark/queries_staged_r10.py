@@ -1946,9 +1946,9 @@ def stream_stream_join_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival rate, not corpus size; both sides hash-partition on
     user_id, the same shuffle as the batch join."""
     from rs_query_engine_spark.streaming.events import (
-        LATE_DELAY,
         ensure_late_feed,
         run_stream_to_memory,
+        view_purchase_late_join,
     )
 
     feed = ensure_late_feed(spark, sf_dir)
@@ -1958,30 +1958,10 @@ def stream_stream_join_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    views = (
-        stream.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("vu"),
-            F.col("ts").alias("view_ts"),
-            F.col("event_id").alias("view_id"),
-        )
-        .withWatermark("view_ts", LATE_DELAY)
-    )
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_id"),
-        )
-        .withWatermark("purchase_ts", LATE_DELAY)
-    )
-    joined = views.join(
-        purchases,
-        (F.col("vu") == F.col("user_id"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")),
-    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    # the SAME builder ensure_join_checkpoint checkpoints — the
+    # state-inspection query's 'identical operator' claim is
+    # structural, not copy-paste parity
+    joined = view_purchase_late_join(stream)
     return run_stream_to_memory(
         joined, "stream_stream_join_late", output_mode="append"
     )

@@ -716,8 +716,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.operators.graph import min_label_propagation
     from rs_query_engine_spark.sources.corpus import spread
 
+    from rs_query_engine_spark.session import truncate_lineage
+
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(spread(d), "doc_id", "text")
+    # cut the pair pipeline ONCE before the two-direction union — the
+    # union's branches otherwise each re-run the expensive
+    # explode+intersect+threshold stages (review r11 finding)
+    pairs = ngram_jaccard_pairs(spread(d), "doc_id", "text").transform(
+        truncate_lineage
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -894,20 +901,32 @@ def _ensure_corrupt_orders_json(spark: SparkSession, sf_dir: str) -> str:
     """JSON-lines copy of orders with DETERMINISTIC corruption: every
     row whose ``o_orderkey % 97 == 0`` loses its closing brace (a
     torn-write/truncated-record simulation — the commonest real-world
-    JSON corruption). Same stable-path + _SUCCESS convention as
-    ensure_customer_csv; o_orderdate ships as a STRING cell so the
-    fixture is not hostage to JSON timestamp-format round-tripping."""
-    import hashlib
+    JSON corruption). Keyed through the standard mtime+size artifact
+    machinery (NOT the path-only _SUCCESS convention the older CSV
+    table copies use — an in-place corpus regen must rekey this
+    fixture or the oracle, recomputing from the NEW parquet, would
+    hash-fail against a stale fixture; review r11 finding).
+    o_orderdate ships as a STRING cell so the fixture is not hostage
+    to JSON timestamp-format round-tripping."""
     import os
-    import tempfile
 
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
     from rs_query_engine_spark.sources.corpus import load_table
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    path = os.path.join(
-        tempfile.gettempdir(), f"rsqes_badjson_{digest}", "orders"
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    root = artifact_root(src, "badjson", "rule=key%97|chop=1")
+    path = os.path.join(root, "orders")
+
+    def complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "orders", "_SUCCESS"))
+
+    if complete(root):
+        return path
+
+    def write(tmp: str) -> None:
         o = load_table(spark, sf_dir, "orders").withColumn(
             "o_orderdate", F.col("o_orderdate").cast("string")
         )
@@ -922,7 +941,9 @@ def _ensure_corrupt_orders_json(spark: SparkSession, sf_dir: str) -> str:
             .otherwise(F.col("j"))
             .alias("value")
         )
-        js.coalesce(4).write.mode("overwrite").text(path)
+        js.coalesce(4).write.mode("overwrite").text(os.path.join(tmp, "orders"))
+
+    install_artifact(root, "badjson", src, write, complete)
     return path
 
 
@@ -1107,8 +1128,13 @@ def graph_mass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.operators.graph import integer_mass_diffusion
     from rs_query_engine_spark.sources.corpus import spread
 
+    from rs_query_engine_spark.session import truncate_lineage
+
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(spread(d), "doc_id", "text")
+    # same once-cut-then-union as graph_label_propagation
+    pairs = ngram_jaccard_pairs(spread(d), "doc_id", "text").transform(
+        truncate_lineage
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

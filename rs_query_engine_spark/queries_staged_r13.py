@@ -50,7 +50,14 @@ don't assume):
   (``sinks.quarantine_json_stream``: batch-id-partitioned dynamic
   overwrite, restart-idempotent, valid-all-null objects stay good);
   registering it is a cheap slot like the arrow stream reader was.
-  Also: per-domain quality-gate drift (the dataset card diffed
+  Also: migrate the path-only-keyed CSV/JSON table copies
+  (``queries.source_csv_roundtrip``'s ``rsqes_csv_{digest}`` dir,
+  shared by ``pydatasource.ensure_customer_csv``) to the
+  mtime+size-keyed ``artifacts.artifact_root`` machinery — an
+  in-place corpus regen currently serves them stale (the r12
+  ``badjson`` fixture already made the switch; keep the two CSV
+  users sharing ONE artifact when migrating). Also: per-domain
+  quality-gate drift (the dataset card diffed
   across two corpus generations), and a bucketed-broadcast hybrid
   similarity join if any plan audit surfaces a shuffle worth
   removing.

@@ -169,35 +169,53 @@ def quarantine_json(
     corrupt_col: str = "_corrupt_record",
 ) -> None:
     """DEAD-LETTER ROUTING for a semi-structured ingest: read a
-    JSON-lines directory PERMISSIVEly against ``schema_ddl``, write
-    the parseable rows as parquet to ``good_path`` and the raw text
-    of every malformed line to ``dlq_path`` (text, one line per
-    record, byte-identical to the input so the dead-letter queue is
+    JSON-lines directory as raw TEXT, parse each line PERMISSIVEly
+    via ``from_json`` carrying the corrupt-record column, write the
+    parseable rows as parquet to ``good_path`` and the raw text of
+    every malformed line to ``dlq_path`` (text, one line per record,
+    byte-identical to the input so the dead-letter queue is
     REPAIRABLE — a fixed producer can re-submit it verbatim).
+
+    Contract (review r11 finding — measured): good ∪ dlq = every
+    NON-BLANK line, disjointly. Whitespace-only lines are ignored by
+    design (the NDJSON convention — the JSON file source also skips
+    them silently; routing through text+from_json makes the skip
+    explicit and keeps this function's classification identical to
+    :func:`quarantine_json_stream`'s). A bare ``null`` or other
+    non-object text IS routed to the DLQ; a valid all-null object
+    (``{}``) stays good.
 
     The scan materializes once (lineage cut) and feeds both filtered
     writes, so good/dlq are two passes over cached blocks, not two
     reads of the source; both sinks are Spark-committed (_SUCCESS
     appears only after every task finished — a torn run leaves no
     half-routed output visible). At 100 TB this is the ingest-edge
-    contract: nothing is dropped (good ∪ dlq = input, disjointly),
-    nothing corrupt leaks downstream, and the quarantine is
-    re-processable rather than a write-off."""
+    contract: nothing non-blank is dropped, nothing corrupt leaks
+    downstream, and the quarantine is re-processable rather than a
+    write-off."""
     from rs_query_engine_spark.session import truncate_lineage
 
     df = (
-        spark.read.schema(f"{schema_ddl}, {corrupt_col} string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(raw_path)
+        spark.read.text(raw_path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            "value",
+            F.from_json(
+                F.col("value"),
+                f"{schema_ddl}, {corrupt_col} string",
+                {"columnNameOfCorruptRecord": corrupt_col},
+            ).alias("r"),
+        )
         .transform(truncate_lineage)
     )
-    bad = df.filter(F.col(corrupt_col).isNotNull())
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(f"r.{corrupt_col}").isNotNull())
+    good = (
+        df.filter(F.col(f"r.{corrupt_col}").isNull())
+        .select("r.*")
+        .drop(corrupt_col)
+    )
     good.coalesce(4).write.mode("overwrite").parquet(good_path)
-    bad.select(F.col(corrupt_col).alias("value")).coalesce(1).write.mode(
-        "overwrite"
-    ).text(dlq_path)
+    bad.select("value").coalesce(1).write.mode("overwrite").text(dlq_path)
 
 
 def quarantine_json_stream(
@@ -227,9 +245,13 @@ def quarantine_json_stream(
     (availableNow-style drivers call ``processAllAvailable``)."""
     def route(batch_df: DataFrame, batch_id: int) -> None:
         # the corrupt-record column rides INSIDE from_json's schema
-        # (same PERMISSIVE contract as the batch reader) — an all-null
-        # but VALID object stays good; only malformed text marks
-        parsed = batch_df.select(
+        # (same PERMISSIVE contract as the batch sibling) — a valid
+        # all-null object stays good; only malformed text marks.
+        # Whitespace-only lines are dropped FIRST (measured: from_json
+        # returns a NULL struct for them whose corrupt column is also
+        # null, which would misroute them as all-null GOOD rows —
+        # review r11 finding; the NDJSON convention is to skip them)
+        parsed = batch_df.filter(F.trim(F.col("value")) != "").select(
             "value",
             F.from_json(
                 F.col("value"),

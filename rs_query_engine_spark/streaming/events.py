@@ -419,6 +419,45 @@ def ensure_state_reader_ready(spark: SparkSession) -> None:
     spark._rsqes_state_reader_ready = True
 
 
+def view_purchase_late_join(stream: DataFrame) -> DataFrame:
+    """The view→purchase attribution join pipeline over an events
+    stream — ONE builder shared by the live replay query
+    (``queries_staged_r10.stream_stream_join_late``) and the
+    persisted checkpoint (:func:`ensure_join_checkpoint`), so the
+    state the ``statestore`` reader inspects provably comes from the
+    IDENTICAL operator the emitted-pairs oracle pins (the
+    ``user_day_ttl_stream`` sharing precedent): both sides
+    watermarked at ``LATE_DELAY``, purchases matched to the same
+    user's views within the preceding 24 h."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", LATE_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", LATE_DELAY)
+    )
+    return views.join(
+        purchases,
+        (F.col("vu") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
 def ensure_join_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     """Persisted streaming CHECKPOINT of the watermarked stream-stream
     view→purchase attribution join replayed over the 4-file late feed
@@ -460,33 +499,7 @@ def ensure_join_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             .option("maxFilesPerTrigger", 1)
             .parquet(feed)
         )
-        views = (
-            stream.filter(F.col("event_type") == "view")
-            .select(
-                F.col("user_id").alias("vu"),
-                F.col("ts").alias("view_ts"),
-                F.col("event_id").alias("view_id"),
-            )
-            .withWatermark("view_ts", LATE_DELAY)
-        )
-        purchases = (
-            stream.filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("user_id").alias("user_id"),
-                F.col("ts").alias("purchase_ts"),
-                F.col("event_id").alias("purchase_id"),
-            )
-            .withWatermark("purchase_ts", LATE_DELAY)
-        )
-        joined = views.join(
-            purchases,
-            (F.col("vu") == F.col("user_id"))
-            & (F.col("purchase_ts") >= F.col("view_ts"))
-            & (
-                F.col("purchase_ts")
-                <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")
-            ),
-        ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+        joined = view_purchase_late_join(stream)
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:

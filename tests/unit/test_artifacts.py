@@ -129,7 +129,7 @@ def test_revived_generation_clears_tombstone(tmp_path):
     src = tmp_path / "src.parquet"
     src.write_text("generation-a")
     root_a = artifacts.artifact_root(str(src), "revtag", "p=1")
-    artifacts.install_artifact(str(root_a) if False else root_a, "revtag", str(src), _write_ok, _complete)
+    artifacts.install_artifact(root_a, "revtag", str(src), _write_ok, _complete)
     assert _complete(root_a)
 
     # fake an aged tombstone from a stale period, then 'revert' the

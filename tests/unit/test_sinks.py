@@ -113,15 +113,22 @@ def test_quarantine_json_routes_disjointly_and_preserves_bytes(spark, tmp_path):
     raw = tmp_path / "raw"
     raw.mkdir()
     good_lines = [f'{{"k": {i}, "v": "x{i}"}}' for i in range(20)]
-    bad_lines = ['{"k": 100, "v": "torn', "not json at all", '{"k": }']
-    (raw / "a.json").write_text("\n".join(good_lines[:10] + bad_lines[:2]) + "\n")
-    (raw / "b.json").write_text("\n".join(good_lines[10:] + bad_lines[2:]) + "\n")
+    bad_lines = ['{"k": 100, "v": "torn', "not json at all", '{"k": }', "null"]
+    blank_lines = ["", "   "]  # ignored by design (NDJSON convention)
+    (raw / "a.json").write_text(
+        "\n".join(good_lines[:10] + bad_lines[:2] + blank_lines[:1]) + "\n"
+    )
+    (raw / "b.json").write_text(
+        "\n".join(good_lines[10:] + bad_lines[2:] + blank_lines[1:]) + "\n"
+    )
 
     quarantine_json(
         spark, str(raw), "k bigint, v string",
         str(tmp_path / "good"), str(tmp_path / "dlq"),
     )
     good = spark.read.parquet(str(tmp_path / "good"))
+    # blank lines appear in NEITHER sink; 'null' goes to dlq; no
+    # phantom all-null rows on the good side
     assert sorted(r["k"] for r in good.collect()) == list(range(20))
     dlq = sorted(
         r["value"] for r in spark.read.text(str(tmp_path / "dlq")).collect()
@@ -149,8 +156,11 @@ def test_quarantine_json_stream_routes_per_batch_idempotently(spark, tmp_path):
     bad_a = ['{"k": 7, "v": "torn']
     good_b = [f'{{"k": {i}, "v": "y{i}"}}' for i in range(10, 20)]
     bad_b = ["nope", '{"k": null, "v": null}']  # last one is VALID
-    (raw / "a.json").write_text("\n".join(good_a + bad_a) + "\n")
-    (raw / "b.json").write_text("\n".join(good_b + bad_b) + "\n")
+    # blank/whitespace lines must land in NEITHER sink (measured:
+    # from_json gives them a NULL struct with a null corrupt column,
+    # which would otherwise misroute them as all-null good rows)
+    (raw / "a.json").write_text("\n".join(good_a + bad_a + ["", "  "]) + "\n")
+    (raw / "b.json").write_text("\n".join(good_b + bad_b + [""]) + "\n")
 
     stream = (
         spark.readStream.format("text")
