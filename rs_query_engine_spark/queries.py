@@ -6308,8 +6308,10 @@ STAGED_R10_ENABLED = True
 # two-phase-commit write, simple + executor-parallel stream readers),
 # exact two-sample KS, the point-in-time feature matrix, and the SAR
 # export), locally hash-verified at sf0.001 + sf0.01
-# (tests/oracle/test_staged_r11_parity.py). Round 12 flips this flag.
-STAGED_R11_ENABLED = False
+# (tests/oracle/test_staged_r11_parity.py). Flipped True in round 12
+# per the r11 brief: all 22 front-load the driver window as
+# unverified (22 + 28 re-check slots on the oldest r7-stamped rows).
+STAGED_R11_ENABLED = True
 
 # Round-12 holding pen (``queries_staged_r12.py``): filled in round
 # 11 (14 queries, all exact-oracled: the remaining state-store reader
