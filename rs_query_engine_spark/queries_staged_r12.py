@@ -525,7 +525,17 @@ def stream_checkpoint_watermark_audit(
                 F.get_json_object(F.col("value"), "$.batchWatermarkMs")
                 .cast("bigint")
                 .alias("watermark_ms"),
-            ).filter(F.col("value").startswith('{"batchWatermarkMs"'))
+                # the metadata line is the only offset-log line carrying
+                # batchWatermarkMs; keying on the extracted field (not a
+                # literal '{"batchWatermarkMs"' prefix) is insensitive to
+                # OffsetSeqMetadata's JSON field order (review r12
+                # finding) — version headers ("v1") and per-source offset
+                # lines extract NULL and drop out
+            ).filter(
+                F.get_json_object(
+                    F.col("value"), "$.batchWatermarkMs"
+                ).isNotNull()
+            )
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1192,7 +1202,14 @@ def source_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice double, o_orderdate string, o_orderpriority string"
     )
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), f"rsqes_quarantine_{digest}")
+    # the sink base is keyed by corpus digest AND this session's
+    # applicationId: the writer overwrites on every invocation, so two
+    # concurrent sessions on the same corpus must not share a path one
+    # rewrites while the other reads back (review r12 finding)
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), f"rsqes_quarantine_{digest}_{app_id}"
+    )
     good_path = os.path.join(base, "good")
     dlq_path = os.path.join(base, "dlq")
     quarantine_json(spark, raw, schema, good_path, dlq_path)

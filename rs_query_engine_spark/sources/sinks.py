@@ -160,6 +160,24 @@ def compact_files(
     )
 
 
+def _corrupt_schema(schema_ddl: str, corrupt_col: str) -> str:
+    """Append the corrupt-record column to a caller DDL, refusing a
+    name collision: if ``schema_ddl`` already declares ``corrupt_col``
+    the ``from_json`` schema would carry a duplicate field and routing
+    would misclassify (review r11 finding). Parsed via
+    ``StructType.fromDDL`` so quoting/nesting in the DDL is respected
+    rather than string-matched."""
+    from pyspark.sql.types import StructType
+
+    names = {f.name for f in StructType.fromDDL(schema_ddl).fields}
+    if corrupt_col in names:
+        raise ValueError(
+            f"schema_ddl already declares {corrupt_col!r}; pick a "
+            "corrupt-record column name not present in the data schema"
+        )
+    return f"{schema_ddl}, {corrupt_col} string"
+
+
 def quarantine_json(
     spark: SparkSession,
     raw_path: str,
@@ -187,12 +205,17 @@ def quarantine_json(
 
     The scan materializes once (lineage cut) and feeds both filtered
     writes, so good/dlq are two passes over cached blocks, not two
-    reads of the source; both sinks are Spark-committed (_SUCCESS
-    appears only after every task finished — a torn run leaves no
-    half-routed output visible). At 100 TB this is the ingest-edge
-    contract: nothing non-blank is dropped, nothing corrupt leaks
-    downstream, and the quarantine is re-processable rather than a
-    write-off."""
+    reads of the source. Each sink is Spark-committed (_SUCCESS
+    appears only after every task finished — per sink, a torn run
+    leaves no half-written output visible), but the PAIR is not
+    atomic: a crash between the two writes can publish one side
+    without the other (review r12 finding). The DLQ is therefore
+    written FIRST — downstream consumes the good set, so it publishes
+    last, and a torn run can only leave a DLQ with no good set (retry
+    overwrites both), never a consumable good set with a missing or
+    stale DLQ. At 100 TB this is the ingest-edge contract: nothing
+    non-blank is dropped, nothing corrupt leaks downstream, and the
+    quarantine is re-processable rather than a write-off."""
     from rs_query_engine_spark.session import truncate_lineage
 
     df = (
@@ -202,7 +225,7 @@ def quarantine_json(
             "value",
             F.from_json(
                 F.col("value"),
-                f"{schema_ddl}, {corrupt_col} string",
+                _corrupt_schema(schema_ddl, corrupt_col),
                 {"columnNameOfCorruptRecord": corrupt_col},
             ).alias("r"),
         )
@@ -214,8 +237,8 @@ def quarantine_json(
         .select("r.*")
         .drop(corrupt_col)
     )
-    good.coalesce(4).write.mode("overwrite").parquet(good_path)
     bad.select("value").coalesce(1).write.mode("overwrite").text(dlq_path)
+    good.coalesce(4).write.mode("overwrite").parquet(good_path)
 
 
 def quarantine_json_stream(
@@ -255,7 +278,7 @@ def quarantine_json_stream(
             "value",
             F.from_json(
                 F.col("value"),
-                f"{schema_ddl}, _corrupt_record string",
+                _corrupt_schema(schema_ddl, "_corrupt_record"),
                 {"columnNameOfCorruptRecord": "_corrupt_record"},
             ).alias("r"),
         )
@@ -265,13 +288,9 @@ def quarantine_json_stream(
             .select("r.*")
             .drop("_corrupt_record")
         )
-        (
-            good.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(good_path)
-        )
+        # DLQ first, good last (same torn-run ordering as the batch
+        # sibling); batch-id partition overwrite makes the retry that
+        # follows a torn run rewrite both sides of its own partition
         (
             bad.select("value")
             .withColumn("_batch_id", F.lit(batch_id))
@@ -279,6 +298,13 @@ def quarantine_json_stream(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(dlq_path)
+        )
+        (
+            good.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(good_path)
         )
 
     q = (

@@ -194,3 +194,29 @@ def test_quarantine_json_stream_routes_per_batch_idempotently(spark, tmp_path):
     )
     assert spark.read.parquet(str(tmp_path / "good")).count() == 21
     assert spark.read.parquet(str(tmp_path / "dlq")).count() == 2
+
+
+def test_quarantine_rejects_corrupt_column_collision(spark, tmp_path):
+    """A caller schema that already declares the corrupt-record column
+    must be refused up front (review r12 finding): appending it again
+    would give from_json a duplicate field and misroute silently."""
+    from rs_query_engine_spark.sources.sinks import (
+        _corrupt_schema,
+        quarantine_json,
+    )
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        _corrupt_schema("k bigint, _corrupt_record string", "_corrupt_record")
+    # quoted/odd DDL still parses structurally, not by substring
+    assert _corrupt_schema("k bigint, corrupted string", "_corrupt_record") == (
+        "k bigint, corrupted string, _corrupt_record string"
+    )
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.json").write_text('{"k": 1}\n')
+    with pytest.raises(ValueError, match="oops"):
+        quarantine_json(
+            spark, str(raw), "k bigint, oops string",
+            str(tmp_path / "good"), str(tmp_path / "dlq"),
+            corrupt_col="oops",
+        )
