@@ -109,7 +109,14 @@ def main() -> None:
                  "stream_state_metadata_audit",
                  "source_python_arrow_batch",
                  "source_corrupt_records_audit",
-                 "source_quarantine_roundtrip"):
+                 "source_quarantine_roundtrip",
+                 # r13 pen (inert until STAGED_R13_ENABLED flips):
+                 # the corrupt fixture + stream checkpoint, the
+                 # fragmented-lineitem artifact, and the late feed
+                 # for the approx-distinct replay
+                 "stream_quarantine_routing",
+                 "maintenance_compact_small_files",
+                 "stream_window_approx_distinct"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

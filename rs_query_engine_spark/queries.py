@@ -152,6 +152,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R11_ENABLED", "queries_staged_r11"),
     ("STAGED_R12_ENABLED", "queries_staged_r12"),
     ("STAGED_R13_ENABLED", "queries_staged_r13"),
+    ("STAGED_R14_ENABLED", "queries_staged_r14"),
 )
 
 
@@ -6326,9 +6327,20 @@ STAGED_R11_ENABLED = True
 # (tests/oracle/test_staged_r12_parity.py). Round 13 flips this flag.
 STAGED_R12_ENABLED = False
 
-# Round-13 holding pen (``queries_staged_r13.py``): EMPTY at round-11
-# end by design — the gate (flag + test_staged_r13_parity.py) exists
-# before the first round-13 query lands (ADVICE r07 precedent), so
-# round 13 fills it while activating the r12 pen, and round 14 flips
-# this flag.
+# Round-13 holding pen (``queries_staged_r13.py``): filled in round
+# 12 (5 queries, all exact-oracled — deliberately small so round-14
+# re-check slots drain the rotation backlog: streaming windowed
+# approx-distinct with an exact admitted-set batch twin, the
+# streaming quarantine router with a restart-idempotence leg,
+# per-source quality-gate drift across two corpus generations, the
+# single-shuffle running-distinct window, and the small-file
+# compaction roundtrip), locally hash-verified at sf0.001 + sf0.01
+# (tests/oracle/test_staged_r13_parity.py). Round 14 flips this flag.
 STAGED_R13_ENABLED = False
+
+# Round-14 holding pen (``queries_staged_r14.py``): EMPTY at round-12
+# end by design — the gate (flag + test_staged_r14_parity.py) exists
+# before the first round-14 query lands (ADVICE r07 precedent), so
+# round 13 fills it while activating the r12 pen, and round 15 flips
+# this flag.
+STAGED_R14_ENABLED = False

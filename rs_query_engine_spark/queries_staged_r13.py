@@ -1,71 +1,70 @@
 """Staged query registrations for ROUND 14 — the round-13 holding pen.
 
-EMPTY at round-11 end by design: the activation gate
-(``tests/oracle/test_staged_r13_parity.py`` + ``STAGED_R13_ENABLED``
-in ``queries.py``) is created BEFORE the first round-13 query lands
-(ADVICE r07 precedent), so every registration here is
-verified-by-construction from its first commit. Round 13 fills this
-pen while activating the r12 one; round 14 flips the flag.
+The activation gate (``tests/oracle/test_staged_r13_parity.py`` +
+``STAGED_R13_ENABLED`` in ``queries.py``) pre-existed this content
+(ADVICE r07 precedent), so every registration below was
+verified-by-construction from its first commit. Round 13 flips the
+r12 flag; round 14 flips this one.
+
+Round-13 pen — 5 queries (deliberately small: the rotation ledger in
+BENCH_NOTES carries a re-check backlog through round 14; a small pen
+maximizes re-check slots), ALL with exact oracles:
+
+- **Streaming windowed APPROX-DISTINCT** (the r12-named lead):
+  streaming aggregation rejects ``COUNT(DISTINCT)`` outright
+  (measured AnalysisException, r11), so the streaming form of
+  per-window unique-user counting is ``approx_count_distinct`` —
+  HLL++ register state is commutative/associative, exactly the shape
+  micro-batch state maintenance needs. Registered with an EXACT
+  batch twin on the same watermark-admitted set: the emitted
+  windows, their row counts, and the exact distinct counts are all
+  oracle-recomputed; the HLL estimate itself is checked as an
+  error-bound BOOLEAN against the exact twin (bound chosen from
+  measured worst-case error — see the registration).
+- **Streaming QUARANTINE routing** (the other r12-named lead): the
+  ``sinks.quarantine_json_stream`` sink (unit-pinned r11) driven as
+  a registered query over the corrupt-orders fixture, including a
+  RESTART against the same checkpoint proving batch-id-partitioned
+  idempotence, with the same recovered-key audit as the batch
+  roundtrip.
+- **Per-source quality-gate DRIFT**: the dataset-card lead — the
+  same quality gate evaluated over two corpus GENERATIONS (the
+  second simulating a deterministic re-crawl truncation regression)
+  and diffed per source; the monitoring query a 100-TB ingest runs
+  between generations before promoting one.
+- **Running-DISTINCT window**: exact distinct-so-far over an
+  ordered per-user frame (``collect_set`` over a rows window —
+  the batch complement of the streaming approx-distinct) reduced to
+  time/events-to-full-coverage per user.
+- **Small-file COMPACTION roundtrip**: ``sinks.compact_files``
+  driven as a query over a deliberately fragmented 64-file artifact
+  — rows and decimal mass preserved exactly, file count reduced
+  (the operational failure mode of long-running ingestion).
+
+Leads evaluated and CLOSED in earlier rounds (do not rebuild):
+exact-integer mass diffusion + quarantine writer (r12 pen), the
+whole Python DataSource family incl. Arrow stream (r11/r12 pens),
+state-store reader surfaces (r12 pen), ``transformWithStateInPandas``
+(BLOCKED: hard ``google.protobuf`` import in this container, probed
+r11 — do not re-probe unless protobuf appears). The CSV/JSON
+path-only-keyed artifact migration to ``artifacts.artifact_root``
+landed in round 12 as a refactor of the LIVE queries (not a pen
+entry). A code-vs-prose text classifier was evaluated and dropped:
+the synthetic corpus has no code-like characters (measured — zero
+braces/semicolons/newlines), so the query would be degenerate.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
 decimals, every aggregate/computed column aliased identically in the
 Spark code and the DuckDB oracle.
-
-Candidate leads for round 13 (from round-11 loose ends — evaluate,
-don't assume):
-
-- **State-store reader is COMPLETE as of the r12 pen** (aPWS,
-  windowed agg, stream-stream join, state-metadata, batchId time
-  travel, growth curve, offset-log watermark audit).
-  ``snapshotStartBatchId`` was probed r11 and fails on 5-batch
-  HDFS checkpoints (no ``.snapshot`` written below
-  minDeltasForSnapshot) — only worth revisiting with a
-  deliberately long feed or a lowered snapshot threshold.
-- **Python DataSource family is COMPLETE** (tuple + Arrow batch
-  readers, pushFilters, schema-subset pruning, two-phase-commit
-  writer, simple + partitioned + ARROW-BATCH stream readers — the
-  last landed round 11 as ``pydatasource.CsvArrowStreamDataSource``,
-  unit-pinned value-identical to the tuple stream reader AND
-  registered with an exact oracle in the r12 pen
-  (``source_python_arrow_stream``) — nothing left on this surface.
-- **transformWithStateInPandas** remains BLOCKED in this container
-  (hard ``google.protobuf`` import, probed r11) — do not re-probe
-  unless protobuf appears in the image.
-- TWO of the original round-13 leads landed in the r12 pen already
-  (round 11 had slack under the ≤15 cap): exact-integer mass
-  diffusion (``graph.integer_mass_diffusion`` +
-  ``graph_mass_diffusion``, conservation property-pinned) and the
-  quarantine writer (``sinks.quarantine_json`` +
-  ``source_quarantine_roundtrip``, DLQ repaired-and-recovered
-  audit). Do NOT rebuild them.
-- Remaining lead: windowed DISTINCT aggregation in streams —
-  streaming aggs reject COUNT(DISTINCT) outright (measured
-  AnalysisException, see ``source_python_arrow_stream``'s
-  docstring); the streaming form is ``approx_count_distinct`` over
-  event-time windows, registered rows-only-with-invariant-companion
-  or checked via an exact batch twin on the same admitted set.
-- Other candidates: a streaming foreachBatch QUARANTINE query — the
-  SINK already exists and is unit-pinned
-  (``sinks.quarantine_json_stream``: batch-id-partitioned dynamic
-  overwrite, restart-idempotent, valid-all-null objects stay good);
-  registering it is a cheap slot like the arrow stream reader was.
-  Also: migrate the path-only-keyed CSV/JSON table copies
-  (``queries.source_csv_roundtrip``'s ``rsqes_csv_{digest}`` dir,
-  shared by ``pydatasource.ensure_customer_csv``) to the
-  mtime+size-keyed ``artifacts.artifact_root`` machinery — an
-  in-place corpus regen currently serves them stale (the r12
-  ``badjson`` fixture already made the switch; keep the two CSV
-  users sharing ONE artifact when migrating). Also: per-domain
-  quality-gate drift (the dataset card diffed
-  across two corpus generations), and a bucketed-broadcast hybrid
-  similarity join if any plan audit surfaces a shuffle worth
-  removing.
 """
 
 from __future__ import annotations
 
-from rs_query_engine_spark.queries import QueryFn
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.queries import QueryFn, _t
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
@@ -96,3 +95,559 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed approx-distinct + its exact batch twin
+# ---------------------------------------------------------------------------
+
+# Error bound for the HLL++ estimate vs the exact twin, as (relative
+# denominator, absolute slack): ok iff 4*|approx-exact| <= exact OR
+# |approx-exact| <= 4. Chosen from measured worst-case per-hourly-
+# window error of approx_count_distinct (default rsd 0.05) on this
+# corpus: abs<=3 at sf0.01 (max card 28), rel<=10.8% at sf0.1 (max
+# card 166) — the bound is 2x the measured worst on each axis.
+_ACD_REL_DEN = 4
+_ACD_ABS_SLACK = 4
+
+
+@register_staged(
+    "stream_window_approx_distinct",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+    ), m AS (SELECT MAX(ts) AS mx FROM e),
+    a1 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 5 DAY AND ts <= mx - INTERVAL 3 DAY),
+    a2 AS (SELECT e.* FROM e, m
+           WHERE ts > mx - INTERVAL 3 DAY AND ts <= mx - INTERVAL 2 DAY),
+    b AS (SELECT e.* FROM e, m WHERE ts <= mx - INTERVAL 5 DAY),
+    c AS (SELECT e.* FROM e, m WHERE ts > mx - INTERVAL 2 DAY),
+    wa AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM a1),
+    wf AS (SELECT date_trunc('milliseconds', MAX(ts))
+                  - INTERVAL 84 HOUR AS w FROM c),
+    accepted AS (
+        SELECT ts, user_id FROM a1
+        UNION ALL SELECT ts, user_id FROM a2
+        UNION ALL SELECT ts, user_id FROM c
+        UNION ALL SELECT b.ts, b.user_id FROM b, wa
+        WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wa.w
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users_exact
+        FROM accepted GROUP BY 1
+    )
+    SELECT g.window_start, g.n_events, g.n_users_exact,
+           TRUE AS approx_within_bound
+    FROM agg g, wf
+    WHERE g.window_start + INTERVAL 1 HOUR <= wf.w
+    """,
+)
+def stream_window_approx_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming per-window UNIQUE-USER counting — the operator a
+    100-TB event pipeline actually runs, because streaming
+    aggregation REJECTS ``COUNT(DISTINCT)`` outright (measured
+    AnalysisException r11: exact distinct state is unbounded per
+    group and non-mergeable across micro-batches). The streaming form
+    is ``approx_count_distinct``: HLL++ registers are fixed-size,
+    order-insensitive (register-wise max is commutative/associative),
+    and merge across batches exactly like any other streaming agg
+    state — per-window state is O(sketch), not O(users).
+
+    Verification is two-sided. The 4-file late feed replays
+    out-of-order arrival under the 84-hour watermark
+    (``ensure_late_feed``'s measured admission arithmetic — the
+    ``stream_late_data_drop`` semantics, here grouped by window
+    only); the oracle recomputes the EMITTED WINDOW SET, each
+    window's admitted row count, and its exact distinct-user count in
+    SQL. The HLL estimate itself — the one column SQL cannot
+    reproduce — is checked as an error-bound boolean against an exact
+    batch twin computed on the SAME admitted set (integer arithmetic:
+    ``4*|a-e| <= e`` or ``|a-e| <= 4``, 2x the measured worst-case
+    error at both test SFs; a drift past the bound flips the column
+    to FALSE and fails the hash gate). The inner join on
+    ``window_start`` doubles as a set check: a window emitted by only
+    one side changes the row count.
+
+    Scale: state is bounded by the lateness horizon × sketch size;
+    the exact twin is the batch backfill job such pipelines pair with
+    the stream (lambda-style), sharing the admission rule so the two
+    are comparable."""
+    from rs_query_engine_spark.streaming.events import (
+        LATE_DELAY,
+        ensure_late_feed,
+        run_stream_to_memory,
+    )
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("n_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_approx", "n_events")
+    )
+    emitted = run_stream_to_memory(
+        agg, "stream_window_approx_distinct", output_mode="append"
+    )
+
+    # exact twin on the SAME admitted set: replay the feed's admission
+    # arithmetic in batch (1-row max aggregates broadcast — no
+    # driver-side collect)
+    ev = spark.read.parquet(feed).select("ts", "user_id")
+    mx = F.broadcast(ev.agg(F.max("ts").alias("mx")))
+    j = ev.crossJoin(mx)
+    a_lo = F.col("mx") - F.expr("INTERVAL 5 DAYS")
+    a_mid = F.col("mx") - F.expr("INTERVAL 3 DAYS")
+    a_hi = F.col("mx") - F.expr("INTERVAL 2 DAYS")
+    wa = F.broadcast(
+        j.filter((F.col("ts") > a_lo) & (F.col("ts") <= a_mid)).agg(
+            (
+                F.date_trunc("millisecond", F.max("ts"))
+                - F.expr("INTERVAL 84 HOURS")
+            ).alias("wa")
+        )
+    )
+    wf = F.broadcast(
+        j.filter(F.col("ts") > a_hi).agg(
+            (
+                F.date_trunc("millisecond", F.max("ts"))
+                - F.expr("INTERVAL 84 HOURS")
+            ).alias("wf")
+        )
+    )
+    ontime = j.filter(F.col("ts") > a_lo).select("ts", "user_id")
+    late_ok = (
+        j.filter(F.col("ts") <= a_lo)
+        .crossJoin(wa)
+        .filter(
+            F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+            > F.col("wa")
+        )
+        .select("ts", "user_id")
+    )
+    exact = (
+        ontime.unionByName(late_ok)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+        .crossJoin(wf)
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.col("wf"))
+        .select("window_start", "n_users_exact")
+    )
+    diff = F.abs(F.col("n_approx") - F.col("n_users_exact"))
+    return emitted.join(exact, "window_start").select(
+        "window_start",
+        "n_events",
+        "n_users_exact",
+        (
+            (diff * _ACD_REL_DEN <= F.col("n_users_exact"))
+            | (diff <= _ACD_ABS_SLACK)
+        ).alias("approx_within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quarantine routing (the sink landed r11, unit-pinned in
+# tests/unit/test_sinks.py; this registers it as a driver-visible
+# query with the recovered-key audit)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "stream_quarantine_routing",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (o_orderkey % 97 <> 0) AS BIGINT)
+               AS n_good,
+           CAST(COUNT(*) FILTER (o_orderkey % 97 = 0) AS BIGINT)
+               AS n_dlq,
+           CAST(CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                        THEN CAST(o_totalprice AS DECIMAL(14,2)) END)
+                AS VARCHAR) AS DOUBLE) AS sum_price_good,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0
+                    THEN o_orderkey ELSE 0 END) AS BIGINT)
+               AS recovered_key_sum
+    FROM orders
+    """,
+)
+def stream_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dead-letter routing as a query —
+    ``sinks.quarantine_json_stream`` (the incremental twin of the
+    batch quarantine writer) driven over the corrupt-orders fixture
+    arriving one file per micro-batch, then RESTARTED against the
+    same checkpoint with no new data: the batch-id-partitioned
+    dynamic-overwrite contract means the restart must change nothing
+    — the read-back audit after both runs equals the single-run
+    truth, which is what the oracle recomputes from the clean parquet
+    via the fixture's deterministic corruption rule (every 97th key's
+    record loses its closing brace). The DLQ side is REPAIRED in
+    place (``from_json(raw || '}')``) and the recovered keys' sum
+    proves the quarantine preserved the original bytes.
+
+    Together with ``source_quarantine_roundtrip`` (batch writer) and
+    ``source_corrupt_records_audit`` (read-side gate) this closes the
+    ingest-edge contract for the UNBOUNDED case: good ∪ dlq = input
+    across micro-batch replay and restart, disjointly, repairable.
+
+    Sink/checkpoint paths are keyed by fixture digest AND this
+    session's applicationId (the concurrent-session rule the batch
+    roundtrip follows); each invocation within a session reuses the
+    checkpoint, so re-runs are themselves restarts — more of the
+    semantics under test."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.queries_staged_r12 import (
+        _ensure_corrupt_orders_json,
+    )
+    from rs_query_engine_spark.sources.sinks import quarantine_json_stream
+
+    raw = _ensure_corrupt_orders_json(spark, sf_dir)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string"
+    )
+    digest = hashlib.md5(raw.encode()).hexdigest()[:16]
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), f"rsqes_squarantine_{digest}_{app_id}"
+    )
+    good_path = os.path.join(base, "good")
+    dlq_path = os.path.join(base, "dlq")
+    ck = os.path.join(base, "ck")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(raw)
+        )
+        quarantine_json_stream(stream, schema, good_path, dlq_path, ck)
+
+    run_once()
+    run_once()  # restart, same checkpoint: must be a no-op
+
+    good = spark.read.parquet(good_path)
+    repaired = spark.read.parquet(dlq_path).select(
+        F.from_json(F.concat(F.col("value"), F.lit("}")), schema).alias("r")
+    )
+    g = good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_price_good"),
+    )
+    b = repaired.agg(
+        F.count(F.lit(1)).alias("n_dlq"),
+        F.coalesce(F.sum("r.o_orderkey"), F.lit(0))
+        .cast("bigint")
+        .alias("recovered_key_sum"),
+    )
+    return g.crossJoin(b).select(
+        "n_good", "n_dlq", "sum_price_good", "recovered_key_sum"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-gate drift across two corpus generations
+# ---------------------------------------------------------------------------
+
+# Generation B simulates a deterministic re-crawl regression: every
+# 7th document's text is truncated to its first 40 characters (a
+# extractor/boundary bug — the commonest real re-crawl failure). The
+# gate is a simple minimum-length admission; both constants fold into
+# the oracle below and the Spark code, so they cannot drift apart.
+_DRIFT_TRUNC_MOD = 7
+_DRIFT_TRUNC_LEN = 40
+_DRIFT_GATE_MIN_CHARS = 120
+_DRIFT_ALERT = 0.05  # flag a source when its pass rate drops >5 pts
+
+
+@register_staged(
+    "quality_gate_drift",
+    oracle=f"""
+    WITH g AS (
+        SELECT source,
+               CAST(length(text) >= {_DRIFT_GATE_MIN_CHARS} AS INT)
+                   AS pass_a,
+               CAST(length(CASE WHEN doc_id % {_DRIFT_TRUNC_MOD} = 0
+                                THEN substring(text, 1, {_DRIFT_TRUNC_LEN})
+                                ELSE text END)
+                    >= {_DRIFT_GATE_MIN_CHARS} AS INT) AS pass_b
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(pass_a) AS BIGINT) AS n_pass_a,
+           CAST(SUM(pass_b) AS BIGINT) AS n_pass_b,
+           (CAST(SUM(pass_b) AS DOUBLE) - CAST(SUM(pass_a) AS DOUBLE))
+               / CAST(COUNT(*) AS DOUBLE) AS rate_drift,
+           (CAST(SUM(pass_a) AS DOUBLE) - CAST(SUM(pass_b) AS DOUBLE))
+               / CAST(COUNT(*) AS DOUBLE) > {_DRIFT_ALERT} AS regressed
+    FROM g GROUP BY source
+    """,
+)
+def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUALITY-GATE DRIFT between two corpus generations —
+    the promotion gate a 100-TB ingest runs before swapping a
+    re-crawl in: generation A is the corpus as-is, generation B is a
+    deterministic simulated regression (every {mod}th document
+    truncated to {len} chars — an extractor boundary bug), and the
+    same minimum-length admission gate is evaluated over both. Output
+    per source: document volume, pass counts for both generations,
+    the signed pass-rate drift, and the alert flag (drop > {alert}
+    pts). A regressed source blocks promotion of ITS slice only —
+    drift is computed per source precisely so one broken extractor
+    doesn't hide inside a corpus-wide average.
+
+    Float discipline: the two pass counts are exact integers; the
+    drift is one integer-difference-as-double divided by the count —
+    a single IEEE division, bit-identical in both engines. Both
+    generations ride ONE scan (the truncation is a projected CASE,
+    not a second table), so the diff costs the same as the card."""
+    d = _t(spark, sf_dir, "documents")
+    text_b = F.when(
+        F.col("doc_id") % _DRIFT_TRUNC_MOD == 0,
+        F.substring(F.col("text"), 1, _DRIFT_TRUNC_LEN),
+    ).otherwise(F.col("text"))
+    g = d.select(
+        "source",
+        (F.length("text") >= _DRIFT_GATE_MIN_CHARS).cast("int").alias("pass_a"),
+        (F.length(text_b) >= _DRIFT_GATE_MIN_CHARS).cast("int").alias("pass_b"),
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass_a").alias("n_pass_a"),
+        F.sum("pass_b").alias("n_pass_b"),
+        (
+            (
+                F.sum("pass_b").cast("double")
+                - F.sum("pass_a").cast("double")
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("rate_drift"),
+        (
+            (
+                F.sum("pass_a").cast("double")
+                - F.sum("pass_b").cast("double")
+            )
+            / F.count(F.lit(1)).cast("double")
+            > F.lit(_DRIFT_ALERT)
+        ).alias("regressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running-distinct window (exact distinct-so-far over an ordered frame)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "window_running_distinct",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, ts,
+               COUNT(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_types,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM e
+    ),
+    t AS (
+        SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+        FROM e GROUP BY user_id
+    )
+    SELECT r.user_id, t.n_types,
+           MIN(r.ts) AS first_full_ts,
+           MIN(r.rn) AS n_events_to_full
+    FROM r JOIN t USING (user_id)
+    WHERE r.running_types = t.n_types
+    GROUP BY r.user_id, t.n_types
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT running-distinct over an ordered per-user frame — the
+    batch complement of ``stream_window_approx_distinct``'s sketch:
+    ``collect_set`` over a rows window gives distinct-so-far, reduced
+    here to TIME-TO-FULL-COVERAGE per user (the first event at which
+    the user has exhibited every event type they will ever exhibit,
+    and how many events that took). The frame order is made total by
+    the (ts, event_id) tie-break, so the answer is deterministic.
+
+    This is the user-maturity/feature-completeness query of an event
+    warehouse (e.g. "how long until a user has touched every surface"),
+    and it pins the window-function semantics SQL calls
+    ``COUNT(DISTINCT) OVER`` — which Spark spells as
+    ``size(collect_set() OVER)`` because its window aggregates don't
+    take DISTINCT; the oracle uses the native spelling, so a hash-PASS
+    proves the translation exact.
+
+    Scale shape: ONE shuffle total. The per-user total is NOT a
+    separate ``countDistinct`` + join (which would cost a distinct
+    expand, a second shuffle, and a join) — it's a whole-partition
+    frame over the SAME window partitioning, so the running frame,
+    the total, and the row number all ride one Exchange + one Sort,
+    and the final group-by(user_id, …) is satisfied by that same
+    partitioning (plan-pinned in test_plan_properties.py). The
+    collect_set state per frame is bounded by the event-type
+    alphabet, not event volume."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(frame)).alias("running_types"),
+        F.size(F.collect_set("event_type").over(whole))
+        .cast("bigint")
+        .alias("n_types"),
+        F.row_number().over(order).cast("bigint").alias("rn"),
+    )
+    return (
+        r.filter(F.col("running_types") == F.col("n_types"))
+        .groupBy("user_id", "n_types")
+        .agg(
+            F.min("ts").alias("first_full_ts"),
+            F.min("rn").alias("n_events_to_full"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction roundtrip
+# ---------------------------------------------------------------------------
+
+_COMPACT_FRAG_FILES = 64
+_COMPACT_TARGET_BYTES = 1024 * 1024  # 1 MiB — small so every SF compacts
+
+
+def _ensure_fragmented_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately OVER-FRAGMENTED parquet copy of three lineitem
+    columns (64 round-robin files regardless of size — the streaming-
+    sink/per-trigger-file pathology), built once per corpus generation
+    through the standard mtime+size-keyed atomic install."""
+    import os
+
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
+    root = artifact_root(src, "fragli", f"n={_COMPACT_FRAG_FILES}|cols=3")
+    path = os.path.join(root, "frag")
+
+    def complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "frag", "_SUCCESS"))
+
+    if complete(root):
+        return path
+
+    def write(tmp: str) -> None:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_extendedprice"
+        )
+        li.repartition(_COMPACT_FRAG_FILES).write.parquet(
+            os.path.join(tmp, "frag")
+        )
+
+    install_artifact(root, "fragli", src, write, complete)
+    return path
+
+
+@register_staged(
+    "maintenance_compact_small_files",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+                AS VARCHAR) AS DOUBLE) AS sum_price,
+           TRUE AS files_reduced
+    FROM lineitem
+    """,
+)
+def maintenance_compact_small_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SMALL-FILE COMPACTION roundtrip — ``sinks.compact_files``
+    driven as a query: a 64-file over-fragmented lineitem copy (the
+    per-trigger-file pathology of long-running streaming ingestion)
+    is rewritten toward 1 MiB target files, and the output is audited
+    for the two things compaction must preserve and the one thing it
+    must change: exact row count, decimal-exact price mass, and a
+    REDUCED file count (``files_reduced`` is computed from the real
+    before/after directory listings — metadata-only driver-side
+    reads, the same bounded class as the artifact-build collects; a
+    compaction that failed to reduce flips it FALSE and fails the
+    hash gate, since file counts themselves are environment-dependent
+    and not SQL-expressible). Every invocation re-runs the compaction
+    (writing is the surface — the quarantine-writer precedent); the
+    output path is applicationId-keyed per the concurrent-session
+    rule.
+
+    At 100 TB this is THE table-maintenance operator: every file
+    costs a task + listing metadata, and the rewrite here is one
+    bounded round-robin shuffle sized from file-index metadata — run
+    per partition-directory in production, as the sink's docstring
+    prescribes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.sources.sinks import compact_files
+
+    frag = _ensure_fragmented_lineitem(spark, sf_dir)
+    n_before = sum(
+        f.endswith(".parquet")
+        for f in os.listdir(frag)
+        if not f.startswith(("_", "."))
+    )
+    digest = hashlib.md5(frag.encode()).hexdigest()[:16]
+    app_id = spark.sparkContext.applicationId
+    dst = os.path.join(
+        tempfile.gettempdir(), f"rsqes_compactli_{digest}_{app_id}"
+    )
+    n_after = compact_files(
+        spark, frag, dst, target_file_bytes=_COMPACT_TARGET_BYTES
+    )
+    return spark.read.parquet(dst).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_price"),
+        F.lit(n_after < n_before).alias("files_reduced"),
+    )

@@ -1135,3 +1135,38 @@ def test_mass_diffusion_no_cartesian(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_running_distinct_single_shuffle_no_join(spark):
+    """window_running_distinct's value IS its plan: the running
+    frame, the whole-partition total, and the row number all share
+    one user_id Exchange + Sort, the per-user total is a frame (not
+    a countDistinct + join — that shape costs a distinct expand, a
+    second shuffle, and a join), and the final group-by is satisfied
+    by the window's partitioning. Exactly ONE hash exchange, one
+    Window node, zero joins."""
+    import re
+
+    from rs_query_engine_spark import queries_staged_r13 as r13
+
+    df = r13.queries()["window_running_distinct"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
+    assert plan.count("Window [") == 1
+    assert "Join" not in plan
+    # pruned scan: only the four referenced event columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_quality_gate_drift_single_scan_partial_agg(spark):
+    """Both corpus generations ride ONE documents scan (generation B
+    is a projected CASE, never a second read) with map-side partial
+    aggregation before the single source-keyed exchange."""
+    from rs_query_engine_spark import queries_staged_r13 as r13
+
+    df = r13.queries()["quality_gate_drift"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
