@@ -2923,21 +2923,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV end-to-end through the catalog — the reference's ONLY input
     format (``src/datasource/csv_table.rs:44-72``): the customer table
-    is materialized as CSV once (stable temp dir, skipped when
-    present), registered via ``Catalog.register_csv`` with an explicit
-    schema (inference would downgrade bigint→int), filtered, and
-    compared against the parquet original — proving the CSV round trip
-    preserves values exactly (doubles survive via shortest-repr)."""
+    is materialized as CSV once per corpus GENERATION
+    (``pydatasource.ensure_customer_csv`` — the one artifact shared
+    with every Python DataSource reader, mtime+size-keyed since r12 so
+    an in-place corpus regen can never serve it stale), registered via
+    ``Catalog.register_csv`` with an explicit schema (inference would
+    downgrade bigint→int), filtered, and compared against the parquet
+    original — proving the CSV round trip preserves values exactly
+    (doubles survive via shortest-repr)."""
     import os
-    import tempfile
 
     from rs_query_engine_spark.catalog import Catalog
-    from rs_query_engine_spark.sources.sinks import write_csv
+    from rs_query_engine_spark.sources.pydatasource import (
+        ensure_customer_csv,
+    )
 
+    path = ensure_customer_csv(spark, sf_dir)
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"rsqes_csv_{digest}", "customer")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_csv(_t(spark, sf_dir, "customer"), path, coalesce_files=4)
     cat = Catalog(spark)
     csv_df = cat.register_csv(
         f"customer_csv_{digest}",
@@ -3247,6 +3249,52 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """The hive-partitioned events copy + the 5-row event-type dim —
+    ONE artifact shared by ``source_partition_pruning`` and
+    ``join_dynamic_partition_pruning``, keyed through the standard
+    mtime+size ``artifacts.artifact_root`` machinery (migrated r12
+    from the path-only ``_SUCCESS`` convention: an in-place corpus
+    regen used to serve the copies stale). Returns the base dir
+    containing ``events`` and ``etype_dim``."""
+    import os
+
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+    from rs_query_engine_spark.sources.sinks import write_parquet
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    root = artifact_root(src, "evpart", "by=event_type|files=4|dim=5boost")
+
+    def complete(r: str) -> bool:
+        return os.path.exists(
+            os.path.join(r, "events", "_SUCCESS")
+        ) and os.path.exists(os.path.join(r, "etype_dim", "_SUCCESS"))
+
+    if complete(root):
+        return root
+
+    def write(tmp: str) -> None:
+        write_parquet(
+            _t(spark, sf_dir, "events"),
+            os.path.join(tmp, "events"),
+            partition_by=["event_type"],
+            coalesce_files=4,
+        )
+        spark.sql(
+            "SELECT * FROM VALUES ('purchase', 10.0D), ('error', 5.0D), "
+            "('view', 0.0D), ('click', 0.5D), ('signup', 0.1D) "
+            "AS t(etype, boost)"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "etype_dim")
+        )
+
+    install_artifact(root, "evpart", src, write, complete)
+    return root
+
+
 @register(
     "source_partition_pruning",
     oracle="""
@@ -3260,25 +3308,16 @@ def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     lever at 100 TB: a filter on the partition column never opens the
     other partitions' files (directory-level skip, no footer reads),
     where the same filter on the unpartitioned original is a row-group
-    skip at best. The events table is materialized once partitioned by
-    event_type (stable temp dir, skipped when present); the query
-    filters one partition value plus a residual predicate, and the
-    plan test asserts the value lands in PartitionFilters (pruning),
-    not PushedFilters (row filtering). Partition-column values
-    round-trip through directory names, so the oracle is the plain
-    filter on the original table."""
+    skip at best. The events table is materialized once per corpus
+    generation partitioned by event_type
+    (``_ensure_events_partitioned``); the query filters one partition
+    value plus a residual predicate, and the plan test asserts the
+    value lands in PartitionFilters (pruning), not PushedFilters (row
+    filtering). Partition-column values round-trip through directory
+    names, so the oracle is the plain filter on the original table."""
     import os
-    import tempfile
 
-    from rs_query_engine_spark.sources.sinks import write_parquet
-
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"rsqes_part_{digest}", "events")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_parquet(
-            _t(spark, sf_dir, "events"), path,
-            partition_by=["event_type"], coalesce_files=4,
-        )
+    path = os.path.join(_ensure_events_partitioned(spark, sf_dir), "events")
     ev = spark.read.parquet(path)
     return ev.filter(
         (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
@@ -3837,21 +3876,38 @@ def agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines end-to-end through the catalog (the third source
     format after parquet and the reference's CSV): the documents table
-    is materialized as JSONL once (stable temp dir, skipped when
-    present), registered via ``Catalog.register_json`` with an explicit
+    is materialized as JSONL once per corpus generation (mtime+size-
+    keyed atomic install since r12 — no stale serve after an in-place
+    regen), registered via ``Catalog.register_json`` with an explicit
     schema (inference would cost a second scan at 100 TB), filtered,
     and compared against the parquet original — JSON string escaping
     and int64 fidelity survive the trip."""
     import os
-    import tempfile
 
     from rs_query_engine_spark.catalog import Catalog
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
     from rs_query_engine_spark.sources.sinks import write_json
 
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    root = artifact_root(src, "jsondocs", "files=4")
+    path = os.path.join(root, "documents")
+
+    def _complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "documents", "_SUCCESS"))
+
+    if not _complete(root):
+        def _write(tmp: str) -> None:
+            write_json(
+                _t(spark, sf_dir, "documents"),
+                os.path.join(tmp, "documents"),
+                coalesce_files=4,
+            )
+
+        install_artifact(root, "jsondocs", src, _write, _complete)
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"rsqes_json_{digest}", "documents")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_json(_t(spark, sf_dir, "documents"), path, coalesce_files=4)
     cat = Catalog(spark)
     jdf = cat.register_json(
         f"documents_json_{digest}",
@@ -4908,29 +4964,15 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     partition. The dim must be a FILE-backed relation with a real
     Filter node (a VALUES LocalRelation constant-folds and defeats the
     selective-predicate check — found the hard way); both the
-    partitioned events copy and the 5-row dim parquet are materialized
-    once in the stable temp dir. Plan test asserts ``dynamicpruning``
-    on the fact scan."""
+    partitioned events copy and the 5-row dim parquet live in ONE
+    mtime+size-keyed artifact shared with ``source_partition_pruning``
+    (``_ensure_events_partitioned``). Plan test asserts
+    ``dynamicpruning`` on the fact scan."""
     import os
-    import tempfile
 
-    from rs_query_engine_spark.sources.sinks import write_parquet
-
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), f"rsqes_part_{digest}")
+    base = _ensure_events_partitioned(spark, sf_dir)
     path = os.path.join(base, "events")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_parquet(
-            _t(spark, sf_dir, "events"), path,
-            partition_by=["event_type"], coalesce_files=4,
-        )
     dimp = os.path.join(base, "etype_dim")
-    if not os.path.exists(os.path.join(dimp, "_SUCCESS")):
-        spark.sql(
-            "SELECT * FROM VALUES ('purchase', 10.0D), ('error', 5.0D), "
-            "('view', 0.0D), ('click', 0.5D), ('signup', 0.1D) "
-            "AS t(etype, boost)"
-        ).coalesce(1).write.mode("overwrite").parquet(dimp)
     ev = spark.read.parquet(path)
     dim = spark.read.parquet(dimp).filter(F.col("boost") > 1.0)
     return (
@@ -6089,28 +6131,41 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature a long-lived 100-TB corpus needs: generation v1 wrote
     (doc_id, n_chars), generation v2 added a ``lang`` column; reading
     both with ``mergeSchema`` unions the schemas by name and
-    null-fills the column where it predates the writer. Materialized
-    once per sf_dir (the source_csv_roundtrip artifact pattern), and
-    the oracle derives the identical frame from the ORIGINAL table —
-    proving the evolved read loses/invents nothing. At scale
-    mergeSchema's footer sampling is the cheap path (schema from a
-    handful of files), versus a metastore-declared schema which this
-    read does not require."""
+    null-fills the column where it predates the writer. Both
+    generations live in ONE mtime+size-keyed artifact (migrated r12
+    from the path-only ``_SUCCESS`` convention — no stale serve after
+    an in-place corpus regen), and the oracle derives the identical
+    frame from the ORIGINAL table — proving the evolved read
+    loses/invents nothing. At scale mergeSchema's footer sampling is
+    the cheap path (schema from a handful of files), versus a
+    metastore-declared schema which this read does not require."""
     import os
-    import tempfile
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), f"rsqes_evo_{digest}")
-    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
-    d = _t(spark, sf_dir, "documents")
-    if not os.path.exists(os.path.join(v1, "_SUCCESS")):
-        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
-            "overwrite"
-        ).parquet(v1)
-    if not os.path.exists(os.path.join(v2, "_SUCCESS")):
-        d.filter(F.col("doc_id") % 2 == 1).select(
-            "doc_id", "n_chars", "lang"
-        ).write.mode("overwrite").parquet(v2)
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    root = artifact_root(src, "evodocs", "split=doc_id%2|v2adds=lang")
+    v1, v2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+
+    def _complete(r: str) -> bool:
+        return os.path.exists(
+            os.path.join(r, "v1", "_SUCCESS")
+        ) and os.path.exists(os.path.join(r, "v2", "_SUCCESS"))
+
+    if not _complete(root):
+        def _write(tmp: str) -> None:
+            d = _t(spark, sf_dir, "documents")
+            d.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id", "n_chars"
+            ).write.parquet(os.path.join(tmp, "v1"))
+            d.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", "n_chars", "lang"
+            ).write.parquet(os.path.join(tmp, "v2"))
+
+        install_artifact(root, "evodocs", src, _write, _complete)
     return (
         spark.read.option("mergeSchema", "true")
         .parquet(v1, v2)

@@ -246,19 +246,39 @@ def ensure_python_filter_pushdown(spark) -> None:
 
 
 def ensure_customer_csv(spark, sf_dir: str) -> str:
-    """The customer-table CSV artifact (same stable path and contents
-    as source_csv_roundtrip's — shared so both the JVM and the Python
-    reader scan the identical files)."""
-    import hashlib
-    import tempfile
+    """The customer-table CSV artifact — the ONE copy shared by the
+    JVM reader (``queries.source_csv_roundtrip``) and every Python
+    DataSource reader, so all of them scan identical files.
 
+    Keyed through the standard mtime+size ``artifacts.artifact_root``
+    machinery (migrated r12 from the path-only ``_SUCCESS``
+    convention: an in-place corpus regen used to serve the old copy
+    stale — the bug class the r12 ``badjson`` fixture first fixed)."""
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
     from rs_query_engine_spark.sources.corpus import load_table
     from rs_query_engine_spark.sources.sinks import write_csv
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"rsqes_csv_{digest}", "customer")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_csv(load_table(spark, sf_dir, "customer"), path, coalesce_files=4)
+    src = os.path.join(os.path.abspath(sf_dir), "customer.parquet")
+    root = artifact_root(src, "csvcust", "files=4")
+    path = os.path.join(root, "customer")
+
+    def complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "customer", "_SUCCESS"))
+
+    if complete(root):
+        return path
+
+    def write(tmp: str) -> None:
+        write_csv(
+            load_table(spark, sf_dir, "customer"),
+            os.path.join(tmp, "customer"),
+            coalesce_files=4,
+        )
+
+    install_artifact(root, "csvcust", src, write, complete)
     return path
 
 
