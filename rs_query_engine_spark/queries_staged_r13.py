@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r13_parity.py`` +
 verified-by-construction from its first commit. Round 13 flips the
 r12 flag; round 14 flips this one.
 
-Round-13 pen — 5 queries (deliberately small: the rotation ledger in
+Round-13 pen — 6 queries (deliberately small: the rotation ledger in
 BENCH_NOTES carries a re-check backlog through round 14; a small pen
 maximizes re-check slots), ALL with exact oracles:
 
@@ -36,6 +36,11 @@ maximizes re-check slots), ALL with exact oracles:
   ordered per-user frame (``collect_set`` over a rows window —
   the batch complement of the streaming approx-distinct) reduced to
   time/events-to-full-coverage per user.
+- **DYNAMIC-GAP session windows**: ``session_window`` with a
+  per-event inactivity timeout (purchase holds a session open 3x
+  longer) through Spark's native MergingSessions operator; the
+  oracle replays the measured merge recurrence (an event at exactly
+  the previous reach still merges) as gaps-and-islands SQL.
 - **Small-file COMPACTION roundtrip**: ``sinks.compact_files``
   driven as a query over a deliberately fragmented 64-file artifact
   — rows and decimal mass preserved exactly, file count reduced
@@ -448,6 +453,103 @@ def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
             > F.lit(_DRIFT_ALERT)
         ).alias("regressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "events_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(ts AS TIMESTAMP)
+               + CASE WHEN event_type = 'purchase'
+                      THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 10 MINUTE END AS reach
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, reach, event_id,
+               CASE WHEN ts > MAX(reach) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, ts, reach,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, sid, COUNT(*) AS n_events,
+               date_diff('microsecond', MIN(ts), MAX(reach)) AS dur_us
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_event_sessions,
+           MAX(dur_us) AS longest_session_us
+    FROM per_session GROUP BY user_id
+    """,
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION WINDOWS with a DYNAMIC, per-event gap —
+    ``session_window(ts, gap_expr)`` where the inactivity timeout
+    depends on the event itself (purchases hold a session open 30
+    minutes, everything else 10): the sessionization policy real
+    event pipelines want (a checkout should not be cut by the
+    browse-grade timeout). Each event contributes the interval
+    ``[ts, ts + gap(event)]`` and overlapping-or-touching intervals
+    merge; measured semantics (pinned by probe): an event at EXACTLY
+    the previous session's end still merges, i.e. a new session
+    starts only when ``ts > max`` of all previous reaches — the
+    oracle replays precisely that recurrence as a gaps-and-islands
+    running max, then reduces per user to session count, the largest
+    session, the multi-event-session count, and the longest duration
+    in exact microseconds.
+
+    The gap expression must be a STRING/CalendarInterval expression —
+    a DayTimeIntervalType CASE is rejected (measured
+    AnalysisException; Spark requires CalendarIntervalType), so the
+    gap is spelled as interval STRINGS.
+
+    Scale shape: one user_id shuffle into Spark's native
+    SessionWindow merge (the same operator the streaming form uses,
+    state bounded per user by the open-session horizon); the per-user
+    reduction reuses that partitioning — no second corpus shuffle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    per_session = (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start")))
+            .alias("dur_us"),
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum((F.col("n_events") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_multi_event_sessions"),
+        F.max("dur_us").alias("longest_session_us"),
     )
 
 

@@ -1170,3 +1170,20 @@ def test_quality_gate_drift_single_scan_partial_agg(spark):
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") == 1
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_session_dynamic_gap_single_shuffle_native_merge(spark):
+    """Dynamic-gap sessionization must run through Spark's NATIVE
+    session-merge operator (MergingSessions — the same machinery the
+    streaming form uses), behind exactly one user_id exchange with
+    map-side partial aggregation below it and the per-user reduction
+    reusing that partitioning; no Python, no second corpus shuffle."""
+    import re
+
+    from rs_query_engine_spark import queries_staged_r13 as r13
+
+    df = r13.queries()["events_session_dynamic_gap"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MergingSessions" in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
+    assert "partial_count" in plan
