@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r13_parity.py`` +
 verified-by-construction from its first commit. Round 13 flips the
 r12 flag; round 14 flips this one.
 
-Round-13 pen — 6 queries (deliberately small: the rotation ledger in
+Round-13 pen — 7 queries (deliberately small: the rotation ledger in
 BENCH_NOTES carries a re-check backlog through round 14; a small pen
 maximizes re-check slots), ALL with exact oracles:
 
@@ -41,6 +41,9 @@ maximizes re-check slots), ALL with exact oracles:
   longer) through Spark's native MergingSessions operator; the
   oracle replays the measured merge recurrence (an event at exactly
   the previous reach still merges) as gaps-and-islands SQL.
+- **RANGE-CLUSTERED write layout**: ``repartitionByRange +
+  sortWithinPartitions`` (the poor-man's Z-order) with a distributed
+  per-file min/max disjointness + slice-pruning audit.
 - **Small-file COMPACTION roundtrip**: ``sinks.compact_files``
   driven as a query over a deliberately fragmented 64-file artifact
   — rows and decimal mass preserved exactly, file count reduced
@@ -646,6 +649,105 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_full_ts"),
             F.min("rn").alias("n_events_to_full"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-clustered write layout (the poor-man's Z-order)
+# ---------------------------------------------------------------------------
+
+_RANGE_CLUSTER_FILES = 8
+
+
+@register_staged(
+    "maintenance_range_cluster_layout",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+           MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+           TRUE AS files_disjoint,
+           TRUE AS slice_prunes
+    FROM events
+    """,
+)
+def maintenance_range_cluster_layout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RANGE-CLUSTERED write layout —
+    ``repartitionByRange(ts) + sortWithinPartitions(ts)``, the
+    poor-man's Z-order and THE file-skipping lever for time-filtered
+    scans at 100 TB: when files own disjoint ts ranges, a time-slice
+    predicate prunes at FILE level from footer min/max stats alone,
+    where the same data written round-robin forces every file open.
+    Each invocation rewrites the events table range-clustered
+    (writing is the surface; output applicationId-keyed), reads it
+    back, and audits the layout DISTRIBUTEDLY — per-file min/max/count
+    via ``input_file_name`` grouping, then two layout claims reduced
+    over that (file-count-sized, 8-row) stats frame: every adjacent
+    pair of ranges is disjoint (``files_disjoint`` — the lag compares
+    run on the tiny stats frame, never the corpus), and a 1-day slice
+    anchored at max(ts)-5d intersects strictly fewer files than exist
+    (``slice_prunes`` — the skipping the layout exists to buy). Row
+    count and exact ts bounds prove the rewrite lost nothing; a
+    layout regression flips a boolean and fails the hash gate (file
+    boundaries themselves are environment-shaped and not
+    SQL-expressible — the compact_files precedent).
+
+    ``repartitionByRange`` samples with a fixed seed, so the
+    boundaries — and both booleans — are deterministic for a given
+    corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    app_id = spark.sparkContext.applicationId
+    dst = os.path.join(
+        tempfile.gettempdir(), f"rsqes_rangeclust_{digest}_{app_id}"
+    )
+    (
+        ev.repartitionByRange(_RANGE_CLUSTER_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    back = spark.read.parquet(dst)
+    stats = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # single-partition window over the FILE-COUNT-sized stats frame
+    # (8 rows) — never over the corpus
+    prev_hi = F.lag("hi").over(Window.orderBy("lo", "f"))
+    slice_lo = F.col("mx") - F.expr("INTERVAL 5 DAYS")
+    slice_hi = F.col("mx") - F.expr("INTERVAL 4 DAYS")
+    audited = (
+        stats.withColumn("prev_hi", prev_hi)
+        .crossJoin(F.broadcast(back.agg(F.max("ts").alias("mx"))))
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.min("lo").alias("min_ts"),
+            F.max("hi").alias("max_ts"),
+            F.every(
+                F.col("prev_hi").isNull() | (F.col("prev_hi") < F.col("lo"))
+            ).alias("files_disjoint"),
+            (
+                F.count(
+                    F.when(
+                        (F.col("lo") <= slice_hi) & (F.col("hi") >= slice_lo),
+                        1,
+                    )
+                )
+                < F.count(F.lit(1))
+            ).alias("slice_prunes"),
+        )
+    )
+    return audited.select(
+        "n_rows", "min_ts", "max_ts", "files_disjoint", "slice_prunes"
     )
 
 
