@@ -266,6 +266,11 @@ def quarantine_json_stream(
     the same closed-books contract as the batch writer, now under
     micro-batch replay. Runs the stream to completion
     (availableNow-style drivers call ``processAllAvailable``)."""
+    # collision-checked ONCE, before the stream starts — a bad caller
+    # DDL must fail fast here, not surface per-batch wrapped in a
+    # StreamingQueryException
+    parse_schema = _corrupt_schema(schema_ddl, "_corrupt_record")
+
     def route(batch_df: DataFrame, batch_id: int) -> None:
         # the corrupt-record column rides INSIDE from_json's schema
         # (same PERMISSIVE contract as the batch sibling) — a valid
@@ -278,7 +283,7 @@ def quarantine_json_stream(
             "value",
             F.from_json(
                 F.col("value"),
-                _corrupt_schema(schema_ddl, "_corrupt_record"),
+                parse_schema,
                 {"columnNameOfCorruptRecord": "_corrupt_record"},
             ).alias("r"),
         )
