@@ -6383,15 +6383,16 @@ STAGED_R11_ENABLED = True
 STAGED_R12_ENABLED = False
 
 # Round-13 holding pen (``queries_staged_r13.py``): filled in round
-# 12 (7 queries, all exact-oracled — deliberately small so round-14
+# 12 (9 queries, all exact-oracled — deliberately small so round-14
 # re-check slots drain the rotation backlog: streaming windowed
 # approx-distinct with an exact admitted-set batch twin, the
 # streaming quarantine router with a restart-idempotence leg,
 # per-source quality-gate drift across two corpus generations, the
 # single-shuffle running-distinct window, dynamic-gap session
 # windows through the native MergingSessions operator, the
-# range-clustered write-layout audit, and the small-file compaction
-# roundtrip), locally hash-verified at
+# range-clustered write-layout audit, the small-file compaction
+# roundtrip, the native WITH RECURSIVE closure, and the SQL-UDF
+# pipeline), locally hash-verified at
 # sf0.001 + sf0.01 (tests/oracle/test_staged_r13_parity.py).
 # Round 14 flips this flag.
 STAGED_R13_ENABLED = False

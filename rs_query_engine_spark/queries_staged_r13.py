@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r13_parity.py`` +
 verified-by-construction from its first commit. Round 13 flips the
 r12 flag; round 14 flips this one.
 
-Round-13 pen — 7 queries (deliberately small: the rotation ledger in
+Round-13 pen — 9 queries (deliberately small: the rotation ledger in
 BENCH_NOTES carries a re-check backlog through round 14; a small pen
 maximizes re-check slots), ALL with exact oracles:
 
@@ -41,6 +41,13 @@ maximizes re-check slots), ALL with exact oracles:
   longer) through Spark's native MergingSessions operator; the
   oracle replays the measured merge recurrence (an event at exactly
   the previous reach still merges) as gaps-and-islands SQL.
+- **NATIVE RECURSIVE CTE**: Spark 4.x ``WITH RECURSIVE``
+  (UnionLoop) — bounded directed closure with walk multiplicity over
+  the acyclic near-dup pair graph; UNION-dedup recursion is rejected
+  by this build (measured), so the DAG + depth bound ARE the
+  termination discipline.
+- **SQL UDFs**: ``CREATE FUNCTION … RETURN expr`` (nesting probed
+  working) — inlined at analysis time, zero Python in the plan.
 - **RANGE-CLUSTERED write layout**: ``repartitionByRange +
   sortWithinPartitions`` (the poor-man's Z-order) with a distributed
   per-file min/max disjointness + slice-pruning audit.
@@ -456,6 +463,140 @@ def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
             > F.lit(_DRIFT_ALERT)
         ).alias("regressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (Spark 4.x WITH RECURSIVE / UnionLoop)
+# ---------------------------------------------------------------------------
+
+_REC_DEPTH = 4  # walk-length bound, folded into query and oracle
+
+
+def _recursive_closure_oracle() -> str:
+    from rs_query_engine_spark.queries import _MH_PAIRS_CTES
+
+    return rf"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    seeds AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    walk(node, dist) AS (
+        SELECT doc_id, 0 FROM seeds
+        UNION ALL
+        SELECT p.id_b, w.dist + 1
+        FROM walk w JOIN pairs p ON w.node = p.id_a
+        WHERE w.dist < {_REC_DEPTH}
+    )
+    SELECT node AS doc_id, MIN(dist) AS min_dist, COUNT(*) AS n_walks
+    FROM walk GROUP BY node
+    """
+
+
+@register_staged("graph_recursive_closure", oracle=_recursive_closure_oracle())
+def graph_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE recursion — Spark 4.x ``WITH RECURSIVE`` (probed
+    this build: UNION ALL recursion works; UNION dedup is rejected
+    with UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, measured): the bounded
+    descendant closure of the seed set over the DIRECTED near-dup
+    pair graph (edges id_a → id_b with id_a < id_b — acyclic by
+    construction, which is what makes UNION ALL recursion safe), with
+    WALK MULTIPLICITY: ``n_walks`` counts the distinct bounded walks
+    reaching each node — the path-weight signal `graph_mass_diffusion`
+    diffuses, here exact per node — and ``min_dist`` the minimal hop
+    count. The oracle is the SAME recursion in DuckDB over the
+    proven ``pairs`` CTE.
+
+    This differs from ``graph_bfs_contamination`` on BOTH axes: the
+    semantics (directed closure + multiplicity, vs undirected minimal
+    levels) and the execution (Catalyst's UnionLoop operator drives
+    the iteration inside ONE query plan, vs the Python-side frontier
+    loop in ``operators/graph.py`` — the driver never re-enters).
+    Termination discipline at scale: UNION ALL recursion NEVER
+    deduplicates, so it is safe only on DAG edges with a depth bound
+    (both present here — the bound also caps walk blowup); on cyclic
+    graphs use the operators/graph.py loop, whose settled-set
+    anti-join is the dedup the SQL form lacks."""
+    from rs_query_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    # re-registered per invocation so each SF binds its own edge set
+    pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("dst")
+    ).createOrReplaceTempView("rsqes_rec_edges")
+    d.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id"
+    ).createOrReplaceTempView("rsqes_rec_seeds")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(node, dist) AS (
+            SELECT doc_id, 0 FROM rsqes_rec_seeds
+            UNION ALL
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN rsqes_rec_edges e ON w.node = e.s
+            WHERE w.dist < {_REC_DEPTH}
+        )
+        SELECT node AS doc_id, MIN(dist) AS min_dist, COUNT(*) AS n_walks
+        FROM walk GROUP BY node
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (CREATE FUNCTION ... RETURN expr — Spark 4.x)
+# ---------------------------------------------------------------------------
+
+_SQLUDF_GATE_MIN_CHARS = 120
+_SQLUDF_MIN_DENSITY = 0.5
+
+
+@register_staged(
+    "scalar_sql_udf_pipeline",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS density,
+           length(text) >= {_SQLUDF_GATE_MIN_CHARS}
+               AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)
+                   >= {_SQLUDF_MIN_DENSITY} AS passed
+    FROM documents
+    """,
+)
+def scalar_sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs — ``CREATE FUNCTION … RETURN <expr>`` (Spark 4.x,
+    probed this build: scalar SQL UDFs work, they NEST — ``gate``
+    calls ``density`` — while table-valued SQL functions reject a
+    parameterized LIMIT, measured INVALID_LIMIT_LIKE_EXPRESSION):
+    the engine-level reusable-function surface the reference exposes
+    as built-in scalars (§2.5) generalized to USER-defined ones. A
+    non-space character-density function and a quality gate built on
+    it are declared once and applied per document; because a SQL UDF
+    body is INLINED into the plan at analysis time, the pipeline
+    stays whole-stage-codegen JVM expressions — the exact opposite of
+    a Python UDF's serialization wall, and the reason this is the
+    first tool to reach for before any ``@udf`` at 100 TB. The
+    oracle states the same expressions inlined by hand, so a
+    hash-PASS proves the function-resolution path changes nothing.
+
+    Float discipline: density is one row-level double division;
+    the gate compares it against the same constants both sides."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rsqes_density(t STRING) "
+        "RETURNS DOUBLE RETURN "
+        "CAST(length(replace(t, ' ', '')) AS DOUBLE) "
+        "/ CAST(length(t) AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rsqes_gate(t STRING) "
+        "RETURNS BOOLEAN RETURN "
+        f"length(t) >= {_SQLUDF_GATE_MIN_CHARS} "
+        f"AND rsqes_density(t) >= {_SQLUDF_MIN_DENSITY}"
+    )
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("rsqes_sqludf_docs")
+    return spark.sql(
+        "SELECT doc_id, rsqes_density(text) AS density, "
+        "rsqes_gate(text) AS passed FROM rsqes_sqludf_docs"
     )
 
 

@@ -1187,3 +1187,30 @@ def test_session_dynamic_gap_single_shuffle_native_merge(spark):
     assert "MergingSessions" in plan
     assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
     assert "partial_count" in plan
+
+
+def test_sql_udf_pipeline_inlines_no_python(spark):
+    """SQL UDFs must be INLINED at analysis time: the executed plan
+    carries plain JVM expressions over one documents scan — no
+    Python evaluation node anywhere (the whole point of preferring
+    CREATE FUNCTION over @udf at scale)."""
+    from rs_query_engine_spark import queries_staged_r13 as r13
+
+    df = r13.queries()["scalar_sql_udf_pipeline"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_recursive_closure_uses_union_loop_no_cartesian(spark):
+    """The recursive closure must run through Catalyst's native
+    UnionLoop recursion (one plan, no driver-side iteration) and
+    every step must be a key equi-join — no cartesian or nested-loop
+    expansion anywhere in the recursive plan."""
+    from rs_query_engine_spark import queries_staged_r13 as r13
+
+    df = r13.queries()["graph_recursive_closure"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
