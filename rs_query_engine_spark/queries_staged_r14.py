@@ -22,20 +22,29 @@ don't assume):
   late tiers, IVM. ``transformWithStateInPandas`` remains BLOCKED
   (hard ``google.protobuf`` import — probed r11; do not re-probe
   unless protobuf appears in the image).
-- **Session-window streaming with dynamic gap** (``session_window``
-  with a per-row gap expression) — the one session-window variant
-  not yet registered; probe whether the gap expression is allowed
-  in this Spark build first.
-- **Per-partition sortWithinPartitions + write layout audit**
-  (min/max clustering quality of written files — the poor-man's
-  Z-order; oracle = exact aggregates over the re-read).
+- **LANDED IN THE R13 PEN — do not rebuild**: dynamic-gap session
+  windows (batch ``session_window`` with a STRING gap expression —
+  a DayTimeIntervalType CASE is rejected, measured), the
+  range-clustered write-layout audit, native ``WITH RECURSIVE``
+  (UnionLoop; UNION-dedup recursion rejected with
+  UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — measured, don't re-probe),
+  SQL UDFs (nesting works; SQL TABLE functions reject a
+  parameterized LIMIT — INVALID_LIMIT_LIKE_EXPRESSION, measured),
+  SQL pipe syntax, LATERAL correlated top-k, and the Observation
+  API single-pass audit.
+- **Remaining probe-worthy Spark 4.x surfaces**: SQL scripting
+  (``BEGIN … END`` compound statements), a polymorphic Python UDTF
+  (``analyze()`` static method computing the output schema from the
+  input), and a SQL TVF with a CONSTANT limit (the allowed form).
 - **A bucketed-broadcast hybrid similarity join** if any plan audit
   surfaces a shuffle worth removing (carried lead — none found in
-  the r12 audits).
+  the r11/r12 audits).
 - **Drift families**: the r13 pen's quality-gate drift covers pass
-  rates; an embedding-space drift per source (centroid shift between
-  generations) would close the loop with ``embedding_snapshot_drift``
-  (which drifts over TIME, not generations).
+  rates; an embedding-space drift per label/source (centroid shift
+  between GENERATIONS — a deterministic perturbation twin) would
+  close the loop with ``embedding_snapshot_drift`` (which drifts
+  over snapshot halves). Use its exact-quantization float pattern
+  (floor(x·2^30) integer sums).
 - The rows-only trio (``similarity_ivf_kmeans``,
   ``agg_approx_percentile``, ``text_unigram_logprob``) stays
   rows-only by design with invariant companions — re-evaluate only
