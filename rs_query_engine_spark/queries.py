@@ -6383,7 +6383,7 @@ STAGED_R11_ENABLED = True
 STAGED_R12_ENABLED = False
 
 # Round-13 holding pen (``queries_staged_r13.py``): filled in round
-# 12 (12 queries, all exact-oracled — within the ≤15 cap so round-14
+# 12 (14 queries, all exact-oracled — within the ≤15 cap so round-14
 # re-check slots drain the rotation backlog: streaming windowed
 # approx-distinct with an exact admitted-set batch twin, the
 # streaming quarantine router with a restart-idempotence leg,
@@ -6392,7 +6392,8 @@ STAGED_R12_ENABLED = False
 # windows through the native MergingSessions operator, the
 # range-clustered write-layout audit, the small-file compaction
 # roundtrip, the native WITH RECURSIVE closure, the SQL-UDF
-# pipeline, SQL pipe syntax, the LATERAL correlated top-k, and the
+# pipeline, the SQL table function, SQL scripting with a WHILE
+# sweep, SQL pipe syntax, the LATERAL correlated top-k, and the
 # single-pass Observation-API audit), locally hash-verified at
 # sf0.001 + sf0.01 (tests/oracle/test_staged_r13_parity.py).
 # Round 14 flips this flag.

@@ -6,7 +6,7 @@ The activation gate (``tests/oracle/test_staged_r13_parity.py`` +
 verified-by-construction from its first commit. Round 13 flips the
 r12 flag; round 14 flips this one.
 
-Round-13 pen — 12 queries (within the ≤15 cap: the rotation ledger in
+Round-13 pen — 14 queries (within the ≤15 cap: the rotation ledger in
 BENCH_NOTES carries a re-check backlog through round 14; a small pen
 maximizes re-check slots), ALL with exact oracles:
 
@@ -56,6 +56,11 @@ maximizes re-check slots), ALL with exact oracles:
   termination discipline.
 - **SQL UDFs**: ``CREATE FUNCTION … RETURN expr`` (nesting probed
   working) — inlined at analysis time, zero Python in the plan.
+- **SQL TABLE FUNCTION**: the parameterized-WHERE form (a
+  parameterized LIMIT is the rejected one — measured), inlined with
+  pushdown intact.
+- **SQL SCRIPTING**: ``BEGIN…END`` with DECLARE/SET/WHILE — the
+  procedural threshold sweep, oracle-replayed closed-form.
 - **RANGE-CLUSTERED write layout**: ``repartitionByRange +
   sortWithinPartitions`` (the poor-man's Z-order) with a distributed
   per-file min/max disjointness + slice-pruning audit.
@@ -768,6 +773,131 @@ def scalar_sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, rsqes_density(text) AS density, "
         "rsqes_gate(text) AS passed FROM rsqes_sqludf_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL table function (CREATE FUNCTION ... RETURNS TABLE)
+# ---------------------------------------------------------------------------
+
+_TVF_MIN_PRICE = 300000.0
+
+
+@register_staged(
+    "source_sql_table_function",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                AS VARCHAR) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_key
+    FROM orders
+    WHERE o_totalprice > {_TVF_MIN_PRICE}
+    """,
+)
+def source_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE FUNCTION — ``CREATE FUNCTION … RETURNS TABLE``
+    (Spark 4.x, probed this build): a parameterized relation over a
+    real table (``big_orders(min_price)``), consumed like any other
+    FROM source and aggregated. The body is inlined at analysis time
+    with the argument substituted — pushdown and pruning apply as if
+    the predicate were written in place, which the oracle states
+    directly. The boundary measured and documented at
+    ``join_lateral_topk``: a parameter may appear in WHERE (here) but
+    NOT in LIMIT (INVALID_LIMIT_LIKE_EXPRESSION — a constant LIMIT
+    works); this registration is the allowed form a migrating user
+    should write.
+
+    Together with ``scalar_sql_udf_pipeline`` this completes the SQL
+    function-declaration surface: scalar + table-valued, both
+    plan-inlined, zero Python."""
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "rsqes_tvf_orders"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rsqes_big_orders(minp DOUBLE) "
+        "RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE) "
+        "RETURN SELECT o_orderkey, o_totalprice "
+        "FROM rsqes_tvf_orders WHERE o_totalprice > minp"
+    )
+    return spark.sql(
+        f"""
+        SELECT COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                    AS STRING) AS DOUBLE) AS sum_price,
+               MIN(o_orderkey) AS min_key
+        FROM rsqes_big_orders({_TVF_MIN_PRICE})
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (BEGIN ... END with variables and WHILE)
+# ---------------------------------------------------------------------------
+
+_SWEEP_START = 1000.0
+_SWEEP_STOP_BELOW = 100
+
+
+@register_staged(
+    "sql_script_threshold_sweep",
+    oracle=f"""
+    WITH ks AS (SELECT k FROM generate_series(0, 30) AS t(k)),
+    cnt AS (
+        SELECT k, {_SWEEP_START} * POWER(2, k) AS th,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_totalprice > {_SWEEP_START} * POWER(2, k)) AS n
+        FROM ks
+    )
+    SELECT th AS final_threshold, n AS n_above
+    FROM cnt WHERE n < {_SWEEP_STOP_BELOW}
+    ORDER BY k LIMIT 1
+    """,
+)
+def sql_script_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING — ``BEGIN … END`` compound statements with
+    DECLAREd variables, scalar-subquery assignment, and a WHILE loop
+    (Spark 4.x, probed this build): the procedural threshold sweep a
+    capacity-planning job runs — keep doubling a price threshold
+    until fewer than {stop} orders clear it; the script's last
+    statement is the result set. Each loop iteration re-scans the
+    table with the new threshold — the honest cost of procedural
+    SQL, bounded here by the geometric doubling (≤ ~10 iterations at
+    any SF).
+
+    The oracle replays the loop CLOSED-FORM: the sweep visits
+    thresholds start·2^k in order and stops at the first with
+    count < {stop}, so a generate_series over k with a correlated
+    count, filtered and limited to the first qualifying k, states the
+    same fixed point declaratively — a hash-PASS proves the
+    imperative and declarative spellings agree, including the
+    starts-below-threshold edge (the WHILE body never runs and the
+    start threshold is the answer on a small corpus).
+
+    Float discipline: start·2^k is exact in doubles for k ≤ 30 (pure
+    exponent arithmetic), matching the script's repeated ``th * 2``;
+    the count is exact."""
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "rsqes_script_orders"
+    )
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE th DOUBLE DEFAULT {_SWEEP_START};
+          DECLARE cnt BIGINT DEFAULT 0;
+          SET cnt = (SELECT COUNT(*) FROM rsqes_script_orders
+                     WHERE o_totalprice > th);
+          WHILE cnt >= {_SWEEP_STOP_BELOW} DO
+            SET th = th * 2;
+            SET cnt = (SELECT COUNT(*) FROM rsqes_script_orders
+                       WHERE o_totalprice > th);
+          END WHILE;
+          SELECT th AS final_threshold, cnt AS n_above;
+        END
+        """
     )
 
 
