@@ -6399,9 +6399,10 @@ STAGED_R12_ENABLED = False
 # Round 14 flips this flag.
 STAGED_R13_ENABLED = False
 
-# Round-14 holding pen (``queries_staged_r14.py``): EMPTY at round-12
-# end by design — the gate (flag + test_staged_r14_parity.py) exists
-# before the first round-14 query lands (ADVICE r07 precedent), so
-# round 13 fills it while activating the r12 pen, and round 15 flips
-# this flag.
+# Round-14 holding pen (``queries_staged_r14.py``): gate created
+# empty at round-12 end (ADVICE r07 precedent), then seeded the same
+# round with 2 queries under the ≤15 cap (embedding generation
+# drift, polymorphic UDTF — both hash-verified at sf0.001 + sf0.01
+# in tests/oracle/test_staged_r14_parity.py). Round 13 fills the
+# rest while activating the r12 pen; round 15 flips this flag.
 STAGED_R14_ENABLED = False
