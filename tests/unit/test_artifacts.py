@@ -150,3 +150,42 @@ def test_revived_generation_clears_tombstone(tmp_path):
     artifacts._sweep_stale_generations("revtag", str(src), keep=os.path.basename(root_a))
     assert not os.path.exists(tomb)
     assert _complete(root_a)
+
+
+def test_customer_csv_artifact_rekeys_on_corpus_regen(spark, tmp_path):
+    """The r12 migration pin: the shared customer-CSV copy (ONE
+    artifact for the JVM reader and the whole Python DataSource
+    family) must be keyed by the SOURCE parquet's mtime+size — an
+    in-place corpus regen has to produce a NEW artifact whose content
+    reflects the new data, never serve the old copy stale (the bug
+    class the path-only `_SUCCESS` convention had)."""
+    import shutil
+
+    from rs_query_engine_spark.sources.pydatasource import ensure_customer_csv
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/customer.parquet",
+        corpus / "customer.parquet",
+    )
+    p1 = ensure_customer_csv(spark, str(corpus))
+    n1 = spark.read.option("header", True).csv(p1).count()
+    assert n1 == spark.read.parquet(str(corpus / "customer.parquet")).count()
+
+    # regenerate the corpus IN PLACE: halve the table (new size+mtime)
+    half = spark.read.parquet(str(corpus / "customer.parquet")).limit(
+        n1 // 2
+    )
+    staging = tmp_path / "staging"
+    half.coalesce(1).write.parquet(str(staging))
+    part = next(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    os.replace(staging / part, corpus / "customer.parquet")
+
+    p2 = ensure_customer_csv(spark, str(corpus))
+    assert p2 != p1, "regen must re-key the artifact, not serve stale"
+    assert (
+        spark.read.option("header", True).csv(p2).count() == n1 // 2
+    ), "the new artifact must reflect the regenerated corpus"
