@@ -6379,8 +6379,8 @@ STAGED_R11_ENABLED = True
 # epoch/mixture planner, the
 # documents dataset card, and the corrupt-record ingest audit),
 # locally hash-verified at sf0.001 + sf0.01
-# (tests/oracle/test_staged_r12_parity.py). Round 13 flips this flag.
-STAGED_R12_ENABLED = False
+# (tests/oracle/test_staged_r12_parity.py). Flipped in round 13.
+STAGED_R12_ENABLED = True
 
 # Round-13 holding pen (``queries_staged_r13.py``): filled in round
 # 12 (14 queries, all exact-oracled — within the ≤15 cap so round-14

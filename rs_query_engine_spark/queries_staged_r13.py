@@ -369,8 +369,18 @@ def stream_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()  # restart, same checkpoint: must be a no-op
 
     good = spark.read.parquet(good_path)
-    repaired = spark.read.parquet(dlq_path).select(
-        F.from_json(F.concat(F.col("value"), F.lit("}")), schema).alias("r")
+    # The DLQ dir may hold no data files if a corpus generation
+    # produced zero corrupt rows — read with the sink's known layout
+    # ('value string') so the query degrades to n_dlq=0 instead of
+    # failing schema inference on an empty directory.
+    repaired = (
+        spark.read.schema("value string")
+        .parquet(dlq_path)
+        .select(
+            F.from_json(
+                F.concat(F.col("value"), F.lit("}")), schema
+            ).alias("r")
+        )
     )
     g = good.agg(
         F.count(F.lit(1)).alias("n_good"),

@@ -149,7 +149,17 @@ class UnpackDelimUDTF:
     def eval(self, line, ddl):
         casts = {"bigint": int, "double": float, "string": str}
         fs = UnpackDelimUDTF._fields(ddl)
-        parts = line.split("|")
+        # maxsplit lets a trailing string field absorb embedded
+        # delimiters; anything else (too few parts, or an embedded
+        # '|' ahead of a non-string tail) is a hard error — the UDTF
+        # is registered session-wide, so silent truncation/misalign
+        # would corrupt callers beyond the pipe-free fixture.
+        parts = line.split("|", len(fs) - 1)
+        if len(parts) != len(fs):
+            raise ValueError(
+                f"rsqes_unpack_delim: line has {len(parts)} parts, "
+                f"ddl declares {len(fs)} fields: {line!r}"
+            )
         yield tuple(
             casts[t](p) if p != "" else None
             for p, (_n, t) in zip(parts, fs)
