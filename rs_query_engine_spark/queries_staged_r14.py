@@ -59,7 +59,10 @@ don't assume):
 
 from __future__ import annotations
 
-from rs_query_engine_spark.queries import QueryFn
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_query_engine_spark.queries import QueryFn, _t
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
@@ -332,4 +335,603 @@ def embedding_generation_drift(spark: SparkSession, sf_dir: str):
         F.sqrt(F.sum("q2").cast("double") / F.lit(_Q40)).alias(
             "l2_centroid_shift"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4.x SQL surfaces, continued: GROUP BY ALL / ORDER BY ALL,
+# named parameter markers, the IDENTIFIER() clause, EXECUTE IMMEDIATE
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` — the analyst-ergonomics
+    SQL surface (every non-aggregate select item becomes a group key,
+    then a sort key) over the Q1 aggregation shape. The resolved plan
+    is IDENTICAL to the explicit-keys form (one partial+final
+    hash aggregate over the pruned scan); the oracle spells the keys
+    explicitly to pin that the sugar resolves to exactly them.
+    Reference parity: grouped aggregation
+    (src/physical_plan/aggr/mod.rs:102-245) reached through Spark's
+    dialect sugar instead of a hand-built plan."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "rsqes_gba_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM rsqes_gba_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+# Constants bound through the parameter marker surfaces — shared by
+# the Spark calls and (folded) by the oracles so they cannot drift.
+_PARAM_DISCOUNT_LO = 0.05
+_PARAM_DISCOUNT_HI = 0.07
+_PARAM_QTY_MAX = 24.0
+_PARAM_SHIP_YEAR = 1995
+
+
+@register_staged(
+    "sql_named_parameters",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))
+                    AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN {_PARAM_DISCOUNT_LO} AND {_PARAM_DISCOUNT_HI}
+      AND l_quantity < {_PARAM_QTY_MAX}
+      AND year(l_shipdate) = {_PARAM_SHIP_YEAR}
+    """,
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED PARAMETER MARKERS (``spark.sql(sql, args={...})``) — the
+    injection-safe way to template a query: the Q6 revenue shape with
+    every selectivity constant bound as a ``:name`` parameter instead
+    of interpolated text. Parameters are literals to Catalyst, so
+    pushdown/pruning and constant folding see them exactly as if they
+    were inlined (the scan carries the same PushedFilters) — binding
+    is free at 100 TB. The oracle folds the SAME Python constants, so
+    the binding path is what's under test."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "rsqes_param_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))
+                        AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+        FROM rsqes_param_lineitem
+        WHERE l_discount BETWEEN :lo AND :hi
+          AND l_quantity < :qty
+          AND year(l_shipdate) = :yr
+        """,
+        args={
+            "lo": _PARAM_DISCOUNT_LO,
+            "hi": _PARAM_DISCOUNT_HI,
+            "qty": _PARAM_QTY_MAX,
+            "yr": _PARAM_SHIP_YEAR,
+        },
+    )
+
+
+@register_staged(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``IDENTIFIER()`` clause — parameterized TABLE and COLUMN
+    names without string interpolation: one templated aggregation is
+    bound to (table=customer, group column=c_mktsegment, sum
+    column=c_acctbal) entirely through parameters. This is the safe
+    form of the metadata-driven query generator every warehouse grows
+    (profile-every-table, sum-every-measure): identifiers resolve at
+    analysis time, so the plan is byte-identical to the hand-written
+    query — no dynamic-SQL escaping, no injection surface."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "rsqes_ident_customer"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:scol) AS DECIMAL(12,2)))
+                    AS DOUBLE) AS sum_bal
+        FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:gcol)
+        """,
+        args={
+            "tbl": "rsqes_ident_customer",
+            "gcol": "c_mktsegment",
+            "scol": "c_acctbal",
+        },
+    )
+
+
+_EXEC_IMM_BAL_MIN = 1000.0
+
+
+@register_staged(
+    "sql_execute_immediate",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rich
+    FROM customer WHERE c_acctbal > {_EXEC_IMM_BAL_MIN}
+    GROUP BY c_nationkey
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE ... USING`` — SQL-side dynamic SQL: the
+    query text arrives as a string expression (here a session
+    variable, the documented pairing) and positional ``?`` markers
+    bind values at execution. This is the stored-procedure-migration
+    surface (Teradata/Oracle dynamic SQL): the inner text goes
+    through the full parser/analyzer, so the executed plan is the
+    same pruned scan + aggregate as the static form the oracle
+    states."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "rsqes_execimm_customer"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE rsqes_execimm_sql STRING")
+    spark.sql(
+        """SET VAR rsqes_execimm_sql =
+        'SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich
+         FROM rsqes_execimm_customer WHERE c_acctbal > ?
+         GROUP BY c_nationkey'"""
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE rsqes_execimm_sql USING :bal",
+        args={"bal": _EXEC_IMM_BAL_MIN},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native Python compute: mapInArrow + groupBy().applyInArrow
+# ---------------------------------------------------------------------------
+
+_ARROW_CENTS = 100  # exact integer-cents quantization (2 decimals)
+
+
+@register_staged(
+    "udf_map_in_arrow",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * {_ARROW_CENTS}) AS BIGINT)
+                   AS price_cents,
+               CAST(FLOOR(l_discount * {_ARROW_CENTS}) AS BIGINT)
+                   AS disc_cents
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(SUM(disc_cents) AS BIGINT) AS sum_disc_cents
+    FROM q GROUP BY l_returnflag
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy tier BELOW pandas UDFs: the
+    Python function receives raw ``pyarrow.RecordBatch``es and runs
+    vectorized ``pyarrow.compute`` kernels with no pandas
+    materialization (no index building, no object boxing for
+    strings — the pandas layer's overhead on wide batches). Here the
+    per-row map quantizes prices to exact integer cents executor-side
+    in Arrow; Spark's own partial+final hash aggregate does the
+    cross-row reduction, so the Python stage stays embarrassingly
+    map-only — the 100-TB shape for custom columnar compute
+    (feature extraction, codec shims) that built-ins can't express
+    but that must never force a pandas copy.
+
+    Float discipline: FLOOR(double * 100) per row is one IEEE
+    multiply + one floor — bit-identical in Arrow, Spark, and DuckDB;
+    every cross-row sum is int64."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def quantize(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            price = pc.cast(
+                pc.floor(pc.multiply(t.column("l_extendedprice"),
+                                     float(_ARROW_CENTS))),
+                pa.int64(),
+            )
+            disc = pc.cast(
+                pc.floor(pc.multiply(t.column("l_discount"),
+                                     float(_ARROW_CENTS))),
+                pa.int64(),
+            )
+            out = pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "price_cents": price,
+                    "disc_cents": disc,
+                }
+            )
+            for ob in out.to_batches():
+                yield ob
+
+    mapped = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_discount")
+        .mapInArrow(
+            quantize,
+            "l_returnflag string, price_cents long, disc_cents long",
+        )
+    )
+    return mapped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.sum("disc_cents").alias("sum_disc_cents"),
+    )
+
+
+@register_staged(
+    "udf_apply_in_arrow",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal * {_ARROW_CENTS}) AS BIGINT)
+                   AS bal_cents
+        FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents,
+           CAST(MIN(bal_cents) AS BIGINT) AS min_bal_cents,
+           CAST(MAX(bal_cents) AS BIGINT) AS max_bal_cents
+    FROM q GROUP BY c_nationkey
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` — whole-group custom aggregation in
+    raw Arrow (the split-apply-combine twin of ``udf_map_in_arrow``;
+    the pandas-free counterpart of ``udf_grouped_apply``): each
+    nation's customers arrive as ONE ``pyarrow.Table`` and the
+    function reduces it with ``pyarrow.compute`` kernels. Output
+    arrays are built with explicit ``pa.array(..., type=...)`` — the
+    API binds output columns positionally against the declared
+    schema and does NOT coerce widths (int64 vs int32 is a hard
+    executor error, measured), which is the contract this query
+    pins.
+
+    Scale shape: one hash shuffle on the group key, then map-side
+    Arrow reduction per group; group payload must fit an executor
+    (same contract as applyInPandas). All reductions are exact int64
+    on quantized cents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def reduce_group(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.floor(pc.multiply(t.column("c_acctbal"),
+                                 float(_ARROW_CENTS))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [t.column("c_nationkey")[0].as_py()], type=pa.int32()
+                ),
+                "n_cust": pa.array([t.num_rows], type=pa.int64()),
+                "sum_bal_cents": pa.array(
+                    [pc.sum(cents).as_py()], type=pa.int64()
+                ),
+                "min_bal_cents": pa.array(
+                    [pc.min(cents).as_py()], type=pa.int64()
+                ),
+                "max_bal_cents": pa.array(
+                    [pc.max(cents).as_py()], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInArrow(
+            reduce_group,
+            "c_nationkey int, n_cust long, sum_bal_cents long, "
+            "min_bal_cents long, max_bal_cents long",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native XML source (Spark 4 ships spark-xml in-core), the
+# deterministic rate-micro-batch source, and the foreachBatch upsert
+# sink — the remaining source/sink API surfaces
+# ---------------------------------------------------------------------------
+
+_XML_SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+@register_staged(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML end-to-end — Spark 4 ships the former spark-xml
+    package in-core, completing the text-format family (CSV, JSON,
+    XML): the customer table is materialized as row-tagged XML once
+    per corpus generation (the mtime+size-keyed atomic install every
+    table copy uses), read back with an EXPLICIT schema (XML
+    inference is a whole extra scan — never at 100 TB), filtered,
+    and compared against the parquet original. What the trip must
+    preserve: entity escaping (&, <, > in strings), int64 width, and
+    double round-trip fidelity (Java shortest-repr serialize →
+    exact re-parse — the CSV family's contract, now pinned for the
+    XML writer/parser pair too)."""
+    import os
+
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "customer.parquet")
+    root = artifact_root(src, "xmlcust", "files=2|rowTag=customer")
+    path = os.path.join(root, "customer_xml")
+
+    def _complete(r: str) -> bool:
+        return os.path.exists(
+            os.path.join(r, "customer_xml", "_SUCCESS")
+        )
+
+    if not _complete(root):
+
+        def _write(tmp: str) -> None:
+            (
+                _t(spark, sf_dir, "customer")
+                .coalesce(2)
+                .write.format("xml")
+                .option("rootTag", "customers")
+                .option("rowTag", "customer")
+                .save(os.path.join(tmp, "customer_xml"))
+            )
+
+        install_artifact(root, "xmlcust", src, _write, _complete)
+
+    xdf = (
+        spark.read.format("xml")
+        .schema(_XML_SCHEMA)
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return xdf.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+_RATE_ROWS_PER_BATCH = 600
+_RATE_PARTITIONS = 8
+
+
+@register_staged(
+    "source_rate_micro_batch",
+    oracle=f"""
+    WITH r AS (
+        SELECT CAST(range AS BIGINT) AS value,
+               CAST('1970-01-01 00:00:00' AS TIMESTAMP) AS ts
+        FROM range({_RATE_ROWS_PER_BATCH})
+    )
+    SELECT CAST(value % 7 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value) AS BIGINT) AS sum_value,
+           MIN(ts) AS min_ts
+    FROM r GROUP BY value % 7
+    """,
+)
+def source_rate_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``rate-micro-batch`` source — the DETERMINISTIC load
+    generator (unlike plain ``rate``, which derives batch contents
+    from wall-clock time): with ``startTimestamp`` pinned and
+    ``advanceMillisPerBatch`` fixed, batch N always carries the same
+    (timestamp, value) rows, which is what makes a replayed load test
+    assertable at all. One availableNow drain yields exactly
+    ``rowsPerBatch`` rows — values 0..N-1 spread round-robin over
+    ``numPartitions``, timestamps all at the pinned epoch — and the
+    oracle states that contract from DuckDB's ``range``. At scale
+    this source is the backpressure/benchmark harness for sizing a
+    stateful pipeline before real traffic hits it.
+
+    Drain contract: an unbounded source can NEVER go through
+    ``processAllAvailable`` (there is always another batch — it
+    would spin forever, measured); ``trigger(availableNow=True)``
+    snapshots the available offset at start and terminates — the
+    bounded-drain idiom every production rate/Kafka replay uses."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", _RATE_ROWS_PER_BATCH)
+        .option("numPartitions", _RATE_PARTITIONS)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    agg = (
+        stream.select(
+            F.col("value"),
+            F.col("timestamp").cast("timestamp_ntz").alias("ts"),
+        )
+        .groupBy((F.col("value") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("source_rate_micro_batch")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql("SELECT * FROM source_rate_micro_batch")
+
+
+@register_staged(
+    "stream_foreach_batch_upsert",
+    oracle="""
+    SELECT user_id,
+           ts AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` — THE production streaming-upsert pattern:
+    sinks without native merge (parquet, JDBC, object stores) get
+    exactly-once-ish upserts by letting each micro-batch run an
+    arbitrary BATCH job keyed by ``batch_id``. Here the 4-file late
+    feed replays one file per trigger, and every batch merges
+    latest-event-per-user into a VERSIONED parquet target: read
+    version N-1, union the batch, keep the (max ts, max event_id)
+    row per user, write version N. Versioned dirs + the checkpoint
+    make the write idempotent — a restart (second invocation reuses
+    the checkpoint) finds no new batches and rewrites nothing, which
+    is the restart leg under test. The final state is pure SQL: the
+    argmax row per user over the whole feed, regardless of arrival
+    order — late rows lose to newer event times even though they
+    arrive later (contrast with the watermark queries, where arrival
+    order decides admission; foreachBatch sees RAW batch content, no
+    watermark filter — also under test).
+
+    Scale shape: each merge is one key-shuffle window argmax over
+    target ∪ batch (with the target bucketed by user_id it is
+    shuffle-free on that side); nothing collects to the driver. The
+    versioned-dir swap is what Delta/Iceberg MERGE does with
+    manifests — spelled out here on plain parquet."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.sources.corpus import normalize_events_ts
+    from rs_query_engine_spark.streaming.events import ensure_late_feed
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    digest = hashlib.md5(feed.encode()).hexdigest()[:16]
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), f"rsqes_fbupsert_{digest}_{app_id}"
+    )
+    ck = os.path.join(base, "ck")
+    vdir = os.path.join(base, "versions")
+    os.makedirs(vdir, exist_ok=True)
+
+    from pyspark.sql import Window
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def current_version() -> "int | None":
+        vs = [
+            int(d[1:])
+            for d in os.listdir(vdir)
+            if d.startswith("v") and d[1:].isdigit()
+            and os.path.exists(os.path.join(vdir, d, "_SUCCESS"))
+        ]
+        return max(vs) if vs else None
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        cur = current_version()
+        sess = bdf.sparkSession
+        merged = bdf
+        if cur is not None:
+            prev = sess.read.parquet(os.path.join(vdir, f"v{cur}"))
+            merged = prev.unionByName(bdf)
+        out = latest_per_user(merged)
+        out.write.mode("overwrite").parquet(
+            os.path.join(vdir, f"v{batch_id}")
+        )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run_once()
+    run_once()  # restart, same checkpoint: no new batches, no writes
+
+    final = spark.read.parquet(os.path.join(vdir, f"v{current_version()}"))
+    final = normalize_events_ts(final.withColumnRenamed("ts", "ts"))
+    return final.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
     )
