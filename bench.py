@@ -116,7 +116,12 @@ def main() -> None:
                  # for the approx-distinct replay
                  "stream_quarantine_routing",
                  "maintenance_compact_small_files",
-                 "stream_window_approx_distinct"):
+                 "stream_window_approx_distinct",
+                 # r14 pen (inert until STAGED_R14_ENABLED flips):
+                 # the XML table copy and the foreachBatch upsert's
+                 # checkpoint + versioned target
+                 "source_xml_roundtrip",
+                 "stream_foreach_batch_upsert"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

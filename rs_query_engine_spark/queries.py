@@ -153,6 +153,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R12_ENABLED", "queries_staged_r12"),
     ("STAGED_R13_ENABLED", "queries_staged_r13"),
     ("STAGED_R14_ENABLED", "queries_staged_r14"),
+    ("STAGED_R15_ENABLED", "queries_staged_r15"),
 )
 
 
@@ -6400,9 +6401,20 @@ STAGED_R12_ENABLED = True
 STAGED_R13_ENABLED = False
 
 # Round-14 holding pen (``queries_staged_r14.py``): gate created
-# empty at round-12 end (ADVICE r07 precedent), then seeded the same
-# round with 2 queries under the ≤15 cap (embedding generation
-# drift, polymorphic UDTF — both hash-verified at sf0.001 + sf0.01
-# in tests/oracle/test_staged_r14_parity.py). Round 13 fills the
-# rest while activating the r12 pen; round 15 flips this flag.
+# empty at round-12 end (ADVICE r07 precedent), seeded the same
+# round with 2 queries (embedding generation drift, polymorphic
+# UDTF), closed at 15 in round 13 — Spark-4 SQL surfaces (GROUP BY
+# ALL, named parameters, IDENTIFIER(), EXECUTE IMMEDIATE), raw-Arrow
+# mapInArrow/applyInArrow, native XML roundtrip, deterministic
+# rate-micro-batch, foreachBatch versioned upsert, URL-canonical
+# dedup, code-vs-prose detect, SHUFFLE_HASH hint, exact OLS trend —
+# all hash-verified at sf0.001 + sf0.01 in
+# tests/oracle/test_staged_r14_parity.py. Round 14 fills the r15 pen
+# while activating the r13 one; round 15 flips this flag.
 STAGED_R14_ENABLED = False
+
+# Round-15 holding pen (``queries_staged_r15.py``): gate created
+# EMPTY at round-13 end (ADVICE r07 precedent — pen, parity gate,
+# flag, and _PEN_MODULES entry all predate the first registration).
+# Round 14 fills it; round 16 flips this flag.
+STAGED_R15_ENABLED = False

@@ -1,19 +1,24 @@
 """Staged query registrations for ROUND 15 — the round-14 holding pen.
 
-Seeded with TWO queries at round-12 end (round 12 had slack under
-the ≤15 cap — the r11→r12 precedent): per-label EMBEDDING
-GENERATION DRIFT (the carried lead — exact-quantized centroid-shift
-L2 between a corpus generation and a deterministically perturbed
-re-embed) and the POLYMORPHIC Python UDTF (``analyze()`` computing
-the output schema from a DDL argument; pure-Python DDL parse because
-``analyze`` runs without a SparkContext — measured). Both
-hash-verified at sf0.001 + sf0.01 from their first commit. The
-activation gate
-(``tests/oracle/test_staged_r14_parity.py`` + ``STAGED_R14_ENABLED``
-in ``queries.py``) is created BEFORE the first round-14 query lands
-(ADVICE r07 precedent), so every registration here is
-verified-by-construction from its first commit. Round 13 fills this
-pen while activating the r12 one; round 15 flips the flag.
+CLOSED at 15 queries in round 13 (at the ≤15 cap; 36 re-check slots
+remain for round 14's rotation — see the BENCH_NOTES ledger).
+Seeded with TWO at round-12 end (per-label EMBEDDING GENERATION
+DRIFT — exact-quantized centroid-shift L2 between corpus
+generations — and the POLYMORPHIC Python UDTF whose ``analyze()``
+computes the schema from a DDL argument), then filled with THIRTEEN
+in round 13: four Spark-4 SQL surfaces (GROUP BY ALL / ORDER BY
+ALL, named parameter markers, the IDENTIFIER() clause, EXECUTE
+IMMEDIATE over a session variable), the two raw-Arrow Python tiers
+(``mapInArrow`` map-only quantization, ``groupBy().applyInArrow``
+whole-group reduction), the native XML writer/reader roundtrip, the
+deterministic ``rate-micro-batch`` source (availableNow bounded
+drain), the ``foreachBatch`` versioned-parquet upsert with a
+restart-idempotence leg, URL-canonicalization dedup (``parse_url``
+vs string-level oracle), code-vs-prose detection, the SHUFFLE_HASH
+join hint (plan-pinned), and the decimal-exact per-group OLS trend.
+All hash-verified at sf0.001 + sf0.01 from their first commit via
+``tests/oracle/test_staged_r14_parity.py`` (the gate predates every
+registration — ADVICE r07 precedent). Round 15 flips the flag.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -934,4 +939,305 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-pipeline ops: URL canonicalization dedup + code-vs-prose
+# detection
+# ---------------------------------------------------------------------------
+
+# Deterministic URL synthesis: the documents table carries no URL, so
+# one is derived from (source, doc_id) with the two commonest
+# canonicalization hazards baked in — a mixed-case host and tracking
+# params interleaved with real ones. Same constants feed the Spark
+# code and the oracle.
+_URL_PATH_MOD = 50
+_URL_ID_MOD = 20
+
+
+@register_staged(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' ||
+               CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                    ELSE source END ||
+               '.example.com/page/' ||
+               CAST(doc_id % {_URL_PATH_MOD} AS VARCHAR) ||
+               '?utm_source=feed&id=' ||
+               CAST(doc_id % {_URL_ID_MOD} AS VARCHAR) ||
+               '&utm_campaign=x' AS url,
+               source
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source,
+               lower(split_part(split_part(url, '://', 2), '/', 1))
+                   || '/page/' ||
+               CAST(doc_id % {_URL_PATH_MOD} AS VARCHAR) ||
+               '?id=' || CAST(doc_id % {_URL_ID_MOD} AS VARCHAR)
+                   AS canonical_url
+        FROM u
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM c GROUP BY canonical_url HAVING COUNT(*) > 1
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl pipeline's FIRST dedup
+    tier, upstream of any content hashing: the same page arrives
+    under host-case variants and tracking-parameter noise
+    (utm_*), and canonicalizing the URL collapses them without
+    touching the (expensive) text. Spark side uses the built-in
+    ``parse_url`` to decompose (HOST lowercased, PATH kept,
+    QUERY re-built with tracking params dropped and real params
+    kept), then an exact groupBy on the canonical form keeps the
+    lowest doc_id per cluster — min-keep, the same survivorship rule
+    as dedup_exact. The oracle rebuilds the same canonical string
+    with plain string ops, so what's pinned is that parse_url's
+    decomposition agrees with the string-level ground truth.
+
+    Scale shape: canonicalization is map-only expression work on the
+    URL column alone (never the text); the dedup is one hash
+    shuffle on the canonical key with map-side partial counts —
+    the cheapest possible first pass over a 100-TB crawl."""
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.upper(F.col("source"))
+            ).otherwise(F.col("source")),
+            F.lit(".example.com/page/"),
+            (F.col("doc_id") % _URL_PATH_MOD).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % _URL_ID_MOD).cast("string"),
+            F.lit("&utm_campaign=x"),
+        ).alias("url"),
+    )
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    query = F.parse_url(F.col("url"), F.lit("QUERY"))
+    # keep only non-tracking params, preserving their order
+    kept = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~p.startswith("utm_"),
+        ),
+        "&",
+    )
+    c = u.select(
+        "doc_id",
+        F.concat(host, path, F.lit("?"), kept).alias("canonical_url"),
+    )
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# Code-vs-prose detection thresholds — folded into both sides.
+_CODE_SYM_PCT_MIN = 3.0  # symbol chars per 100 chars
+_CODE_AVG_LINE_MAX = 60.0  # code lines are short
+
+
+@register_staged(
+    "text_code_detect",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(replace(replace(replace(
+                    replace(replace(text, '{{', ''), '}}', ''), ';', ''),
+                    '=', ''), '(', ''), ')', '')) AS BIGINT) AS n_sym,
+               CAST(length(text) - length(replace(text, chr(10), ''))
+                    + 1 AS BIGINT) AS n_lines
+        FROM documents WHERE length(text) > 0
+    ),
+    m AS (
+        SELECT doc_id, lang, n_chars, n_sym, n_lines,
+               CAST(n_sym AS DOUBLE) * 100.0 / CAST(n_chars AS DOUBLE)
+                   AS sym_pct,
+               CAST(n_chars AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                   AS avg_line_len
+        FROM s
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sym_pct >= {_CODE_SYM_PCT_MIN}
+                          AND avg_line_len <= {_CODE_AVG_LINE_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+           CAST(SUM(n_sym) AS BIGINT) AS total_sym
+    FROM m GROUP BY lang
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the training-mixture gate that
+    routes documents to a code pipeline (different tokenizer,
+    different quality rules) or keeps them out of a prose-only mix:
+    a document is 'code' when its symbol density ({{}};=() per 100
+    chars) clears a threshold AND its average line length is short
+    (code wraps hard; prose paragraphs don't). Both features are
+    exact integer counts computed with built-in string expressions —
+    no UDF, no regex backtracking — and the only doubles are two
+    per-row ratios compared against folded constants, so the
+    classification is bit-deterministic cross-engine.
+
+    Scale shape: map-only feature extraction + one partial-agg
+    shuffle on lang; at 100 TB this is the same single-pass shape as
+    text_quality_score, and the two share a scan when composed."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    strip = F.col("text")
+    for ch in ("{", "}", ";", "=", "(", ")"):
+        strip = F.replace(strip, F.lit(ch), F.lit(""))
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        (F.length("text") - F.length(strip)).alias("n_sym"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))
+            + F.lit(1)
+        ).alias("n_lines"),
+    )
+    m = s.select(
+        "lang",
+        "n_sym",
+        (F.col("n_sym").cast("double") * 100.0 / F.col("n_chars").cast("double")).alias("sym_pct"),
+        (F.col("n_chars").cast("double") / F.col("n_lines").cast("double")).alias("avg_line_len"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("sym_pct") >= _CODE_SYM_PCT_MIN)
+                & (F.col("avg_line_len") <= _CODE_AVG_LINE_MAX),
+                1,
+            ).otherwise(0)
+        ).alias("n_code"),
+        F.sum("n_sym").alias("total_sym"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy hint surface + exact per-group OLS trend
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHUFFLE_HASH join hint — the strategy tier between
+    broadcast (needs a small side) and sort-merge (Spark's default
+    for two large sides): when one side fits a per-task hash table
+    but not a broadcast, hash-joining after the shuffle skips BOTH
+    sort passes. orders⋈customer is exactly that shape — customer is
+    ~10x smaller than orders but grows linearly with SF, so at 100 TB
+    it outlives broadcastability while still hashing per-task. The
+    hint is advisory-but-honored here (plan-pinned: ShuffledHashJoin,
+    no Sort below the join — tests/unit/test_plan_properties.py);
+    values are identical to the sort-merge plan, which is what the
+    oracle checks."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register_staged(
+    "agg_regression_trend",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day
+    FROM s
+    """,
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS TREND, decimal-exact to the last float op — the
+    volume-forecast primitive (is this event type growing, and how
+    fast?): daily counts per event_type, then the least-squares slope
+    of count against epoch-day. Spark ships regr_slope, but its
+    internal running-moment accumulation is cross-row double
+    arithmetic — order-dependent, so never hash-stable cross-engine.
+    This form keeps every moment (n, Σx, Σy, Σxy, Σx²) an exact
+    int64 (epoch-days and counts are integers; the products fit
+    comfortably) and spends exactly ONE float operation — the final
+    division of two exactly-computed bigints — making the slope
+    bit-identical on any engine and any row order.
+
+    Scale shape: two cascaded partial-agg shuffles (day grain, then
+    group grain), the second over |types|×|days| rows — nothing
+    corpus-sized moves twice. The same moment columns extend to
+    intercept/R² for free."""
+    from rs_query_engine_spark.sources.corpus import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope_per_day"),
     )

@@ -1214,3 +1214,57 @@ def test_recursive_closure_uses_union_loop_no_cartesian(spark):
     assert "UnionLoop" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shuffle_hash_hint_is_honored_no_sort(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin with no
+    Sort below the join — skipping both sort passes is the hint's
+    entire value over the sort-merge default for two large sides."""
+    from rs_query_engine_spark import queries_staged_r14 as r14
+
+    df = r14.queries()["join_shuffle_hash_hint"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_map_in_arrow_stage_is_maponly_with_spark_side_agg(spark):
+    """udf_map_in_arrow: the Python stage must be a map-only
+    ArrowEvalPython/MapInArrow over a 3-column pruned scan, with the
+    cross-row reduction left to Spark's partial+final hash aggregate
+    (the Python stage must never sit above an Exchange — it fans
+    map-side)."""
+    from rs_query_engine_spark import queries_staged_r14 as r14
+
+    df = r14.queries()["udf_map_in_arrow"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+    assert "partial_count" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" not in read_schema and "l_orderkey" not in read_schema
+    # exactly one shuffle (the final aggregate's), and the Python
+    # stage sits below the partial aggregate, not above the Exchange
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(shuffles) == 1
+
+
+def test_url_canonicalize_is_single_shuffle_expression_only(spark):
+    """dedup_url_canonicalize: canonicalization must be pure JVM
+    expression work (no Python anywhere) and the dedup one hash
+    shuffle with map-side partial aggregation."""
+    from rs_query_engine_spark import queries_staged_r14 as r14
+
+    df = r14.queries()["dedup_url_canonicalize"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(shuffles) == 1
+    assert "partial_count" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema  # never reads the document body
