@@ -121,7 +121,10 @@ def main() -> None:
                  # the XML table copy and the foreachBatch upsert's
                  # checkpoint + versioned target
                  "source_xml_roundtrip",
-                 "stream_foreach_batch_upsert"):
+                 "stream_foreach_batch_upsert",
+                 # r15 pen (inert until STAGED_R15_ENABLED flips):
+                 # the per-lang byte-file fixture
+                 "source_binary_files"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

@@ -30,10 +30,10 @@ don't assume):
   protobuf appears in the image).
 - **Source/sink formats**: parquet, CSV, JSON, ORC, XML, text,
   memory, rate-micro-batch, Python DataSources, quarantine pairs,
-  foreachBatch upsert all live or penned. Remaining leads: the
-  ``binaryFile`` source (needs a content-hash-only projection to be
-  deterministic), Avro (NOT bundled with pip pyspark — probe before
-  building).
+  foreachBatch upsert all live or penned; ``binaryFile`` SEEDED
+  below (round 13). Avro measured BLOCKED (round 13): pip pyspark
+  does not bundle spark-avro — do not re-probe unless the jar
+  appears in the image.
 - **A bucketed-broadcast hybrid similarity join** if a plan audit
   surfaces a shuffle worth removing (carried since r11 — none found
   in the r11/r12/r13 audits).
@@ -76,3 +76,103 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source — whole-file ingestion with content fingerprints
+# ---------------------------------------------------------------------------
+# Avro probe (round 13, measured): `write.format("avro")` fails with
+# "Failed to find data source: avro ... external data source module
+# since Spark 2.4" — the pip pyspark image does not bundle
+# spark-avro and the container has no package download, so the Avro
+# surface is BLOCKED. Do not re-probe unless the jar appears.
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from rs_query_engine_spark.queries import _t  # noqa: E402
+
+
+@register_staged(
+    "source_binary_files",
+    oracle="""
+    WITH lines AS (
+        SELECT lang,
+               string_agg(CAST(doc_id AS VARCHAR) || ','
+                          || CAST(n_chars AS VARCHAR),
+                          chr(10) ORDER BY doc_id) || chr(10) AS body
+        FROM documents GROUP BY lang
+    )
+    SELECT lang,
+           CAST(octet_length(CAST(body AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(body) AS content_md5
+    FROM lines
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — whole-file ingestion (the format
+    multimodal lakes use for images/audio and ops tooling uses for
+    manifest audits): one deterministic CSV file per language is
+    materialized once per corpus generation (integer-only content,
+    rows sorted by doc_id — byte-exact serialization both engines can
+    state), then read back as OPAQUE BINARY and fingerprinted
+    (length + md5 over raw bytes, lang recovered from the
+    partitioned path). The oracle reconstructs each file's exact
+    bytes with string_agg and fingerprints them in SQL — pinning
+    that Spark's whole-file read is byte-faithful end-to-end.
+
+    Determinism note (why this layout): a per-FILE result is only
+    oracle-able if file contents are content-deterministic, so the
+    fixture repartitions by lang (each lang's rows land in ONE task)
+    and sorts within partitions — partitionBy then emits exactly one
+    sorted file per lang regardless of cluster size. modificationTime
+    is never selected (wall-clock). 100-TB shape: binaryFile scans
+    parallelize per file; the projection carries (path, length,
+    content) only as far as the map-side fingerprint — nothing
+    byte-sized crosses a shuffle."""
+    import os
+
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    root = artifact_root(src, "binfiles", "layout=lang_csv_sorted_v1")
+    path = os.path.join(root, "byte_files")
+
+    def _complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "byte_files", "_SUCCESS"))
+
+    if not _complete(root):
+
+        def _write(tmp: str) -> None:
+            (
+                _t(spark, sf_dir, "documents")
+                .select("lang", "doc_id", "n_chars")
+                .repartition(F.col("lang"))
+                .sortWithinPartitions("lang", "doc_id")
+                .select(
+                    "lang",
+                    F.concat_ws(
+                        ",",
+                        F.col("doc_id").cast("string"),
+                        F.col("n_chars").cast("string"),
+                    ).alias("value"),
+                )
+                .write.partitionBy("lang")
+                .text(os.path.join(tmp, "byte_files"))
+            )
+
+        install_artifact(root, "binfiles", src, _write, _complete)
+
+    b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    return b.select(
+        F.regexp_extract(F.col("path"), r"lang=([^/]+)/", 1).alias("lang"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
