@@ -799,23 +799,14 @@ def source_rate_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("min_ts"),
         )
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName("source_rate_micro_batch")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.sql("SELECT * FROM source_rate_micro_batch")
+    from rs_query_engine_spark.streaming.events import run_stream_to_memory
+
+    return run_stream_to_memory(
+        agg,
+        "source_rate_micro_batch",
+        output_mode="complete",
+        available_now=True,
+    )
 
 
 @register_staged(
@@ -932,7 +923,7 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()  # restart, same checkpoint: no new batches, no writes
 
     final = spark.read.parquet(os.path.join(vdir, f"v{current_version()}"))
-    final = normalize_events_ts(final.withColumnRenamed("ts", "ts"))
+    final = normalize_events_ts(final)
     return final.select(
         "user_id",
         F.col("ts").alias("last_ts"),
@@ -1213,9 +1204,7 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     group grain), the second over |types|×|days| rows — nothing
     corpus-sized moves twice. The same moment columns extend to
     intercept/R² for free."""
-    from rs_query_engine_spark.sources.corpus import load_table
-
-    ev = load_table(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     d = (
         ev.select(
             "event_type",

@@ -109,6 +109,7 @@ def run_stream_to_memory(
     query_name: str,
     output_mode: str = "complete",
     state_partitions: int = 8,
+    available_now: bool = False,
 ) -> DataFrame:
     """Drive a (bounded) streaming query to completion into an
     in-memory sink and return the result table — the test harness for
@@ -118,19 +119,29 @@ def run_stream_to_memory(
     the stream's lifetime: a streaming query pins its state-store
     partition count at first start, and every partition costs a state
     store instance per stateful operator — size it to key cardinality
-    (150 users here), not to the batch shuffle default."""
+    (150 users here), not to the batch shuffle default.
+
+    ``available_now`` switches the drain from ``processAllAvailable``
+    to ``trigger(availableNow=True)`` + ``awaitTermination`` — REQUIRED
+    for unbounded sources (rate / rate-micro-batch), where
+    processAllAvailable would chase ever-newer offsets forever
+    (measured); availableNow snapshots the available offset at start
+    and terminates."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .start()
-        )
+        writer = stream_df.writeStream.outputMode(output_mode).format(
+            "memory"
+        ).queryName(query_name)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
         try:
-            q.processAllAvailable()
+            if available_now:
+                q.awaitTermination()
+            else:
+                q.processAllAvailable()
         finally:
             q.stop()
     finally:
