@@ -176,3 +176,88 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-mode error-safe expression family (try_divide / try_cast /
+# try_add) — Spark 4 ships with spark.sql.ansi.enabled=true, so the
+# try_* forms ARE the production spelling of fallible arithmetic
+# ---------------------------------------------------------------------------
+
+_TRY_DIV_MOD = 7  # every 7th order gets a zero denominator
+
+
+@register_staged(
+    "scalar_try_ansi_family",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % {_TRY_DIV_MOD} = 0 THEN NULL
+                    ELSE CAST(FLOOR(o_totalprice
+                         / CAST(o_orderkey % {_TRY_DIV_MOD} AS DOUBLE)
+                         * 100) AS BIGINT) END AS q_cents,
+               TRY_CAST(o_orderpriority AS INTEGER) AS prio_raw,
+               TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)
+                   AS prio_num,
+               CASE WHEN o_orderkey <= 0
+                    THEN 9223372036854775807 + o_orderkey
+                    ELSE NULL END AS overflowed
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(q_cents) AS BIGINT) AS n_div_ok,
+           CAST(SUM(q_cents) AS BIGINT) AS sum_q_cents,
+           CAST(COUNT(prio_raw) AS BIGINT) AS n_prio_raw_ok,
+           CAST(SUM(prio_num) AS BIGINT) AS sum_prio,
+           CAST(COUNT(overflowed) AS BIGINT) AS n_overflow_ok
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def scalar_try_ansi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe ``try_*`` expression family under ANSI mode —
+    Spark 4 enables ``spark.sql.ansi.enabled`` by default (this
+    session runs with it on), so plain division by zero, an invalid
+    cast, or bigint overflow now RAISES mid-job; ``try_divide`` /
+    ``try_cast`` / ``try_add`` are the row-level quarantine that
+    keeps one poisoned row from killing a 100-TB pass. Three
+    measured semantics pinned against ground truth the oracle states
+    independently: division by a zero denominator → NULL (every
+    {mod}th order), a non-numeric string cast → NULL while the
+    digit-prefix cast succeeds, and ``try_add`` at int64 max → NULL
+    on overflow (every positive orderkey overflows; the corpus's one
+    zero orderkey does NOT — the oracle states that boundary, which
+    is exactly the off-by-one an overflow guard must get right).
+
+    Float discipline: the only double op chain is
+    price / k * 100 → FLOOR, written in the same order on both
+    sides; every aggregate is an exact int64 count/sum."""
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderstatus",
+        F.floor(
+            F.try_divide(
+                F.col("o_totalprice"),
+                (F.col("o_orderkey") % _TRY_DIV_MOD).cast("double"),
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("q_cents"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_raw"),
+        F.col("o_orderpriority")
+        .substr(1, 1)
+        .try_cast("int")
+        .alias("prio_num"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("bigint"), F.col("o_orderkey")
+        ).alias("overflowed"),
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("q_cents").alias("n_div_ok"),
+        F.sum("q_cents").alias("sum_q_cents"),
+        F.count("prio_raw").alias("n_prio_raw_ok"),
+        F.sum("prio_num").alias("sum_prio"),
+        F.count("overflowed").alias("n_overflow_ok"),
+    )
