@@ -6416,9 +6416,10 @@ STAGED_R14_ENABLED = False
 # Round-15 holding pen (``queries_staged_r15.py``): gate created
 # EMPTY at round-13 end (ADVICE r07 precedent — pen, parity gate,
 # flag, and _PEN_MODULES entry all predate the first registration),
-# then seeded the same round with 2 queries under the ≤15 cap (the
+# then seeded the same round with 3 queries under the ≤15 cap (the
 # binaryFile whole-file fingerprint roundtrip, the ANSI try_*
-# error-safe expression family — both hash-verified at sf0.001 +
-# sf0.01 in tests/oracle/test_staged_r15_parity.py). Round 14 fills
+# error-safe expression family, the embedding-store referential
+# coverage audit — all hash-verified at sf0.001 + sf0.01 in
+# tests/oracle/test_staged_r15_parity.py). Round 14 fills
 # the rest while activating the r13 pen; round 16 flips this flag.
 STAGED_R15_ENABLED = False

@@ -261,3 +261,87 @@ def scalar_try_ansi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("prio_num").alias("sum_prio"),
         F.count("overflowed").alias("n_overflow_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-store referential coverage (backfill planning / orphan GC)
+# ---------------------------------------------------------------------------
+
+# Deterministic desync between the corpus and its embedding store —
+# the two failure directions a real pipeline accumulates: every 11th
+# embedding is MISSING (a re-embed backlog), and every 13th document
+# is DELETED from the corpus (takedowns) leaving its embedding
+# orphaned. One modulus per direction; both fold into the oracle.
+_COV_MISS_MOD = 11  # embeddings absent for doc_id % 11 == 0
+_COV_DEL_MOD = 13  # corpus rows absent for doc_id % 13 == 0
+
+
+@register_staged(
+    "quality_embedding_coverage",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source FROM documents
+        WHERE doc_id % {_COV_DEL_MOD} <> 0
+    ),
+    emb AS (
+        SELECT vec_id FROM embeddings
+        WHERE vec_id % {_COV_MISS_MOD} <> 0
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_embedded,
+           CAST(COUNT(*) - COUNT(e.vec_id) AS BIGINT) AS n_backfill,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN d.doc_id
+                         ELSE 0 END) AS BIGINT) AS backfill_key_sum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM emb
+            LEFT JOIN docs dd ON emb.vec_id = dd.doc_id
+            WHERE dd.doc_id IS NULL) AS n_orphans_total
+    FROM docs d LEFT JOIN emb e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+    """,
+)
+def quality_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store REFERENTIAL COVERAGE — the sync audit every
+    retrieval pipeline runs before trusting its index: which corpus
+    documents have no embedding (the re-embed BACKFILL, with the
+    exact key-sum so the backfill job is verifiable), and how many
+    embeddings point at documents that no longer exist (ORPHANS —
+    storage the takedown sweep must GC, and retrieval results that
+    would surface deleted content). Desync is simulated
+    deterministically in both directions (one modulus each) so the
+    oracle states the expected audit independently.
+
+    Scale shape: two anti-join-shaped passes expressed as ONE left
+    join per direction on the key — at 100 TB each is a single key
+    shuffle (shuffle-free with both tables bucketed by key), and
+    only (key, source) columns move — never text, never vectors.
+    The orphan total rides the same plan as a scalar subquery."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _COV_DEL_MOD != 0)
+        .select("doc_id", "source")
+    )
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _COV_MISS_MOD != 0)
+        .select("vec_id")
+    )
+    cov = (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("vec_id").alias("n_embedded"),
+            (F.count(F.lit(1)) - F.count("vec_id")).alias("n_backfill"),
+            F.sum(
+                F.when(F.col("vec_id").isNull(), F.col("doc_id")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("backfill_key_sum"),
+        )
+    )
+    orphans = (
+        emb.join(docs, emb.vec_id == docs.doc_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans_total"))
+    )
+    return cov.crossJoin(F.broadcast(orphans))
