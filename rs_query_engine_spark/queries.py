@@ -6397,8 +6397,9 @@ STAGED_R12_ENABLED = True
 # sweep, SQL pipe syntax, the LATERAL correlated top-k, and the
 # single-pass Observation-API audit), locally hash-verified at
 # sf0.001 + sf0.01 (tests/oracle/test_staged_r13_parity.py).
-# Round 14 flips this flag.
-STAGED_R13_ENABLED = False
+# Round 14 flipped this flag: the 14 queries are live and
+# front-load the driver's round-14 correctness window.
+STAGED_R13_ENABLED = True
 
 # Round-14 holding pen (``queries_staged_r14.py``): gate created
 # empty at round-12 end (ADVICE r07 precedent), seeded the same
