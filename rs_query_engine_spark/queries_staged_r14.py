@@ -855,6 +855,9 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from rs_query_engine_spark.sources.artifacts import (
+        _sweep_stale_generations,
+    )
     from rs_query_engine_spark.sources.corpus import normalize_events_ts
     from rs_query_engine_spark.streaming.events import ensure_late_feed
 
@@ -862,12 +865,35 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(feed).schema
     digest = hashlib.md5(feed.encode()).hexdigest()[:16]
     app_id = spark.sparkContext.applicationId
+    # The dir is keyed by applicationId (the restart leg needs a fresh
+    # checkpoint per session), so prior sessions' dirs go stale by
+    # construction. Tag them with the shared source.txt marker and let
+    # the two-phase generation sweep reap them after the grace period
+    # (ADVICE r13: nothing swept these before).
     base = os.path.join(
         tempfile.gettempdir(), f"rsqes_fbupsert_{digest}_{app_id}"
     )
     ck = os.path.join(base, "ck")
     vdir = os.path.join(base, "versions")
     os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(base, "source.txt"), "w") as f:
+        f.write(feed)
+    # Adopt marker-less dirs left by sessions that predate the sweep:
+    # the digest in the dir name already pins the feed, so stamping
+    # source.txt is safe and lets the two-phase reap see them.
+    prefix = f"rsqes_fbupsert_{digest}_"
+    for d in os.listdir(tempfile.gettempdir()):
+        if d.startswith(prefix) and d != os.path.basename(base):
+            marker = os.path.join(tempfile.gettempdir(), d, "source.txt")
+            if not os.path.exists(marker):
+                try:
+                    with open(marker, "w") as f:
+                        f.write(feed)
+                except OSError:
+                    pass
+    _sweep_stale_generations(
+        f"fbupsert_{digest}", feed, keep=os.path.basename(base)
+    )
 
     from pyspark.sql import Window
 
@@ -922,7 +948,18 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     run_once()  # restart, same checkpoint: no new batches, no writes
 
-    final = spark.read.parquet(os.path.join(vdir, f"v{current_version()}"))
+    # Superseded versions exist only to feed the next merge; with the
+    # stream drained, only the final version is ever read again —
+    # prune the rest so each session leaves one version, not four
+    # (ADVICE r13). The returned DataFrame lazily scans the kept dir.
+    import shutil
+
+    cur = current_version()
+    for d in os.listdir(vdir):
+        if d.startswith("v") and d != f"v{cur}":
+            shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+
+    final = spark.read.parquet(os.path.join(vdir, f"v{cur}"))
     final = normalize_events_ts(final)
     return final.select(
         "user_id",
@@ -1183,7 +1220,8 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n AS n_days,
            CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day
+               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+               AS slope_per_day
     FROM s
     """,
 )
@@ -1198,7 +1236,10 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (epoch-days and counts are integers; the products fit
     comfortably) and spends exactly ONE float operation — the final
     division of two exactly-computed bigints — making the slope
-    bit-identical on any engine and any row order.
+    bit-identical on any engine and any row order. The denominator
+    n·Σx² − (Σx)² is zero exactly when a group has a single distinct
+    day (ADVICE r13): NULLIF on both sides turns that degenerate
+    group into a NULL slope instead of an ANSI DIVIDE_BY_ZERO.
 
     Scale shape: two cascaded partial-agg shuffles (day grain, then
     group grain), the second over |types|×|days| rows — nothing
@@ -1227,6 +1268,9 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         (
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0),
+            ).cast("double")
         ).alias("slope_per_day"),
     )

@@ -138,7 +138,9 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    root = artifact_root(src, "binfiles", "layout=lang_csv_sorted_v1")
+    # v2: sort moved after the projection (ADVICE r13) — same bytes,
+    # re-keyed so cached v1 fixtures rebuild through the hardened path.
+    root = artifact_root(src, "binfiles", "layout=lang_csv_sorted_v2")
     path = os.path.join(root, "byte_files")
 
     def _complete(r: str) -> bool:
@@ -147,11 +149,16 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _complete(root):
 
         def _write(tmp: str) -> None:
+            # The sort is the LAST node before the write and orders by
+            # (lang, doc_id-recomputed-from-value), so the writer's
+            # required ordering on the partition column is satisfied
+            # by the sort itself — no reliance on outputOrdering
+            # propagating through a later projection (ADVICE r13: that
+            # propagation is an implementation detail a Spark upgrade
+            # could drop, silently letting FileFormatWriter insert its
+            # own non-stable sort and scramble the file bytes).
             (
                 _t(spark, sf_dir, "documents")
-                .select("lang", "doc_id", "n_chars")
-                .repartition(F.col("lang"))
-                .sortWithinPartitions("lang", "doc_id")
                 .select(
                     "lang",
                     F.concat_ws(
@@ -160,9 +167,31 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_chars").cast("string"),
                     ).alias("value"),
                 )
+                .repartition(F.col("lang"))
+                .sortWithinPartitions(
+                    F.col("lang"),
+                    F.split(F.col("value"), ",").getItem(0).cast("long"),
+                )
                 .write.partitionBy("lang")
                 .text(os.path.join(tmp, "byte_files"))
             )
+            # Byte-exactness also needs each lang's rows in ONE file
+            # (repartition-by-lang guarantees one task per lang, hence
+            # one file) — assert it so a layout drift fails the
+            # install loudly instead of hash-mismatching downstream.
+            out = os.path.join(tmp, "byte_files")
+            for d in os.listdir(out):
+                if not d.startswith("lang="):
+                    continue
+                n = len([
+                    f for f in os.listdir(os.path.join(out, d))
+                    if f.endswith(".txt")
+                ])
+                if n != 1:
+                    raise AssertionError(
+                        f"binaryFile fixture: {d} has {n} data files,"
+                        " expected exactly 1"
+                    )
 
         install_artifact(root, "binfiles", src, _write, _complete)
 
