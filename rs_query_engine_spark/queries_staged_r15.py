@@ -374,3 +374,536 @@ def quality_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orphans_total"))
     )
     return cov.crossJoin(F.broadcast(orphans))
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation — listagg / string_agg parity
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "agg_listagg_ordered",
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name,
+               string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    ),
+    seg AS (
+        SELECT r.r_name,
+               string_agg(DISTINCT c.c_mktsegment, ','
+                          ORDER BY c.c_mktsegment) AS segments
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    )
+    SELECT nat.r_name, nat.nations, nat.n_nations, seg.segments
+    FROM nat JOIN seg ON nat.r_name = seg.r_name
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ``listagg(...) WITHIN
+    GROUP (ORDER BY ...)`` (the ANSI form; DuckDB spells it
+    ``string_agg(... ORDER BY ...)``), in both its plain and DISTINCT
+    shapes. The explicit in-aggregate ORDER BY is what makes a
+    concatenated string deterministic cross-engine — collect_list +
+    array_join (``agg_array_collect``) needs a separate sort; listagg
+    states the order in the aggregate itself.
+
+    Scale shape: the nations leg aggregates a 25-row dim after a
+    broadcast join; the segments leg shuffles only (region, segment)
+    pairs after partial-DISTINCT collapse — concatenation happens on
+    grouped, bounded-cardinality data, never on an unbounded column
+    (the 100-TB rule for string aggs: group first, concatenate
+    small)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    c = _t(spark, sf_dir, "customer")
+    nat = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+    seg = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT c_mktsegment, ',')"
+                " WITHIN GROUP (ORDER BY c_mktsegment)"
+            ).alias("segments")
+        )
+    )
+    return nat.join(seg, "r_name")
+
+
+# ---------------------------------------------------------------------------
+# Conditional-aggregate family — FILTER clause, count_if, bool_and/or,
+# max_by/min_by
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "agg_conditional_family",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT)
+               AS n_tax_free,
+           bool_and(l_extendedprice > 0) AS all_price_pos,
+           bool_or(l_discount = 0) AS any_zero_disc,
+           arg_max(l_partkey,
+                   (l_orderkey * 10 + l_linenumber) * 1048576
+                       + l_partkey) AS last_part,
+           arg_min(l_partkey,
+                   (l_orderkey * 10 + l_linenumber) * 1048576
+                       + l_partkey) AS first_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-aggregate family every migration hits:
+    ``count_if``, the ANSI ``FILTER (WHERE ...)`` clause, boolean
+    reducers ``bool_and``/``bool_or``, and argmax/argmin via
+    ``max_by``/``min_by`` (DuckDB: ``arg_max``/``arg_min``).
+    Determinism note worth pinning: max_by on a TIED ordering key is
+    engine-arbitrary — and this corpus DOES tie on
+    (l_orderkey, l_linenumber) — so the ordering key folds the
+    selected value itself into the low bits
+    (``(l_orderkey*10+l_linenumber)*2^20 + l_partkey``; partkey stays
+    under 2^20 at every tested SF): any remaining tie is between rows
+    whose selected value is identical, which is the composite-argmax
+    trick that makes per-group "latest row" queries hash-stable
+    anywhere.
+
+    Scale shape: every leg is a partial-aggregable single pass — one
+    map-side combine + one 4-group shuffle; the FILTER/CASE forms
+    fuse into the same hash-agg operator, never a second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = (
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 1048576
+        + F.col("l_partkey")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.expr("COUNT(*) FILTER (WHERE l_tax = 0)").alias("n_tax_free"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_price_pos"),
+        F.bool_or(F.col("l_discount") == 0).alias("any_zero_disc"),
+        F.max_by(F.col("l_partkey"), key).alias("last_part"),
+        F.min_by(F.col("l_partkey"), key).alias("first_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregate family — bit_and / bit_or / bit_xor / bit_count
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "agg_bitwise_family",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey)  AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS total_bits,
+           CAST(bit_or(xor(o_custkey, o_orderkey)) AS BIGINT)
+               AS mixed_or
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — ``bit_and``/``bit_or``/``bit_xor`` plus
+    ``bit_count`` and scalar XOR: the primitive layer under bitmap
+    indexes, bloom/simhash sketches, and permission-mask rollups
+    (the live simhash/bitmap queries USE these ops; this pins the
+    raw aggregate family itself against an independent engine).
+    Everything is exact int64 bit arithmetic — the one aggregate
+    family with zero float risk by construction.
+
+    Scale shape: all four are commutative/associative reducers —
+    perfect partial aggregation, constant-size state per group,
+    shuffle volume = |groups|."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(F.col("o_orderkey")).alias("key_and"),
+        F.bit_or(F.col("o_orderkey")).alias("key_or"),
+        F.bit_xor(F.col("o_orderkey")).alias("key_xor"),
+        F.sum(F.bit_count(F.col("o_orderkey")).cast("bigint")).alias(
+            "total_bits"
+        ),
+        F.bit_or(
+            F.col("o_custkey").bitwiseXOR(F.col("o_orderkey"))
+        ).alias("mixed_or"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index — exact-rational source concentration audit
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "quality_simpson_index",
+    oracle="""
+    WITH per_lang AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_l
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(n_l) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(n_l * (n_l - 1)) AS DOUBLE)
+               / CAST(NULLIF(SUM(n_l) * (SUM(n_l) - 1), 0) AS DOUBLE)
+               AS simpson
+    FROM per_lang GROUP BY source
+    """,
+)
+def quality_simpson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration index per source — the mixture-monitoring
+    scalar for "is this source all one language?": the probability two
+    docs drawn without replacement share a lang, Σ n_l(n_l−1) /
+    (N(N−1)). Unlike Shannon entropy (a log per group — transcendental,
+    not hash-stable cross-engine), Simpson is an exact integer rational
+    with ONE final float division, so it oracle-verifies bit-exactly —
+    the float-determinism discipline picking the right diversity
+    statistic, not just the right cast order. NULLIF guards the
+    single-doc-source degenerate case on both sides.
+
+    Scale shape: two cascaded partial-agg shuffles (source×lang grain,
+    then source grain — the second over ≤ |sources|×|langs| rows)."""
+    d = _t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    n_docs = F.sum("n_l")
+    return per_lang.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        (
+            F.sum(F.col("n_l") * (F.col("n_l") - 1)).cast("double")
+            / F.nullif(
+                n_docs * (n_docs - F.lit(1)), F.lit(0)
+            ).cast("double")
+        ).alias("simpson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware grouping — Spark 4 COLLATE (UTF8_LCASE)
+# ---------------------------------------------------------------------------
+
+# Deterministic case-mixing: every even doc_id presents its lang code
+# upper-cased — the mixed-case key mess (EN vs en) collations exist to
+# absorb. Shared constant so the oracle states the same corruption.
+_COLL_CASE_MOD = 2
+
+
+@register_staged(
+    "string_collation_groupby",
+    oracle=f"""
+    WITH m AS (
+        SELECT CASE WHEN doc_id % {_COLL_CASE_MOD} = 0
+                    THEN upper(lang) ELSE lang END AS lang_mixed,
+               n_chars
+        FROM documents
+    )
+    SELECT min(lang_mixed) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang_mixed) AS BIGINT) AS n_spellings,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count_if(lower(lang_mixed) = 'en') AS BIGINT)
+               AS n_match_en
+    FROM m GROUP BY lower(lang_mixed)
+    """,
+)
+def string_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS — grouping and comparing under
+    ``UTF8_LCASE`` so 'EN' and 'en' are ONE group without rewriting
+    every expression through lower() (the oracle states the lower()
+    equivalent, which coincides with UTF8_LCASE on this ASCII
+    domain). Two semantics pinned: a collated GROUP BY key merges
+    case-variant spellings (n_spellings counts the raw variants that
+    fused), and a collated equality comparison matches
+    case-insensitively. The group's output key is min(raw) under
+    BINARY collation — the collated key column itself carries an
+    engine-arbitrary representative, the one non-determinism trap in
+    collated grouping (same reason ``any_value`` is banned in
+    oracled queries).
+
+    Scale shape: identical to any hash aggregate — collation support
+    lives in the comparator/hasher, adding no shuffle or pass."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % _COLL_CASE_MOD == 0, F.upper(F.col("lang"))
+    ).otherwise(F.col("lang"))
+    m = d.select(mixed.alias("lang_mixed"), "n_chars")
+    return (
+        m.groupBy(
+            F.collate(F.col("lang_mixed"), "UTF8_LCASE").alias("k")
+        )
+        .agg(
+            F.min(F.collate(F.col("lang_mixed"), "UTF8_BINARY")).alias(
+                "rep"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(
+                F.collate(F.col("lang_mixed"), "UTF8_BINARY")
+            ).alias("n_spellings"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_if(
+                F.collate(F.col("lang_mixed"), "UTF8_LCASE") == F.lit("en")
+            ).alias("n_match_en"),
+        )
+        .drop("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing family — parse_url + url_decode
+# ---------------------------------------------------------------------------
+
+# Deterministic URL synthesis (distinct constants from the r14 pen's
+# canonicalization query — this one pins the PARSER builtins, that one
+# pins dedup semantics): mixed-case host every 3rd doc, two query
+# params, one percent-encoded value.
+_URLP_Q_MOD = 5
+_URLP_X_MOD = 7
+
+
+@register_staged(
+    "string_url_parse_family",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+               || '.example.org' AS host,
+           '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+           'v ' || CAST(doc_id % {_URLP_Q_MOD} AS VARCHAR) AS q_decoded,
+           CAST(doc_id % {_URLP_X_MOD} AS VARCHAR) AS x_param
+    FROM documents
+    """,
+)
+def string_url_parse_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL builtin family — ``parse_url`` (HOST / PATH / QUERY
+    with a key) and ``url_decode`` — over deterministically
+    synthesized URLs, verified against an oracle that reconstructs
+    each component from the synthesis constants instead of parsing
+    (DuckDB has no parse_url; independent reconstruction is the
+    stronger check anyway). Pins that host extraction preserves case,
+    path extraction drops the query, keyed QUERY extraction isolates
+    one parameter among several, and percent-decoding round-trips
+    ``%20``.
+
+    Scale shape: pure map-side scalar projection — whole-stage
+    codegen, no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("source"))).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q=v%20"),
+        (F.col("doc_id") % _URLP_Q_MOD).cast("string"),
+        F.lit("&x="),
+        (F.col("doc_id") % _URLP_X_MOD).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.url_decode(
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q"))
+        ).alias("q_decoded"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("x")).alias(
+            "x_param"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN vs NOT EXISTS under NULL — the three-valued-logic trap
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "join_not_in_null_semantics",
+    oracle="""
+    WITH probe_clean AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    probe_null AS (
+        SELECT k FROM probe_clean
+        UNION ALL SELECT CAST(NULL AS BIGINT)
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_custkey IN (SELECT k FROM probe_null)) AS n_in,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_custkey NOT IN (SELECT k FROM probe_null))
+            AS n_not_in_null,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_custkey NOT IN (SELECT k FROM probe_clean))
+            AS n_not_in_clean,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM probe_null p
+                           WHERE p.k = o.o_custkey))
+            AS n_not_exists
+    """,
+)
+def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN`` vs ``NOT EXISTS`` under a NULL in the subquery — the
+    classic three-valued-logic trap, pinned as data: with one NULL in
+    the probe set, ``x NOT IN (...)`` can never be TRUE (x <> NULL is
+    UNKNOWN), so n_not_in_null is 0 BY THE STANDARD, while NOT EXISTS
+    on the same set is a real anti-join (n_not_exists > 0) and NOT IN
+    against the NULL-free set agrees with it. Both engines implement
+    the standard; an engine that "fixed" NOT IN would fail this hash.
+    Positive IN is unaffected by the NULL (n_in).
+
+    Scale shape: each leg plans as a broadcast null-aware anti join /
+    semi join on the key column only — Spark's NAAJ exists precisely
+    because naive NOT IN decorrelation is a cartesian check; counts
+    aggregate map-side."""
+    from rs_query_engine_spark.sources.corpus import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe_clean AS (
+            SELECT c_custkey AS k FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ),
+        probe_null AS (
+            SELECT k FROM probe_clean
+            UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey IN (SELECT k FROM probe_null)) AS n_in,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM probe_null))
+                AS n_not_in_null,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM probe_clean))
+                AS n_not_in_clean,
+            (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM probe_null p
+                               WHERE p.k = o.o_custkey))
+                AS n_not_exists
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized clipping — exact discrete percentiles via rank positions
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "quality_winsorize_clip",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    cuts AS (
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(CASE WHEN rn = (n + 19) // 20
+                             THEN n_chars END) AS BIGINT) AS p05,
+               CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20
+                             THEN n_chars END) AS BIGINT) AS p95
+        FROM ranked GROUP BY source
+    )
+    SELECT d.source, c.n_docs, c.p05, c.p95,
+           CAST(SUM(LEAST(GREATEST(d.n_chars, c.p05), c.p95))
+                AS BIGINT) AS sum_clipped,
+           CAST(count_if(d.n_chars < c.p05) AS BIGINT) AS n_clip_low,
+           CAST(count_if(d.n_chars > c.p95) AS BIGINT) AS n_clip_high
+    FROM documents d JOIN cuts c ON d.source = c.source
+    GROUP BY d.source, c.n_docs, c.p05, c.p95
+    """,
+)
+def quality_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized clipping per source — the outlier-taming step before
+    any length/score statistic feeds a mixture weight: clip n_chars to
+    its per-source exact discrete p05/p95. The percentile positions
+    are INTEGER arithmetic (``ceil(q·n)`` spelled ``(q·n+19)//20`` —
+    no float, no interpolation, no percentile_disc convention
+    roulette between engines), the cut VALUES are picked by rank, and
+    the clipped sum is exact int64 — a percentile query with zero
+    float ops, against the grain of approx-percentile (which is
+    rows-only for a reason).
+
+    Scale shape: one window pass per source partition (rank +
+    partition count in a single Window spec, same shuffle), a
+    source-grain reduce to the two cuts, then the cuts broadcast back
+    onto the corpus scan for a map-side clip + partial agg. Nothing
+    corpus-sized shuffles twice; at 100 TB the ranked pass is the
+    one sort, and it's per-source parallel."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    p05_pos = (F.col("n") + 19) / 20
+    p95_pos = (19 * F.col("n") + 19) / 20
+    cuts = ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(
+                F.col("rn") == p05_pos.cast("bigint"), F.col("n_chars")
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == p95_pos.cast("bigint"), F.col("n_chars")
+            )
+        ).alias("p95"),
+    )
+    return (
+        d.join(F.broadcast(cuts), "source")
+        .groupBy("source", "n_docs", "p05", "p95")
+        .agg(
+            F.sum(
+                F.least(
+                    F.greatest(F.col("n_chars"), F.col("p05")),
+                    F.col("p95"),
+                )
+            ).alias("sum_clipped"),
+            F.count_if(F.col("n_chars") < F.col("p05")).alias(
+                "n_clip_low"
+            ),
+            F.count_if(F.col("n_chars") > F.col("p95")).alias(
+                "n_clip_high"
+            ),
+        )
+    )
