@@ -907,3 +907,215 @@ def quality_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining — PMI-monotone exact-rational ranking
+# ---------------------------------------------------------------------------
+
+_COLLOC_MIN_COUNT = 5  # bigram support floor (shared with the oracle)
+_COLLOC_TOP_K = 10
+
+
+@register_staged(
+    "text_collocation_pmi_rank",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT lang, regexp_split_to_array(lower(text), '\s+') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT lang, array_to_string(t[i:i+1], ' ') AS bg
+        FROM toks,
+             LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    cab AS (
+        SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS cnt_ab
+        FROM big GROUP BY lang, bg
+    ),
+    uni AS (SELECT lang, unnest(t) AS w FROM toks),
+    cw AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt_w
+        FROM uni GROUP BY lang, w
+    ),
+    sc AS (
+        SELECT c.lang, c.bg, c.cnt_ab,
+               a.cnt_w AS cnt_a, b.cnt_w AS cnt_b,
+               CAST(c.cnt_ab AS DOUBLE)
+                   / CAST(a.cnt_w * b.cnt_w AS DOUBLE) AS score
+        FROM cab c
+        JOIN cw a ON c.lang = a.lang
+                 AND string_split(c.bg, ' ')[1] = a.w
+        JOIN cw b ON c.lang = b.lang
+                 AND string_split(c.bg, ' ')[2] = b.w
+        WHERE c.cnt_ab >= {_COLLOC_MIN_COUNT}
+    )
+    SELECT lang, bg AS bigram, cnt_ab, cnt_a, cnt_b, score
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY lang ORDER BY score DESC, bg) AS rn
+          FROM sc)
+    WHERE rn <= {_COLLOC_TOP_K}
+    """,
+)
+def text_collocation_pmi_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — top-k bigrams per language ranked by PMI,
+    the vocabulary-building primitive (multi-word expressions worth a
+    single token). The float-determinism trick worth stating: PMI is
+    log(p(ab)/(p(a)p(b))) — a transcendental, never hash-stable — but
+    log is MONOTONE, so ranking by the raw odds ratio
+    cnt_ab/(cnt_a·cnt_b) (constants cancel within a language) yields
+    the EXACT PMI ordering with the numerator/denominator as exact
+    int64 and one final IEEE division. Ties break on the bigram
+    string.
+
+    Scale shape: bigram explode feeds a partial-agg count (shuffle =
+    distinct-bigram volume, not token volume), unigram counts
+    likewise; the two enrichment joins are vocabulary-keyed equi-joins
+    and the top-k is one window pass over support-filtered rows. No
+    all-pairs anything."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.functions.text import shingles, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    cab = (
+        d.select(
+            "lang", F.explode(shingles(F.col("text"), 2)).alias("bg")
+        )
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= _COLLOC_MIN_COUNT)
+    )
+    cw = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt_w"))
+    )
+    parts = F.split(F.col("bg"), " ")
+    sc = (
+        cab.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(
+            cw.withColumnRenamed("w", "w1").withColumnRenamed(
+                "cnt_w", "cnt_a"
+            ),
+            ["lang", "w1"],
+        )
+        .join(
+            cw.withColumnRenamed("w", "w2").withColumnRenamed(
+                "cnt_w", "cnt_b"
+            ),
+            ["lang", "w2"],
+        )
+        .withColumn(
+            "score",
+            F.col("cnt_ab").cast("double")
+            / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("bg")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COLLOC_TOP_K)
+        .select(
+            "lang", F.col("bg").alias("bigram"),
+            "cnt_ab", "cnt_a", "cnt_b", "score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection — exact integer cumulative-deviation argmax
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "events_cumdev_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    curve AS (
+        SELECT event_type, day, y,
+               SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS k,
+               SUM(y) OVER (PARTITION BY event_type) AS tot,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    dev AS (
+        SELECT event_type, day,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(tot AS BIGINT) AS total_events,
+               CAST(abs(n * cum - k * tot) AS BIGINT) AS dev
+        FROM curve
+    )
+    SELECT event_type, n_days, total_events,
+           day AS cp_day, dev AS max_dev
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY event_type
+              ORDER BY dev DESC, day) AS rn
+          FROM dev)
+    WHERE rn = 1
+    """,
+)
+def events_cumdev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection on daily event volume — the drift alarm
+    for "when did this event type's rate shift?": the day maximizing
+    the cumulative deviation from a uniform rate. The statistic is
+    kept EXACT by scaling instead of dividing — D_k = n·cum_k − k·T
+    (the cumulative-sum test statistic times n·T, a positive
+    constant per group) — so detection is pure int64 arithmetic, no
+    float mean, no variance estimate, and the argmax day is
+    hash-stable cross-engine (ties break earliest). The classic CUSUM
+    recursion max(0, S+x) needs sequential state; this offline form
+    is its standard batch equivalent and stays one window pass.
+
+    Scale shape: daily pre-aggregation collapses the corpus to
+    |types|×|days| rows before the single per-type window sort;
+    everything after the first partial-agg shuffle is dim-sized."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    curve = daily.select(
+        "event_type",
+        "day",
+        F.sum("y").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("y").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    dev = curve.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_days"),
+        F.col("tot").alias("total_events"),
+        F.abs(
+            F.col("n") * F.col("cum") - F.col("k") * F.col("tot")
+        ).alias("dev"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("dev").desc(), F.col("day")
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "n_days", "total_events",
+            F.col("day").alias("cp_day"),
+            F.col("dev").alias("max_dev"),
+        )
+    )
