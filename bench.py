@@ -123,8 +123,11 @@ def main() -> None:
                  "source_xml_roundtrip",
                  "stream_foreach_batch_upsert",
                  # r15 pen (inert until STAGED_R15_ENABLED flips):
-                 # the per-lang byte-file fixture
-                 "source_binary_files"):
+                 # the per-lang byte-file fixture, the tricky-CSV
+                 # fixture, and the stream-sink checkpoint + target
+                 "source_binary_files",
+                 "source_csv_quoted_multiline",
+                 "source_python_stream_writer"):
         if name in qs:
             try:
                 t0 = time.perf_counter()

@@ -154,6 +154,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R13_ENABLED", "queries_staged_r13"),
     ("STAGED_R14_ENABLED", "queries_staged_r14"),
     ("STAGED_R15_ENABLED", "queries_staged_r15"),
+    ("STAGED_R16_ENABLED", "queries_staged_r16"),
 )
 
 
@@ -6417,10 +6418,19 @@ STAGED_R14_ENABLED = False
 # Round-15 holding pen (``queries_staged_r15.py``): gate created
 # EMPTY at round-13 end (ADVICE r07 precedent — pen, parity gate,
 # flag, and _PEN_MODULES entry all predate the first registration),
-# then seeded the same round with 3 queries under the ≤15 cap (the
-# binaryFile whole-file fingerprint roundtrip, the ANSI try_*
-# error-safe expression family, the embedding-store referential
-# coverage audit — all hash-verified at sf0.001 + sf0.01 in
-# tests/oracle/test_staged_r15_parity.py). Round 14 fills
-# the rest while activating the r13 pen; round 16 flips this flag.
+# seeded the same round with 3 queries, then CLOSED at 15 in round 14
+# — ordered/conditional/bitwise aggregate families, UTF8_LCASE
+# collation, parse_url family, NOT-IN null semantics, exact
+# winsorize/Simpson/collocation/changepoint pipeline ops, RFC4180
+# multiline CSV, and the Python DataSource streaming writer — all
+# hash-verified at sf0.001 + sf0.01 in
+# tests/oracle/test_staged_r15_parity.py. Round 16 flips this flag
+# (round 15 flips the r14 pen).
 STAGED_R15_ENABLED = False
+
+# Round-16 holding pen (``queries_staged_r16.py``): gate created
+# EMPTY at round-14 end (ADVICE r07 precedent — pen, parity gate,
+# flag, and _PEN_MODULES entry all predate the first registration).
+# Round 15 fills it while activating the r14 pen; round 17 flips
+# this flag.
+STAGED_R16_ENABLED = False

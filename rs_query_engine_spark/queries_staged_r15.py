@@ -14,33 +14,46 @@ docstring): row-level doubles raw, no round(), SUM/AVG through exact
 decimals, every aggregate/computed column aliased identically in the
 Spark code and the DuckDB oracle.
 
-Candidate leads for round 14 (from round-13 loose ends — evaluate,
-don't assume):
+CLOSED at 15 queries in round 14 (the ≤15 rotation-backlog cap),
+every one exact-oracled and hash-verified at sf0.001 + sf0.01 in
+``tests/oracle/test_staged_r15_parity.py``:
 
-- **SQL surfaces are CLOSED as of the r13/r14 pens**: WITH
-  RECURSIVE/UnionLoop, SQL UDFs + table function, SQL scripting,
-  pipe syntax, LATERAL, Observation API (r13 pen); GROUP BY ALL,
-  named parameters, IDENTIFIER(), EXECUTE IMMEDIATE (r14 pen).
-  Nothing known remains — scan Spark release notes before assuming.
-- **Python-compute tiers are CLOSED**: row UDTF (fixed +
-  polymorphic), pandas scalar/grouped-agg/grouped-apply,
-  mapInPandas, mapInArrow, applyInArrow, applyInPandasWithState,
-  Arrow-batch DataSources. ``transformWithStateInPandas`` remains
-  BLOCKED (hard ``google.protobuf`` import — do not re-probe unless
-  protobuf appears in the image).
-- **Source/sink formats**: parquet, CSV, JSON, ORC, XML, text,
-  memory, rate-micro-batch, Python DataSources, quarantine pairs,
-  foreachBatch upsert all live or penned; ``binaryFile`` SEEDED
-  below (round 13). Avro measured BLOCKED (round 13): pip pyspark
-  does not bundle spark-avro — do not re-probe unless the jar
-  appears in the image.
-- **A bucketed-broadcast hybrid similarity join** if a plan audit
-  surfaces a shuffle worth removing (carried since r11 — none found
-  in the r11/r12/r13 audits).
-- The rows-only trio (``similarity_ivf_kmeans``,
-  ``agg_approx_percentile``, ``text_unigram_logprob``) stays
-  rows-only by design with invariant companions — re-evaluate only
-  if one becomes exactly oracle-able.
+- 3 round-13 seeds: ``source_binary_files`` (whole-file binary
+  ingestion, sort hardened per ADVICE r13),
+  ``scalar_try_ansi_family``, ``quality_embedding_coverage``.
+- Aggregate surfaces: ``agg_listagg_ordered`` (Spark 4 listagg
+  WITHIN GROUP, plain + DISTINCT), ``agg_conditional_family``
+  (FILTER clause / count_if / bool_and / bool_or / composite-key
+  max_by-min_by), ``agg_bitwise_family`` (bit_and/or/xor +
+  bit_count).
+- String/SQL semantics: ``string_collation_groupby`` (Spark 4
+  UTF8_LCASE collated grouping + comparison),
+  ``string_url_parse_family`` (parse_url/url_decode vs a
+  reconstruction oracle), ``join_not_in_null_semantics`` (NOT IN vs
+  NOT EXISTS under a NULL probe — the three-valued-logic pin).
+- Pipeline ops: ``quality_winsorize_clip`` (exact discrete-percentile
+  clipping, integer rank positions), ``quality_simpson_index``
+  (exact-rational diversity — the hash-stable alternative to
+  entropy), ``text_collocation_pmi_rank`` (PMI-monotone exact odds
+  ratio), ``events_cumdev_changepoint`` (scaled-CUSUM argmax in pure
+  int64).
+- Sources/sinks: ``source_csv_quoted_multiline`` (RFC4180 quoted
+  newlines, multiLine parse), ``source_python_stream_writer``
+  (DataSourceStreamWriter — the pure-Python format family's last
+  surface).
+
+Leads evaluated and NOT taken (round-13 loose ends): SQL and
+Python-compute tiers remain CLOSED (r13/r14 pens; nothing new in
+4.1 release notes beyond what's covered); Avro still BLOCKED (no
+spark-avro in pip pyspark — do not re-probe unless the jar
+appears); ``transformWithStateInPandas`` still BLOCKED (hard
+google.protobuf import); the bucketed-broadcast hybrid similarity
+join stays shelved — the r11–r13 plan audits found no shuffle it
+would remove, and no new one appeared this round; an as-of-with-
+tolerance query was drafted then dropped as redundant with the live
+``join_asof_nearest`` (already tolerance-bounded both directions).
+The rows-only trio stays rows-only by design with invariant
+companions.
 """
 
 from __future__ import annotations
@@ -1118,4 +1131,186 @@ def events_cumdev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("cp_day"),
             F.col("dev").alias("max_dev"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV robustness — quoted fields with embedded newlines/commas/quotes
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "source_csv_quoted_multiline",
+    oracle="""
+    SELECT doc_id,
+           CAST(length('x,' || lang || chr(10) || '"q'
+                       || CAST(doc_id % 7 AS VARCHAR) || '" end')
+                AS BIGINT) AS n_chars_roundtrip,
+           md5('x,' || lang || chr(10) || '"q'
+               || CAST(doc_id % 7 AS VARCHAR) || '" end')
+               AS content_md5
+    FROM documents
+    """,
+)
+def source_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ROBUSTNESS roundtrip — fields containing embedded commas,
+    double quotes, AND newlines, written RFC4180-style (escape = the
+    quote char itself, so quotes double) and read back with
+    ``multiLine=true``: the parsing mode web-scraped corpora force on
+    every ingestion pipeline, and the one naive line-splitting readers
+    corrupt silently (a quoted newline looks like a record boundary).
+    The fixture derives each tricky value deterministically from
+    (lang, doc_id); the oracle reconstructs the exact string and
+    fingerprints it, so one flipped byte anywhere in
+    write→quote→escape→parse fails the hash.
+
+    Scale caveat stated honestly: multiLine=true makes each CSV file
+    a single split (record boundaries are no longer line boundaries),
+    so parallelism = file count — at 100 TB the layout answer is many
+    modest files, which the fixture's default multi-part write
+    already is."""
+    import os
+
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    root = artifact_root(src, "mlcsv", "layout=tricky_v1")
+    path = os.path.join(root, "tricky_csv")
+
+    def _complete(r: str) -> bool:
+        return os.path.exists(os.path.join(r, "tricky_csv", "_SUCCESS"))
+
+    if not _complete(root):
+
+        def _write(tmp: str) -> None:
+            tricky = F.concat(
+                F.lit("x,"),
+                F.col("lang"),
+                F.lit("\n\"q"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("\" end"),
+            )
+            (
+                _t(spark, sf_dir, "documents")
+                .select("doc_id", tricky.alias("tricky"))
+                .write.option("quote", '"')
+                .option("escape", '"')
+                .option("quoteAll", True)
+                .csv(os.path.join(tmp, "tricky_csv"))
+            )
+
+        install_artifact(root, "mlcsv", src, _write, _complete)
+
+    back = (
+        spark.read.schema("doc_id LONG, tricky STRING")
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.select(
+        "doc_id",
+        F.length("tricky").cast("bigint").alias("n_chars_roundtrip"),
+        F.md5(F.col("tricky").cast("binary")).alias("content_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource STREAMING WRITER — the family's last surface
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "source_python_stream_writer",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def source_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource STREAMING WRITER
+    (``DataSourceStreamWriter`` — write/commit/abort per micro-batch),
+    closing the pure-Python format family: batch reader (+pushdown,
+    +Arrow), batch writer, simple + partitioned + Arrow stream
+    readers, and now the stream SINK. The 4-file late feed replays one
+    file per trigger into ``rsqes_pycsv_stream_sink``; each batch's
+    partitions stage CSV parts executor-side and the driver commit
+    publishes them under batch-keyed names (replay-idempotent by
+    construction — a re-committed batch clears its own finals first).
+    The verification is end-to-end: read the published CSVs back and
+    aggregate — every feed row must appear EXACTLY once, regardless
+    of how rows landed in batches and partitions, which is precisely
+    the exactly-once sink contract. Integer columns only, so the text
+    roundtrip is bit-exact by construction.
+
+    Scale shape: writes are executor-parallel per partition; the
+    driver does rename arithmetic only (the JVM file sink's manifest
+    contract, spelled out in Python)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rs_query_engine_spark.sources.artifacts import (
+        _sweep_stale_generations,
+    )
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvStreamSinkDataSource,
+    )
+    from rs_query_engine_spark.streaming.events import ensure_late_feed
+
+    feed = ensure_late_feed(spark, sf_dir)
+    schema = spark.read.parquet(feed).schema
+    digest = hashlib.md5(feed.encode()).hexdigest()[:16]
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), f"rsqes_pysink_{digest}_{app_id}"
+    )
+    target = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, "source.txt"), "w") as f:
+        f.write(feed)
+    _sweep_stale_generations(
+        f"pysink_{digest}", feed, keep=os.path.basename(base)
+    )
+    try:
+        spark.dataSource.register(CsvStreamSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("rsqes_pycsv_stream_sink")
+        .option("path", target)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    back = spark.read.schema(
+        "event_id LONG, user_id LONG, event_type STRING"
+    ).option("header", True).csv(target)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("user_id").alias("sum_user_id"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
     )

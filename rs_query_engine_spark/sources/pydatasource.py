@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -566,3 +567,73 @@ class CsvArrowStreamReader(CsvPartitionedStreamReader):
         )
         table = pacsv.read_csv(partition.value, convert_options=conv)
         yield from table.cast(target).to_batches()
+
+
+class CsvStreamSinkDataSource(DataSource):
+    """``rsqes_pycsv_stream_sink`` — the STREAMING-WRITER half of the
+    pure-Python format, completing the DataSource family (batch
+    reader/writer, stream readers, stream writer): each micro-batch's
+    partitions stage CSV part files executor-side, and the driver's
+    per-batch ``commit`` publishes them under deterministic
+    batch-keyed names. Exactly-once comes from the names: a replayed
+    batch first deletes its own finals, so re-publishing is
+    idempotent — the same contract the JVM file-stream sink gets from
+    its manifest log, expressed directly in the filesystem."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rsqes_pycsv_stream_sink"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return CsvStreamSinkWriter(schema, self.options["path"])
+
+
+class CsvStreamSinkWriter(DataSourceStreamWriter):
+    """Two-phase streaming commit: ``write`` (executor, per
+    partition) stages under a unique name and reports it;
+    ``commit(messages, batchId)`` (driver, after every task of the
+    batch succeeded) clears any finals a previous attempt of the SAME
+    batch published, then renames the staged set to
+    ``batch-{id}-{i}.csv``; ``abort`` drops the staged files. Readers
+    list only ``*.csv``, so a torn batch is never visible."""
+
+    def __init__(self, schema: StructType, path: str) -> None:
+        self.names = [f.name for f in schema]
+        self.path = path
+
+    def write(self, iterator) -> "_PartFile":
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f"stage-{uuid.uuid4().hex}.staged"
+        )
+        with open(staged, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(self.names)
+            for r in iterator:
+                # str() of a float is the shortest round-trip repr
+                w.writerow(["" if v is None else str(v) for v in r])
+        return _PartFile(staged=staged)
+
+    def commit(self, messages, batchId: int) -> None:
+        import glob
+
+        for old in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:05d}-*.csv")
+        ):
+            os.remove(old)
+        for i, m in enumerate(sorted(messages, key=lambda m: m.staged)):
+            os.rename(
+                m.staged,
+                os.path.join(
+                    self.path, f"batch-{batchId:05d}-{i:04d}.csv"
+                ),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except OSError:
+                pass
