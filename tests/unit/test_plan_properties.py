@@ -1268,3 +1268,80 @@ def test_url_canonicalize_is_single_shuffle_expression_only(spark):
     assert "partial_count" in plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" not in read_schema  # never reads the document body
+
+
+def test_not_in_null_semantics_no_cartesian_anti_joins(spark):
+    """join_not_in_null_semantics: every NOT IN leg must plan as a
+    (null-aware) anti join on the key — the naive decorrelation is a
+    per-row cartesian re-check, which is exactly what NAAJ exists to
+    avoid; the EXISTS legs plan as semi joins."""
+    from rs_query_engine_spark import queries_staged_r15 as r15
+
+    df = r15.queries()["join_not_in_null_semantics"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_winsorize_broadcasts_cuts_onto_corpus_scan(spark):
+    """quality_winsorize_clip: the per-source cut values (a
+    sources-sized aggregate) must come back to the corpus as a
+    BROADCAST join — shuffling the corpus a second time to meet its
+    own 20-row statistics table is the anti-pattern; and neither pass
+    may read the document text."""
+    from rs_query_engine_spark import queries_staged_r15 as r15
+
+    df = r15.queries()["quality_winsorize_clip"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "text" not in ln  # n_chars/source/doc_id only
+
+
+def test_collocation_vocab_joins_no_allpairs(spark):
+    """text_collocation_pmi_rank: candidate enrichment must be
+    vocabulary-keyed equi-joins with map-side partial counts — never
+    a cartesian/all-pairs shape — and the support filter must sit
+    below the unigram joins (only frequent bigrams get enriched)."""
+    from rs_query_engine_spark import queries_staged_r15 as r15
+
+    df = r15.queries()["text_collocation_pmi_rank"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "Window" in plan  # the top-k is one window pass, not a sort
+
+
+def test_cumdev_changepoint_preaggregates_before_window(spark):
+    """events_cumdev_changepoint: the corpus must collapse to
+    (type, day) grain via a partial+final hash aggregate BEFORE any
+    window sort — windowing raw events would sort the corpus; the
+    scan must read only (event_type, ts)."""
+    from rs_query_engine_spark import queries_staged_r15 as r15
+
+    df = r15.queries()["events_cumdev_changepoint"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "partial_count" in plan
+    assert "Window" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "event_type" in read_schema and "ts" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_binary_files_fingerprint_is_map_only(spark):
+    """source_binary_files: the whole-file fingerprint must be a
+    map-only projection over the binaryFile scan — file bytes must
+    never cross a shuffle."""
+    from rs_query_engine_spark import queries_staged_r15 as r15
+
+    df = r15.queries()["source_binary_files"](spark, SF_DIR)
+    plan = explain_str(df)
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert not shuffles
+    assert "Exchange" not in plan
