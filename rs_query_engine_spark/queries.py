@@ -6430,7 +6430,10 @@ STAGED_R15_ENABLED = False
 
 # Round-16 holding pen (``queries_staged_r16.py``): gate created
 # EMPTY at round-14 end (ADVICE r07 precedent — pen, parity gate,
-# flag, and _PEN_MODULES entry all predate the first registration).
-# Round 15 fills it while activating the r14 pen; round 17 flips
-# this flag.
+# flag, and _PEN_MODULES entry all predate the first registration),
+# then seeded the same round with 3 queries (IANA-zone civil-time
+# bucketing, the positional-regexp family, the bitemporal as-of
+# read), all hash-verified at sf0.001 + sf0.01 in
+# tests/oracle/test_staged_r16_parity.py. Round 15 fills the rest
+# while activating the r14 pen; round 17 flips this flag.
 STAGED_R16_ENABLED = False

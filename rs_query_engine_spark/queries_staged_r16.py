@@ -4,10 +4,15 @@ EMPTY at creation (round-14 end; ADVICE r07 precedent: the pen, its
 parity gate ``tests/oracle/test_staged_r16_parity.py``, the
 ``STAGED_R16_ENABLED`` flag, and the ``_PEN_MODULES`` entry all
 exist BEFORE the first round-16 query lands, so every registration
-is verified-by-construction from its first commit). Round 15 fills
-this pen (≤ ~15 queries — the rotation-backlog cap, see the
-BENCH_NOTES ledger) while activating the r14 one; round 17 flips
-the flag.
+is verified-by-construction from its first commit), then SEEDED the
+same round with 3 queries hash-verified at sf0.001 + sf0.01
+(r13→r15 precedent): civil-time bucketing into an IANA zone with
+the DST hour-count invariant, the positional-regexp builtin family
+(count/substr/instr vs independent DuckDB emulations), and the
+bitemporal as-of read (versions × transaction-time cutoff — the
+training-snapshot reproducibility primitive). Round 15 fills the
+rest (≤ ~15 queries — the rotation-backlog cap, see the BENCH_NOTES
+ledger) while activating the r14 one; round 17 flips the flag.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -69,3 +74,205 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from rs_query_engine_spark.queries import D_PRICE, _t  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Round-14 seeds (r13 precedent: the pen is created empty, then seeded
+# the same round with a few verified queries under the ≤15 cap)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "events_timezone_bucketing",
+    oracle="""
+    WITH loc AS (
+        SELECT event_type,
+               timezone('America/New_York',
+                        timezone('UTC', CAST(ts AS TIMESTAMP)))
+                   AS local_ts,
+               event_id, value
+        FROM events
+    )
+    SELECT event_type,
+           CAST(local_ts AS DATE) AS local_day,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT EXTRACT(hour FROM local_ts)) AS BIGINT)
+               AS n_local_hours,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_value
+    FROM loc GROUP BY event_type, CAST(local_ts AS DATE)
+    """,
+)
+def events_timezone_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Civil-time bucketing — UTC event times rolled up into LOCAL
+    days of an IANA zone (America/New_York): the reporting grain every
+    product dashboard actually wants, and a cross-engine minefield
+    because both engines must agree on the zone database and the DST
+    transition rules (Spark ``from_utc_timestamp`` vs DuckDB's
+    two-step ``timezone()`` — probed on the 2024 spring-forward and
+    fall-back boundaries before this query existed). n_local_hours
+    pins the giveaway invariant: a DST-transition local day has 23 or
+    25 distinct hours, not 24.
+
+    Scale shape: the zone conversion is a map-side scalar; the rollup
+    is one partial+final hash aggregate on (type, local_day) — civil
+    time costs nothing at 100 TB IF it stays an expression (the
+    anti-pattern is a per-row Python tz lookup)."""
+    loc = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_utc_timestamp(
+            F.col("ts").cast("timestamp"), "America/New_York"
+        ).alias("local_ts"),
+        "event_id",
+        "value",
+    )
+    return loc.groupBy(
+        "event_type", F.to_date("local_ts").alias("local_day")
+    ).agg(
+        F.count("event_id").alias("n_events"),
+        F.count_distinct(F.hour("local_ts")).alias("n_local_hours"),
+        F.sum(F.col("value").cast(D_PRICE))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+_REGEXP_RUN = "[aeiou]{2,}"  # shared pattern: runs of 2+ vowels
+
+
+@register_staged(
+    "string_regexp_family",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_REGEXP_RUN}'))
+                AS BIGINT) AS n_runs,
+           NULLIF(regexp_extract(text, '{_REGEXP_RUN}'), '')
+               AS first_run,
+           CAST(CASE WHEN regexp_matches(text, '{_REGEXP_RUN}')
+                THEN length(string_split_regex(
+                         text, '{_REGEXP_RUN}')[1]) + 1
+                ELSE 0 END AS BIGINT) AS first_pos
+    FROM documents
+    """,
+)
+def string_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional-regexp builtin family — ``regexp_count`` /
+    ``regexp_substr`` / ``regexp_instr`` (the Oracle/Snowflake trio
+    Spark added in 3.5, the bread and butter of crawl-cleanup rules) —
+    pinned against DuckDB emulations built from different primitives
+    (extract_all length, NULLIF'd extract, prefix-split length), so
+    agreement means both engines place the same leftmost match with
+    the same greediness on the same non-trivial pattern. The no-match
+    conventions are part of the pin: substr → NULL (DuckDB's '' is
+    NULLIF'd to match), instr → 0.
+
+    Scale shape: map-side scalar projection over a (doc_id, text)
+    scan — regex cost is per-row CPU inside codegen, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_REGEXP_RUN))
+        .cast("bigint")
+        .alias("n_runs"),
+        F.regexp_substr(F.col("text"), F.lit(_REGEXP_RUN)).alias(
+            "first_run"
+        ),
+        F.regexp_instr(F.col("text"), F.lit(_REGEXP_RUN))
+        .cast("bigint")
+        .alias("first_pos"),
+    )
+
+
+# Bitemporal constants — every 17th event receives a correction
+# (+1000.0 to value) whose TRANSACTION time lags its event time by one
+# day; the as-of cutoff is two days before the corpus's newest event.
+_BT_CORR_MOD = 17
+_BT_LAG_US = 86_400_000_000
+_BT_CUT_US = 2 * 86_400_000_000
+
+
+@register_staged(
+    "events_bitemporal_asof",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events WHERE event_id % {_BT_CORR_MOD} = 0
+    ),
+    vers AS (
+        SELECT event_id, us AS txn_us, value FROM ev
+        UNION ALL
+        SELECT event_id, us + {_BT_LAG_US} AS txn_us,
+               value + 1000.0 AS value
+        FROM ev
+    ),
+    cut AS (
+        SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - {_BT_CUT_US}
+            AS t_cut
+        FROM events
+    )
+    SELECT event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions_visible,
+           CAST(MAX(txn_us) AS BIGINT) AS visible_txn_us,
+           arg_max(value, txn_us) AS visible_value
+    FROM vers, cut
+    WHERE txn_us <= t_cut
+    GROUP BY event_id
+    """,
+)
+def events_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of reads — "the data as we KNEW it at time T",
+    the reproducibility primitive for training snapshots and audited
+    reports: each corrected event carries two versions (original at
+    txn=event time, correction landing one day later), and the as-of
+    query sees, per event, exactly the versions whose TRANSACTION time
+    had passed by the cutoff — recent events are invisible entirely,
+    recently-corrected ones surface their ORIGINAL value (the
+    correction hasn't landed yet), older ones the corrected value.
+    Version choice is max_by over the unique txn time; the +1000.0
+    correction is a single IEEE add, hash-stable raw.
+
+    Scale shape: versions build from one pruned scan + union; the
+    cutoff is a 1-row broadcast; the as-of collapse is one key-grain
+    partial+final aggregate — the same plan a Delta/Iceberg
+    time-travel read would execute, spelled out on plain columns."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _BT_CORR_MOD == 0)
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "value",
+        )
+    )
+    base = ev.select(
+        "event_id", F.col("us").alias("txn_us"), "value"
+    )
+    corr = ev.select(
+        "event_id",
+        (F.col("us") + F.lit(_BT_LAG_US)).alias("txn_us"),
+        (F.col("value") + F.lit(1000.0)).alias("value"),
+    )
+    vers = base.unionByName(corr)
+    cut = _t(spark, sf_dir, "events").agg(
+        (
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            - F.lit(_BT_CUT_US)
+        ).alias("t_cut")
+    )
+    return (
+        vers.crossJoin(F.broadcast(cut))
+        .filter(F.col("txn_us") <= F.col("t_cut"))
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions_visible"),
+            F.max("txn_us").alias("visible_txn_us"),
+            F.max_by(F.col("value"), F.col("txn_us")).alias(
+                "visible_value"
+            ),
+        )
+    )
