@@ -759,7 +759,7 @@ def string_url_parse_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH probe_clean AS (
         SELECT c_custkey AS k FROM customer
-        WHERE c_mktsegment = 'BUILDING'
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 200
     ),
     probe_null AS (
         SELECT k FROM probe_clean
@@ -790,10 +790,13 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard; an engine that "fixed" NOT IN would fail this hash.
     Positive IN is unaffected by the NULL (n_in).
 
-    Scale shape: each leg plans as a broadcast null-aware anti join /
-    semi join on the key column only — Spark's NAAJ exists precisely
-    because naive NOT IN decorrelation is a cartesian check; counts
-    aggregate map-side."""
+    Scale shape: NOT IN's null-aware anti join is BROADCAST-ONLY in
+    Spark by design (a shuffled NAAJ cannot decide the
+    any-null-matches-everything case locally), so the probe set is a
+    FIXED key range (c_custkey <= 200 — constant cardinality at every
+    SF); the production spelling for an unbounded probe side is the
+    NOT EXISTS leg this query pins alongside. Counts aggregate
+    map-side."""
     from rs_query_engine_spark.sources.corpus import register_corpus
 
     register_corpus(spark, sf_dir)
@@ -801,7 +804,7 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH probe_clean AS (
             SELECT c_custkey AS k FROM customer
-            WHERE c_mktsegment = 'BUILDING'
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 200
         ),
         probe_null AS (
             SELECT k FROM probe_clean

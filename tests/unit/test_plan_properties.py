@@ -617,6 +617,15 @@ BIG_TABLE_BROADCAST_OK = {
     # through the shortlist equi-join (queries x 40 rows), never as a
     # corpus broadcast.
     "similarity_pq_refine": "probe-batch vectors broadcast for the rerank; corpus reduced by the shortlist join",
+    # Staged for round 16 (queries_staged_r15.py): NOT IN compiles to
+    # Spark's null-aware anti join, which is BROADCAST-ONLY by design
+    # (a shuffled NAAJ cannot decide the any-null-matches-everything
+    # case locally) — no hint involved, no alternative strategy
+    # exists. The broadcast probe set is a FIXED key range
+    # (c_custkey <= 200), constant cardinality at every SF; the
+    # query's own NOT EXISTS leg is the unbounded-probe production
+    # spelling.
+    "join_not_in_null_semantics": "NAAJ is broadcast-only by design; probe set is a fixed key range, constant at every SF",
 }
 
 
