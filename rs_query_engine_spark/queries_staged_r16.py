@@ -5,12 +5,15 @@ parity gate ``tests/oracle/test_staged_r16_parity.py``, the
 ``STAGED_R16_ENABLED`` flag, and the ``_PEN_MODULES`` entry all
 exist BEFORE the first round-16 query lands, so every registration
 is verified-by-construction from its first commit), then SEEDED the
-same round with 3 queries hash-verified at sf0.001 + sf0.01
+same round with 5 queries hash-verified at sf0.001 + sf0.01
 (r13→r15 precedent): civil-time bucketing into an IANA zone with
 the DST hour-count invariant, the positional-regexp builtin family
-(count/substr/instr vs independent DuckDB emulations), and the
+(count/substr/instr vs independent DuckDB emulations), the
 bitemporal as-of read (versions × transaction-time cutoff — the
-training-snapshot reproducibility primitive). Round 15 fills the
+training-snapshot reproducibility primitive), multi-column
+COUNT(DISTINCT) through the Expand rewrite, and interval-union
+dwell-time coverage (gaps-and-islands with a running-max end, exact
+int64 microseconds). Round 15 fills the
 rest (≤ ~15 queries — the rotation-backlog cap, see the BENCH_NOTES
 ledger) while activating the r14 one; round 17 flips the flag.
 
@@ -275,4 +278,141 @@ def events_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "visible_value"
             ),
         )
+    )
+
+
+@register_staged(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT EXTRACT(year FROM o_orderdate))
+                AS BIGINT) AS n_years,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE distinct aggregates over different columns in one
+    GROUP BY — the shape Catalyst must rewrite through an Expand node
+    (each input row fans out once per distinct column, null-padded,
+    then two aggregate passes dedupe and combine), because a hash agg
+    can track at most one distinct set per key. Pinned because the
+    rewrite is where multi-distinct queries silently go quadratic on
+    engines without it, and because mixing distinct and plain
+    aggregates (the SUM rides along) exercises the null-gid branch of
+    the rewrite.
+
+    Scale shape: Expand multiplies shuffle rows by the number of
+    distinct columns (2 here) — the known, bounded cost — but both
+    aggregate passes keep map-side partials; nothing is quadratic."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count_distinct(F.year("o_orderdate")).alias("n_years"),
+        F.sum(F.col("o_totalprice").cast(D_PRICE))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+_COV_WINDOW_US = 1_800_000_000  # each event covers [ts, ts + 30 min)
+
+
+@register_staged(
+    "events_interval_coverage",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + {_COV_WINDOW_US} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s <= COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 0 ELSE 1 END AS new_island
+        FROM w
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s
+                                     ROWS UNBOUNDED PRECEDING)
+                   AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island_id,
+               MIN(s) AS island_start, MAX(e) AS island_end
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT)
+               AS coverage_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage — per user, the total distinct time
+    covered by overlapping activity windows ([ts, ts+30 min) per
+    event): the dwell-time/uptime primitive naive SUM(window) gets
+    wrong whenever sessions overlap (it double-counts). Classic
+    gaps-and-islands: a window starts a new island iff it begins
+    after the running MAX of all previous ends (the running max, not
+    the previous end — an early long window can swallow several later
+    short ones), islands merge by running-sum id, and coverage is the
+    exact int64-microsecond sum of island extents. Row ties on
+    (user, ts) are harmless by construction: equal starts imply equal
+    ends, so the island decision is order-free.
+
+    Scale shape: ONE key-partitioned sort powers both window passes
+    (same spec), then two partial-agg reduces at island and user
+    grain — the corpus is sorted once, never paired."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+    )
+    w = ev.select(
+        "user_id", "s", (F.col("s") + F.lit(_COV_WINDOW_US)).alias("e")
+    )
+    wo = Window.partitionBy("user_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = w.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") <= F.coalesce(prev_max_e, F.lit(-1)), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias(
+            "coverage_us"
+        ),
     )

@@ -1354,3 +1354,32 @@ def test_binary_files_fingerprint_is_map_only(spark):
     ]
     assert not shuffles
     assert "Exchange" not in plan
+
+
+def test_multi_distinct_uses_expand_rewrite(spark):
+    """agg_multi_distinct: two COUNT(DISTINCT) over different columns
+    must compile through the Expand rewrite (row fan-out + two
+    aggregate passes) — the shape that keeps multi-distinct linear;
+    an engine without it recomputes the child per distinct column."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["agg_multi_distinct"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_interval_coverage_single_sort_two_reduces(spark):
+    """events_interval_coverage: both window passes share ONE
+    key-partitioned sort (same window spec), and everything after is
+    partial-agg reduces — the corpus must never be sorted twice or
+    joined to itself."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["events_interval_coverage"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    # one exchange for the user-key window, one for the final agg at
+    # most (AQE may coalesce); the two Window nodes share the sort
+    assert plan.count("Sort ") <= 2
+    assert "partial_count" in plan or "partial_sum" in plan
