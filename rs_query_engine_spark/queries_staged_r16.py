@@ -5,15 +5,17 @@ parity gate ``tests/oracle/test_staged_r16_parity.py``, the
 ``STAGED_R16_ENABLED`` flag, and the ``_PEN_MODULES`` entry all
 exist BEFORE the first round-16 query lands, so every registration
 is verified-by-construction from its first commit), then SEEDED the
-same round with 5 queries hash-verified at sf0.001 + sf0.01
+same round with 6 queries hash-verified at sf0.001 + sf0.01
 (r13→r15 precedent): civil-time bucketing into an IANA zone with
 the DST hour-count invariant, the positional-regexp builtin family
 (count/substr/instr vs independent DuckDB emulations), the
 bitemporal as-of read (versions × transaction-time cutoff — the
 training-snapshot reproducibility primitive), multi-column
-COUNT(DISTINCT) through the Expand rewrite, and interval-union
+COUNT(DISTINCT) through the Expand rewrite, interval-union
 dwell-time coverage (gaps-and-islands with a running-max end, exact
-int64 microseconds). Round 15 fills the
+int64 microseconds), and largest-remainder sample-budget
+apportionment (pure int64 Hamilton quotas summing to exactly K).
+Round 15 fills the
 rest (≤ ~15 queries — the rotation-backlog cap, see the BENCH_NOTES
 ledger) while activating the r14 one; round 17 flips the flag.
 
@@ -415,4 +417,86 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("island_end") - F.col("island_start")).alias(
             "coverage_us"
         ),
+    )
+
+
+_ALLOC_K = 1000  # total sample budget to apportion across sources
+
+
+@register_staged(
+    "sample_proportional_allocation",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS n_total FROM counts),
+    quota AS (
+        SELECT source, n_docs,
+               ({_ALLOC_K} * n_docs) // n_total AS base,
+               ({_ALLOC_K} * n_docs) % n_total AS rem
+        FROM counts, tot
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+               SUM(base) OVER () AS base_sum
+        FROM quota
+    )
+    SELECT source, n_docs,
+           CAST(base + CASE WHEN rk <= {_ALLOC_K} - base_sum
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def sample_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment — the exact answer
+    to "split a sample budget of K across sources proportionally, in
+    INTEGERS, summing to exactly K": floor quotas from integer
+    division, then +1 to the sources with the largest remainders
+    until the budget is spent. Every step is int64 arithmetic
+    (quotient, modulus, rank — no float quota anywhere), ties on the
+    remainder break by source name, and Σalloc = K holds by
+    construction on both engines — the allocation that naive
+    round(K·share) gets wrong whenever rounding errors accumulate
+    (it can over- or under-spend the budget by several samples).
+    Feeds the per-group fixed-size samplers (`sample_fixed_per_group`
+    takes the per-source targets this query computes).
+
+    Scale shape: the corpus collapses to per-source counts in one
+    partial+final aggregate; everything after runs on a
+    |sources|-row frame (a broadcast 1-row total, one window rank) —
+    apportionment is free at any corpus size."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_total"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_ALLOC_K} * n_docs) DIV n_total").alias("base"),
+        ((F.lit(_ALLOC_K) * F.col("n_docs")) % F.col("n_total")).alias(
+            "rem"
+        ),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    wall = Window.partitionBy()
+    ranked = quota.select(
+        "source",
+        "n_docs",
+        "base",
+        F.row_number().over(w).alias("rk"),
+        F.sum("base").over(wall).alias("base_sum"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(
+                F.col("rk") <= F.lit(_ALLOC_K) - F.col("base_sum"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("alloc"),
     )
