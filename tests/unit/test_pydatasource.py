@@ -248,3 +248,61 @@ def test_arrow_stream_reader_matches_tuple_stream_reader(spark):
         assert len(reads["rsqes_pycsv_astream"]) == 300
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_sink_commit_is_replay_idempotent(tmp_path):
+    """A replayed micro-batch commit must not duplicate output: the
+    second attempt's commit clears the first attempt's finals for the
+    SAME batchId before renaming its own staged files (the
+    exactly-once contract source_python_stream_writer relies on).
+    Driver-side protocol test — no Spark session needed."""
+    import os
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from rs_query_engine_spark.sources.pydatasource import (
+        CsvStreamSinkWriter,
+    )
+
+    # built programmatically: fromDDL needs a live JVM, this protocol
+    # test deliberately runs without one
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("v", StringType()),
+        ]
+    )
+    path = str(tmp_path / "sink")
+    w = CsvStreamSinkWriter(schema, path)
+
+    # attempt 1 of batch 7: two partitions
+    m1 = [w.write(iter([(1, "a")])), w.write(iter([(2, "b")]))]
+    w.commit(m1, 7)
+    first = sorted(f for f in os.listdir(path) if f.endswith(".csv"))
+    assert len(first) == 2 and all(f.startswith("batch-00007-") for f in first)
+
+    # replay of batch 7 (e.g. driver restart mid-commit): new staged
+    # files, same batchId — commit must supersede, not accumulate
+    m2 = [w.write(iter([(1, "a")])), w.write(iter([(2, "b")]))]
+    w.commit(m2, 7)
+    second = sorted(f for f in os.listdir(path) if f.endswith(".csv"))
+    assert len(second) == 2, second  # no duplicates from attempt 1
+    assert not [f for f in os.listdir(path) if f.endswith(".staged")]
+
+    # a different batch appends alongside, untouched by batch 7's replay
+    m3 = [w.write(iter([(3, "c")]))]
+    w.commit(m3, 8)
+    finals = sorted(f for f in os.listdir(path) if f.endswith(".csv"))
+    assert len(finals) == 3
+    assert sum(f.startswith("batch-00008-") for f in finals) == 1
+
+    # abort drops staged files without touching finals
+    m4 = [w.write(iter([(4, "d")]))]
+    w.abort(m4, 9)
+    assert not [f for f in os.listdir(path) if f.endswith(".staged")]
+    assert len([f for f in os.listdir(path) if f.endswith(".csv")]) == 3
