@@ -219,14 +219,21 @@ _BT_CUT_US = 2 * 86_400_000_000
         SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - {_BT_CUT_US}
             AS t_cut
         FROM events
+    ),
+    vis AS (
+        SELECT event_id, txn_us, value FROM vers, cut
+        WHERE txn_us <= t_cut
+    ),
+    latest AS (
+        SELECT event_id,
+               CAST(COUNT(*) AS BIGINT) AS n_versions_visible,
+               CAST(MAX(txn_us) AS BIGINT) AS visible_txn_us
+        FROM vis GROUP BY event_id
     )
-    SELECT event_id,
-           CAST(COUNT(*) AS BIGINT) AS n_versions_visible,
-           CAST(MAX(txn_us) AS BIGINT) AS visible_txn_us,
-           arg_max(value, txn_us) AS visible_value
-    FROM vers, cut
-    WHERE txn_us <= t_cut
-    GROUP BY event_id
+    SELECT l.event_id, l.n_versions_visible, l.visible_txn_us,
+           v.value AS visible_value
+    FROM latest l JOIN vis v
+      ON l.event_id = v.event_id AND l.visible_txn_us = v.txn_us
     """,
 )
 def events_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,13 +245,19 @@ def events_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     had passed by the cutoff — recent events are invisible entirely,
     recently-corrected ones surface their ORIGINAL value (the
     correction hasn't landed yet), older ones the corrected value.
-    Version choice is max_by over the unique txn time; the +1000.0
-    correction is a single IEEE add, hash-stable raw.
+    Version choice is a join back on (event_id, max txn time) — the
+    txn time is unique per event, and the join-back form is chosen
+    over max_by/arg_max deliberately: the engines DISAGREE on
+    NULL-argument argmax (DuckDB's arg_max skips NULL args, Spark's
+    max_by returns them), so an equality join is the NULL-proof
+    spelling for any corpus. The +1000.0 correction is a single IEEE
+    add, hash-stable raw.
 
     Scale shape: versions build from one pruned scan + union; the
     cutoff is a 1-row broadcast; the as-of collapse is one key-grain
-    partial+final aggregate — the same plan a Delta/Iceberg
-    time-travel read would execute, spelled out on plain columns."""
+    partial+final aggregate plus one self-equi-join on the unique
+    (event, txn) key — the same plan a Delta/Iceberg time-travel
+    read would execute, spelled out on plain columns."""
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id") % _BT_CORR_MOD == 0)
@@ -269,17 +282,24 @@ def events_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(_BT_CUT_US)
         ).alias("t_cut")
     )
-    return (
-        vers.crossJoin(F.broadcast(cut))
-        .filter(F.col("txn_us") <= F.col("t_cut"))
-        .groupBy("event_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_versions_visible"),
-            F.max("txn_us").alias("visible_txn_us"),
-            F.max_by(F.col("value"), F.col("txn_us")).alias(
-                "visible_value"
-            ),
-        )
+    vis = vers.crossJoin(F.broadcast(cut)).filter(
+        F.col("txn_us") <= F.col("t_cut")
+    )
+    latest = vis.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_versions_visible"),
+        F.max("txn_us").alias("visible_txn_us"),
+    )
+    return latest.join(
+        vis.select(
+            F.col("event_id").alias("v_event_id"),
+            "txn_us",
+            F.col("value").alias("visible_value"),
+        ),
+        (F.col("event_id") == F.col("v_event_id"))
+        & (F.col("visible_txn_us") == F.col("txn_us")),
+    ).select(
+        "event_id", "n_versions_visible", "visible_txn_us",
+        "visible_value",
     )
 
 
