@@ -14,10 +14,15 @@ training-snapshot reproducibility primitive), multi-column
 COUNT(DISTINCT) through the Expand rewrite, interval-union
 dwell-time coverage (gaps-and-islands with a running-max end, exact
 int64 microseconds), and largest-remainder sample-budget
-apportionment (pure int64 Hamilton quotas summing to exactly K).
-Round 15 fills the
-rest (≤ ~15 queries — the rotation-backlog cap, see the BENCH_NOTES
-ledger) while activating the r14 one; round 17 flips the flag.
+apportionment (pure int64 Hamilton quotas summing to exactly K) —
+then widened the SAME round with a second seed wave of 8
+(time-weighted average over event gaps, exact integer Gini
+concentration, Pareto-frontier skyline via an agg-then-tiny-window
+plan, inverted-index boolean AND search, user-path trigrams,
+order-independent md5 table checksums, the ``_metadata`` hidden-
+column file audit, and sweep-line peak concurrency), closing the
+pen at 14 ≤ the ~15 rotation-backlog cap (see the BENCH_NOTES
+ledger). Round 17 flips the flag.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -519,4 +524,581 @@ def sample_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFram
                 F.lit(1),
             ).otherwise(F.lit(0))
         ).alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 second seed wave (8 queries, closing the pen at 14)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, us, value,
+               LEAD(us) OVER (PARTITION BY event_type
+                              ORDER BY us, event_id) AS nxt
+        FROM e
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(nxt - us) AS BIGINT) AS duration_us,
+               SUM(CAST(value AS DECIMAL(12,2)) * (nxt - us)) AS num
+        FROM seg WHERE nxt IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_segments, duration_us,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+               / CAST(duration_us AS DOUBLE) AS twap
+    FROM s WHERE duration_us > 0
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average (TWAP) per event type — each reading
+    holds until the next one, so its weight is the gap it covered:
+    Σ value·Δt / Σ Δt over consecutive same-type events. The metric
+    every monitoring/pricing pipeline wants when samples arrive
+    unevenly (a plain AVG over-weights bursts of rapid readings; the
+    time weighting is what "average load" actually means).
+
+    Exactness: Δt is exact int64 microseconds from one LEAD over a
+    (type)-keyed sort; value·Δt accumulates as DECIMAL(12,2)×BIGINT →
+    exact decimal, summed exactly; the numerator leaves decimals as a
+    correctly-rounded double (oracle hops through VARCHAR for sums
+    beyond 2^53 — the agg_zscore_outliers discipline) and the final
+    TWAP is ONE IEEE division of two doubles. Zero-duration groups
+    are filtered identically on both engines rather than risking
+    Inf/NaN hashes.
+
+    Scale shape: one key-partitioned sort powers the LEAD, then a
+    partial+final hash aggregate at type grain — the corpus is
+    sorted once per key and never paired; state after the window is
+    |types| rows."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seg = e.select(
+        "event_type", "us", "value", F.lead("us").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    s = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("nxt") - F.col("us")).alias("duration_us"),
+        F.sum(
+            F.col("value").cast(D_PRICE) * (F.col("nxt") - F.col("us"))
+        ).alias("num"),
+    )
+    return s.filter(F.col("duration_us") > 0).select(
+        "event_type",
+        "n_segments",
+        "duration_us",
+        (
+            F.col("num").cast("double")
+            / F.col("duration_us").cast("double")
+        ).alias("twap"),
+    )
+
+
+@register_staged(
+    "quality_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(i * n_chars) AS BIGINT) AS s1
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs, total_chars,
+           CAST(2 * s1 - (n_docs + 1) * total_chars AS DOUBLE)
+               / CAST(n_docs * total_chars AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def quality_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI coefficient of document-length concentration per source —
+    the inequality audit of a corpus mixture: gini→0 means a source's
+    character mass is spread evenly across its documents, gini→1
+    means a few giants dominate (and a naive doc-count mixture weight
+    badly misstates its token contribution). Computed by the exact
+    rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    ascending-sorted lengths — EVERY term is int64 arithmetic (rank ×
+    length products summed exactly), ties contribute identically
+    under any tie order (equal x makes Σi·x invariant to rank
+    swaps, the detie by doc_id just fixes the plan), and the single
+    final division is two exact-int64 doubles — bit-identical
+    cross-engine, no float discipline needed anywhere.
+
+    Scale shape: one (source)-keyed sort for the row_number, then one
+    partial+final aggregate — same cost class as any windowed rollup;
+    nothing global, nothing quadratic."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    s = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("s1"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        (
+            (
+                2 * F.col("s1")
+                - (F.col("n_docs") + 1) * F.col("total_chars")
+            ).cast("double")
+            / (F.col("n_docs") * F.col("total_chars")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register_staged(
+    "quality_pareto_frontier",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, n_chars,
+               CAST(len(list_distinct(
+                   regexp_split_to_array(lower(text), '\s+')))
+                   AS BIGINT) AS vocab
+        FROM documents
+    ),
+    g AS (
+        SELECT n_chars,
+               CAST(MAX(vocab) AS BIGINT) AS best_vocab,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM f GROUP BY n_chars
+    ),
+    m AS (
+        SELECT n_chars, best_vocab, n_docs,
+               MAX(best_vocab) OVER (
+                   ORDER BY n_chars
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prefix_best
+        FROM g
+    )
+    SELECT n_chars, best_vocab, n_docs
+    FROM m WHERE best_vocab > COALESCE(prefix_best, -1)
+    """,
+)
+def quality_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO frontier (skyline) of the corpus on (size, vocabulary):
+    the document sizes for which the best achievable distinct-token
+    vocabulary strictly beats every smaller size — the "efficient
+    frontier" a data-selection policy reads to pick compact,
+    information-dense documents (any size off the frontier is
+    dominated: a shorter doc exists with at least as much vocabulary).
+    The naive skyline is an all-pairs dominance test; this plan is
+    the scale-correct rewrite: collapse to one row per distinct size
+    first (partial+final aggregate — the frame after this step is
+    |distinct sizes|, bounded by the size domain, NOT the corpus),
+    then one running-max window with a strictly-preceding RANGE frame
+    (x' < x exactly, ties on size share the same prefix max on both
+    engines) decides frontier membership. All-integer comparisons —
+    nothing to round.
+
+    Scale shape: the only corpus-sized work is the tokenize+aggregate
+    scan; the unpartitioned window runs on the collapsed per-size
+    frame (thousands of rows at ANY corpus size), so the single-
+    partition exchange Catalyst plans for it is free by
+    construction."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        "n_chars",
+        F.size(F.array_distinct(tokens("text")))
+        .cast("bigint")
+        .alias("vocab"),
+    )
+    g = f.groupBy("n_chars").agg(
+        F.max("vocab").alias("best_vocab"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = Window.orderBy("n_chars").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    m = g.select(
+        "n_chars",
+        "best_vocab",
+        "n_docs",
+        F.max("best_vocab").over(w).alias("prefix_best"),
+    )
+    return m.filter(
+        F.col("best_vocab") > F.coalesce(F.col("prefix_best"), F.lit(-1))
+    ).select("n_chars", "best_vocab", "n_docs")
+
+
+# Boolean-search terms — mid-frequency corpus tokens (each in ~75-80%
+# of documents, so the 3-way AND keeps a non-trivial subset). The
+# oracle fragment derives from the same constant (engine-mirrored
+# constants convention, cf. queries._minhash_sql_parts).
+_SEARCH_TERMS = ("vector", "stream", "spark")
+
+
+def _boolean_search_oracle() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    cnt_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in _SEARCH_TERMS
+    )
+    out_cols = ", ".join(f"n_{t}" for t in _SEARCH_TERMS)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               {cnt_cols},
+               COUNT(DISTINCT tok) AS nt
+        FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id
+    )
+    SELECT doc_id, {out_cols}
+    FROM h WHERE nt = {len(_SEARCH_TERMS)}
+    """
+
+
+@register_staged("text_boolean_search", oracle=_boolean_search_oracle())
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index boolean AND search — documents containing ALL
+    query terms, with per-term hit counts (the term-frequency columns
+    a ranking stage consumes next): the retrieval primitive behind
+    corpus slicing ("every doc mentioning X and Y and Z") and behind
+    keyword-targeted contamination sweeps. The plan IS the posting-
+    list algorithm, spelled relationally: tokenize+explode builds the
+    postings, the IN filter keeps only the query terms' lists (at
+    scale this is the index scan — term-partitioned posting lists
+    prune everything else), and the AND is a count-distinct-equals-k
+    test at document grain — no per-term self-joins (the naive k-way
+    join plan), no all-pairs anything; candidates collapse in ONE
+    partial+final aggregate keyed by doc_id.
+
+    Exactness: counts only — nothing floats."""
+    from rs_query_engine_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok").isin(*_SEARCH_TERMS))
+    per_term = [
+        F.sum((F.col("tok") == t).cast("long")).alias(f"n_{t}")
+        for t in _SEARCH_TERMS
+    ]
+    h = toks.groupBy("doc_id").agg(
+        *per_term, F.count_distinct("tok").alias("nt")
+    )
+    return h.filter(F.col("nt") == len(_SEARCH_TERMS)).select(
+        "doc_id", *[f"n_{t}" for t in _SEARCH_TERMS]
+    )
+
+
+@register_staged(
+    "events_path_ngrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS t0,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t1,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2
+        FROM events
+    )
+    SELECT t0, t1, t2,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY t0, t1, t2
+    """,
+)
+def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path TRIGRAMS — every consecutive 3-step event-type
+    sequence per user, counted globally with user reach: the
+    path-analysis grain product analytics funnels are mined from
+    (markov_transitions holds the 1-step matrix; real funnels —
+    view→click→purchase vs view→click→error — only separate at ≥3
+    steps). Two LEADs share ONE window spec, so Catalyst plans a
+    single (user)-keyed sort-exchange evaluating both; sequence order
+    is (ts, event_id)-detied identically on both engines; the rollup
+    to the |types|³-bounded path table is a partial+final aggregate
+    (the distinct-user count rides the same Expand rewrite pinned by
+    agg_multi_distinct). Counts only — nothing floats."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return seq.groupBy("t0", "t1", "t2").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register_staged(
+    "maintenance_table_checksum",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                                   || CAST(o_custkey AS VARCHAR) || '|'
+                                   || o_orderstatus), 1, 8))::BIGINT
+                   AS rh
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(rh) AS BIGINT) AS checksum_xor
+    FROM h GROUP BY o_orderpriority
+    """,
+)
+def maintenance_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT table content checksums per partition key —
+    the replication/migration audit primitive ("does the copy hold
+    exactly the rows the source holds?") that works WITHOUT sorting
+    either side: each row folds to a 32-bit integer from its md5 (the
+    one hash both engines spell identically — Spark xxhash64 and
+    DuckDB hash() differ by design), and two commutative aggregates
+    summarize the multiset — SUM (catches changed/missing rows;
+    exact int64, ≤2^32 per row so no overflow below ~2^21 rows per
+    group, and the driver-grade DECIMAL hop is dodged by construction)
+    and BIT_XOR (catches even-count duplicate swaps SUM could cancel
+    only in adversarial pairs). Integer/varchar columns only in the
+    row image — float/date rendering never enters the hash.
+
+    Scale shape: map-side md5 + fold, ONE partial+final aggregate at
+    the audit grain; comparing two 100 TB replicas costs two scans
+    and a |keys|-row diff, no shuffle of row data, no sort anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    rh = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("rh")
+    )
+    return (
+        o.select("o_orderpriority", rh)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("rh").alias("checksum_sum"),
+            F.expr("bit_xor(rh)").alias("checksum_xor"),
+        )
+    )
+
+
+@register_staged(
+    "source_file_metadata_audit",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(SUM(length(CAST(doc_id AS VARCHAR)) + 1) AS BIGINT)
+               AS file_bytes
+    FROM documents GROUP BY lang
+    """,
+)
+def source_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_metadata`` hidden column — Spark's per-file metadata
+    struct (file_path / file_size / …) surfaced through a normal scan:
+    the lakehouse ops primitive behind manifest reconciliation
+    ("do the files on disk hold the rows the table claims?") and
+    small-file audits, exercised here end-to-end: a deterministic
+    per-lang text fixture (one line per doc_id, one file per lang —
+    single-file-ness asserted at install) is read back with
+    ``_metadata.file_size`` and ``_metadata.file_path`` projected,
+    and the audit reconciles ROW counts, FILE counts, and BYTE sizes
+    per partition dir against what the corpus says they must be — the
+    oracle computes each file's exact byte length as Σ(len(doc_id)+1)
+    with no order dependence (a pure content sum, so this fixture
+    needs no sorted write, unlike source_binary_files').
+
+    Scale shape: ``_metadata`` is populated by the scan itself (no
+    extra IO, no driver-side listing); the reconcile is one
+    partial+final aggregate at partition grain. modificationTime and
+    the uuid'd file NAME are never selected (wall-clock / nondeterm)."""
+    import os
+
+    from rs_query_engine_spark.sources.artifacts import (
+        artifact_root,
+        install_artifact,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    root = artifact_root(src, "metafiles", "layout=lang_docid_lines_v1")
+    path = os.path.join(root, "meta_files")
+
+    def _complete(r: str) -> bool:
+        return os.path.exists(
+            os.path.join(r, "meta_files", "_SUCCESS")
+        )
+
+    if not _complete(root):
+
+        def _write(tmp: str) -> None:
+            out = os.path.join(tmp, "meta_files")
+            (
+                _t(spark, sf_dir, "documents")
+                .select(
+                    "lang", F.col("doc_id").cast("string").alias("value")
+                )
+                .repartition(F.col("lang"))
+                .write.partitionBy("lang")
+                .text(out)
+            )
+            # One data file per lang dir (repartition-by-lang puts each
+            # lang in exactly one task) — the per-file byte reconcile
+            # is only meaningful if the whole lang is one file.
+            for d in os.listdir(out):
+                if not d.startswith("lang="):
+                    continue
+                n = len([
+                    f for f in os.listdir(os.path.join(out, d))
+                    if f.endswith(".txt")
+                ])
+                if n != 1:
+                    raise AssertionError(
+                        f"metafiles fixture: {d} has {n} data files,"
+                        " expected exactly 1"
+                    )
+
+        install_artifact(root, "metafiles", src, _write, _complete)
+
+    t = spark.read.text(path)
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("_metadata.file_path")).alias("n_files"),
+        F.max(F.col("_metadata.file_size")).alias("file_bytes"),
+    )
+
+
+_CONC_WINDOW_US = 1_800_000_000  # each event holds a slot for 30 min
+
+
+@register_staged(
+    "events_concurrency_peak",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events
+    ),
+    pts AS (
+        SELECT event_type, us AS t, 1 AS d, event_id FROM e
+        UNION ALL
+        SELECT event_type, us + {_CONC_WINDOW_US} AS t, -1 AS d,
+               event_id
+        FROM e
+    ),
+    r AS (
+        SELECT event_type, d,
+               SUM(d) OVER (PARTITION BY event_type
+                            ORDER BY t, d, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_intervals,
+           CAST(MAX(run) AS BIGINT) AS peak_concurrent
+    FROM r GROUP BY event_type
+    """,
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWEEP-LINE peak concurrency — the maximum number of
+    simultaneously-open activity windows ([ts, ts+30 min) per event)
+    per event type: the capacity-planning number ("how many sessions
+    were open at the worst moment?") that interval_coverage's union
+    length deliberately doesn't answer. Each interval contributes a
+    +1 at its start and a −1 at its end; the running sum over the
+    merged endpoint stream IS the concurrency curve, and its MAX is
+    the peak. Tie convention is part of the pin: at an equal
+    timestamp, ends sort before starts (ORDER BY t, d with −1 < 1),
+    so back-to-back half-open intervals never double-count — and the
+    (t, d, event_id) total order makes every prefix sum identical on
+    both engines. Pure int64 throughout.
+
+    Scale shape: endpoints double the rows (the known, bounded
+    sweep-line cost), then ONE key-partitioned sort powers the
+    running sum and a partial+final aggregate takes the max —
+    no self-join of intervals (the naive overlap-count plan is
+    O(n²) per key)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    starts = e.select(
+        "event_type",
+        F.col("us").alias("t"),
+        F.lit(1).alias("d"),
+        "event_id",
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("us") + F.lit(_CONC_WINDOW_US)).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = pts.select(
+        "event_type", "d", F.sum("d").over(w).alias("run")
+    )
+    return r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("d") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_intervals"),
+        F.max("run").alias("peak_concurrent"),
     )

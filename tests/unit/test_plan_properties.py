@@ -1383,3 +1383,102 @@ def test_interval_coverage_single_sort_two_reduces(spark):
     # most (AQE may coalesce); the two Window nodes share the sort
     assert plan.count("Sort ") <= 2
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_twap_single_key_sort_no_join(spark):
+    """events_time_weighted_avg: the LEAD is one (type)-keyed window
+    sort and the rollup is a partial+final aggregate — the corpus is
+    never self-joined, and the scan reads only the four columns the
+    query touches."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["events_time_weighted_avg"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "partial_sum" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_gini_rank_sort_then_partial_agg(spark):
+    """quality_gini_concentration: one (source)-keyed sort powers the
+    row_number, then partial+final aggregation — no join, and the
+    scan must not read the text column (the formula runs on n_chars
+    alone)."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["quality_gini_concentration"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Sort ") <= 1
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema and "n_chars" in read_schema
+
+
+def test_pareto_frontier_collapses_before_global_window(spark):
+    """quality_pareto_frontier: the corpus must collapse to one row
+    per distinct size (map-side partial_max) BEFORE the unpartitioned
+    frontier window — the SinglePartition exchange is only safe
+    because its input is the |distinct sizes|-bounded frame, and no
+    all-pairs dominance join may exist anywhere."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["quality_pareto_frontier"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "partial_max" in plan
+    assert "SinglePartition" in plan
+
+
+def test_boolean_search_posting_lists_no_self_join(spark):
+    """text_boolean_search: the AND of k terms must be the posting-
+    list collapse (explode → filter → one doc-grain aggregate), NOT
+    the naive k-way self-join of per-term scans."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["text_boolean_search"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "Generate" in plan  # the explode that builds the postings
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_path_ngrams_two_leads_share_one_sort(spark):
+    """events_path_ngrams: both LEADs share one window spec, so the
+    plan carries a single (user)-keyed sort; the rollup (with its
+    distinct-user Expand) is partial+final — never a self-join of the
+    sequence against itself."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["events_path_ngrams"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert plan.count("Sort ") <= 1
+    assert "partial_count" in plan
+
+
+def test_table_checksum_is_sort_free(spark):
+    """maintenance_table_checksum: order-independence is the point —
+    the plan must contain NO sort anywhere (commutative aggregates
+    over a map-side hash fold), no join, and map-side partials."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["maintenance_table_checksum"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Sort " not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_concurrency_peak_sweep_line_no_self_join(spark):
+    """events_concurrency_peak: the sweep-line plan is endpoint union
+    → one keyed window sort → partial+final max; the naive O(n²)
+    interval-overlap self-join must not appear."""
+    from rs_query_engine_spark import queries_staged_r16 as r16
+
+    df = r16.queries()["events_concurrency_peak"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "partial_max" in plan
