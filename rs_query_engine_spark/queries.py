@@ -155,6 +155,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R14_ENABLED", "queries_staged_r14"),
     ("STAGED_R15_ENABLED", "queries_staged_r15"),
     ("STAGED_R16_ENABLED", "queries_staged_r16"),
+    ("STAGED_R17_ENABLED", "queries_staged_r17"),
 )
 
 
@@ -6431,9 +6432,20 @@ STAGED_R15_ENABLED = False
 # Round-16 holding pen (``queries_staged_r16.py``): gate created
 # EMPTY at round-14 end (ADVICE r07 precedent — pen, parity gate,
 # flag, and _PEN_MODULES entry all predate the first registration),
-# then seeded the same round with 3 queries (IANA-zone civil-time
+# seeded the same round with 6 queries (IANA-zone civil-time
 # bucketing, the positional-regexp family, the bitemporal as-of
-# read), all hash-verified at sf0.001 + sf0.01 in
-# tests/oracle/test_staged_r16_parity.py. Round 15 fills the rest
-# while activating the r14 pen; round 17 flips this flag.
+# read, multi-distinct Expand, interval-union coverage, Hamilton
+# apportionment), then CLOSED at 14 with a second wave of 8 (TWAP,
+# exact Gini, Pareto-frontier skyline, boolean AND search, path
+# trigrams, order-independent table checksums, the _metadata file
+# audit, sweep-line peak concurrency) — all hash-verified at
+# sf0.001 + sf0.01 in tests/oracle/test_staged_r16_parity.py.
+# Round 15 flips the r14 pen; round 17 flips this flag.
 STAGED_R16_ENABLED = False
+
+# Round-17 holding pen (``queries_staged_r17.py``): gate created
+# EMPTY at round-14 end (ADVICE r07 precedent — pen, parity gate,
+# flag, and _PEN_MODULES entry all predate the first registration).
+# Rounds 15-17 fill it (≤ ~15 per the rotation-backlog cap);
+# round 18 flips this flag.
+STAGED_R17_ENABLED = False
