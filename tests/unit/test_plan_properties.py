@@ -1482,3 +1482,32 @@ def test_concurrency_peak_sweep_line_no_self_join(spark):
     assert "Union" in plan
     assert "CartesianProduct" not in plan and "Join" not in plan
     assert "partial_max" in plan
+
+
+def test_weighted_median_one_sort_rank_limit(spark):
+    """agg_weighted_median_exact: one (source)-keyed sort powers the
+    running mass, the full-partition stats, AND the rn=1 pick (which
+    Spark pushes down as a WindowGroupLimit) — no join, no second
+    sort, no global order."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["agg_weighted_median_exact"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Sort ") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_systematic_pps_two_scans_broadcast_alloc(spark):
+    """sample_systematic_pps: the corpus is scanned exactly TWICE
+    (once for the mass rollup, once for the selection walk — the
+    total comes from a window over the tiny mass frame, never a
+    third corpus aggregate), the alloc rides back as a broadcast
+    hash join, and no cartesian product exists."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["sample_systematic_pps"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
