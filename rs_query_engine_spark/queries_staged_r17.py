@@ -5,16 +5,21 @@ parity gate ``tests/oracle/test_staged_r17_parity.py``, the
 ``STAGED_R17_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-17 query lands, so every registration is
 verified-by-construction from its first commit), then seeded the
-same round with 2 queries hash-verified at sf0.001 + sf0.01: the
+same round with 5 queries hash-verified at sf0.001 + sf0.01: the
 exact WEIGHTED median by integer rank selection (the length of the
 document holding the median character — 2·cum ≥ total crossing,
-WindowGroupLimit-pushed rn=1 pick) and SYSTEMATIC PPS sampling
+WindowGroupLimit-pushed rn=1 pick), SYSTEMATIC PPS sampling
 (per-source Hamilton budgets walked as evenly-spaced integer
 thresholds over the running character mass — Σ hits = K by
 telescoping, multiplicity for oversized docs, two corpus scans
-total). Rounds 15-17 fill the rest (≤ ~15 queries — the
-rotation-backlog cap, see the BENCH_NOTES ledger); round 18 flips
-the flag.
+total), SORTED-NEIGHBORHOOD dedup (the third classic blocking
+family: one keyed sort, W leads in one Window, Levenshtein-capped
+prefix verify — no hashing, no pair explosion), the HAPAX legomena
+ratio (sort-free stacked partial aggregates, one division), and
+inter-arrival BURSTINESS (Goh-Barabási B from exact int64/decimal
+moment sums, mirrored double expression trees). Rounds 15-17 fill
+the rest (≤ ~15 queries — the rotation-backlog cap, see the
+BENCH_NOTES ledger); round 18 flips the flag.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -283,4 +288,279 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.expr("(k_s * cum) DIV m_s")
     return c.filter(hi > lo).select(
         "doc_id", "source", "n_chars", (hi - lo).alias("n_hits")
+    )
+
+
+# Sorted-neighborhood constants: block on the first token, compare
+# each row with the next _SNM_W neighbors in (text, doc_id) order,
+# verify with a Levenshtein cap on the first _SNM_PFX chars.
+_SNM_W = 2
+_SNM_PFX = 40
+_SNM_MAXLEV = 8
+
+
+def _snm_oracle() -> str:
+    neighbor_selects = "\n        UNION ALL\n".join(
+        f"""        SELECT doc_id AS id_a,
+               LEAD(doc_id, {k}) OVER w{k} AS id_b,
+               substr(text, 1, {_SNM_PFX}) AS pa,
+               LEAD(substr(text, 1, {_SNM_PFX}), {k}) OVER w{k} AS pb
+        FROM toks
+        WINDOW w{k} AS (PARTITION BY blk ORDER BY text, doc_id)"""
+        for k in range(1, _SNM_W + 1)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, lower(text) AS text,
+               regexp_split_to_array(lower(text), '\s+')[1] AS blk
+        FROM documents
+    ),
+    cand AS (
+{neighbor_selects}
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(pa, pb) AS BIGINT) AS prefix_lev
+    FROM cand
+    WHERE id_b IS NOT NULL AND levenshtein(pa, pb) <= {_SNM_MAXLEV}
+    """
+
+
+@register_staged("dedup_sorted_neighborhood", oracle=_snm_oracle())
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD dedup (SNM) — the third classic blocking
+    family alongside the repo's LSH banding and key blocking: sort
+    each block (first token) by normalized text and compare every row
+    with only its next W neighbors, so candidate generation is O(n·W)
+    window arithmetic on an already-sorted partition — the method of
+    choice when near-duplicates share prefixes (crawl re-fetches,
+    versioned pages) because it finds them with NO hashing and NO
+    pair explosion. Each of the W neighbor offsets is one LEAD over
+    the SAME window spec (one keyed sort total); verification is an
+    exact Levenshtein cap on a fixed-length prefix — the classic
+    integer DP both engines implement identically.
+
+    The deliberate weakness is part of the pin: SNM only sees
+    near-dups that sort together (the windowed LSH families catch
+    the rest) — on this corpus that is the exact-duplicate clusters
+    (prefix_lev = 0 pairs) plus shared-prefix edits.
+
+    Scale shape: one (block)-keyed sort, W map-side LEADs, a map-side
+    verify filter — no join, no shuffle beyond the one sort, and the
+    (doc_id, prefix) projection is all that rides it."""
+    from pyspark.sql import Window
+
+    from rs_query_engine_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.col("text")).alias("text"),
+        tokens("text").getItem(0).alias("blk"),
+    )
+    toks = d.select(
+        "doc_id",
+        "blk",
+        "text",
+        F.substring("text", 1, _SNM_PFX).alias("pa"),
+    )
+    # every neighbor offset is a LEAD over the SAME window spec, so
+    # all of them evaluate in ONE Window operator over one keyed sort
+    # (a union of per-offset selects would sort the corpus W times);
+    # the offsets then unfold map-side via explode
+    w = Window.partitionBy("blk").orderBy("text", "doc_id")
+    sel = toks.select(
+        F.col("doc_id").alias("id_a"),
+        "pa",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", k).over(w).alias("id_b"),
+                    F.lead("pa", k).over(w).alias("pb"),
+                )
+                for k in range(1, _SNM_W + 1)
+            ]
+        ).alias("nbrs"),
+    )
+    cand = sel.select(
+        "id_a", "pa", F.explode("nbrs").alias("nb")
+    ).select(
+        "id_a",
+        F.col("nb.id_b").alias("id_b"),
+        "pa",
+        F.col("nb.pb").alias("pb"),
+    )
+    lev = F.levenshtein("pa", "pb")
+    return (
+        cand.filter(F.col("id_b").isNotNull())
+        .filter(lev <= _SNM_MAXLEV)
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("bigint").alias("prefix_lev"),
+        )
+    )
+
+
+@register_staged(
+    "text_hapax_ratio",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+    FROM freq GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA ratio per source — the fraction of a source's
+    vocabulary that occurs exactly once: the lexical-richness and
+    OCR/noise tell corpus linguists read first (clean prose sits near
+    Zipf's ~50%; far above it usually means garbled tokens inflating
+    the vocabulary, far below means boilerplate repetition). Two
+    stacked partial+final aggregates — (source, token) frequencies,
+    then the per-source rollup — all integer until the single
+    hapax/distinct division (two exact int64→double conversions, one
+    IEEE division).
+
+    Scale shape: the token explode is the same posting-list build the
+    search/TF-IDF family uses; both aggregates keep map-side
+    partials, and the second runs on the |sources|·|vocab|-bounded
+    frequency frame, not the corpus."""
+    from rs_query_engine_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return freq.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("f") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_hapax"),
+        (
+            F.sum(
+                F.when(F.col("f") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_ratio"),
+    )
+
+
+@register_staged(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type,
+               LEAD(us) OVER (PARTITION BY event_type
+                              ORDER BY us, event_id) - us AS dt
+        FROM e
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(dt) AS BIGINT) AS sx,
+               SUM(CAST(dt AS DECIMAL(19,0))
+                   * CAST(dt AS DECIMAL(19,0))) AS sx2
+        FROM gaps WHERE dt IS NOT NULL GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n_gaps,
+               CAST(n_gaps AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS sxd,
+               CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) AS sx2d
+        FROM s WHERE n_gaps >= 2 AND sx > 0
+    ),
+    v AS (
+        SELECT event_type, n_gaps, sxd / nd AS mean_gap_us,
+               sqrt((nd * sx2d - sxd * sxd) / (nd * nd)) AS sd
+        FROM d
+    )
+    SELECT event_type, n_gaps, mean_gap_us,
+           (sd - mean_gap_us) / (sd + mean_gap_us) AS burstiness
+    FROM v
+    """,
+)
+def events_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTER-ARRIVAL burstiness per event type — the Goh-Barabási
+    index B = (σ−μ)/(σ+μ) over the gaps between consecutive
+    same-type events: −1 is a metronome, 0 is a memoryless Poisson
+    stream, →1 is heavy-tailed bursts — the one number that says
+    whether a stream's load can be capacity-planned from its mean
+    (events_concurrency_peak's worst case diverges from the mean
+    exactly as B grows). Discipline: gaps are exact int64 micros
+    from one LEAD; Σdt is an exact BIGINT and Σdt² an exact
+    DECIMAL(38,0) (squares as DECIMAL(19,0)² — no float
+    accumulation); both leave exactness as correctly-rounded doubles
+    (the oracle hops Σdt² through VARCHAR past 2^53, the
+    agg_zscore_outliers rule) and the σ/μ/B arithmetic is the SAME
+    fixed expression tree on both engines — population variance,
+    one sqrt (allowed by the float discipline), three divisions.
+    Degenerate groups (n<2 or zero total gap, where B is 0/0) are
+    filtered identically rather than hashing NaN.
+
+    Scale shape: one (type)-keyed sort powers the LEAD, then a
+    partial+final aggregate to |types| rows; the double arithmetic
+    runs on that collapsed frame."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = e.select(
+        "event_type", (F.lead("us").over(w) - F.col("us")).alias("dt")
+    ).filter(F.col("dt").isNotNull())
+    dt_dec = F.col("dt").cast("decimal(19,0)")
+    s = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("dt").alias("sx"),
+        F.sum(dt_dec * dt_dec).alias("sx2"),
+    )
+    d = s.filter((F.col("n_gaps") >= 2) & (F.col("sx") > 0)).select(
+        "event_type",
+        "n_gaps",
+        F.col("n_gaps").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sx2").cast("double").alias("sx2d"),
+    )
+    mean = F.col("sxd") / F.col("nd")
+    v = d.select(
+        "event_type",
+        "n_gaps",
+        mean.alias("mean_gap_us"),
+        F.sqrt(
+            (F.col("nd") * F.col("sx2d") - F.col("sxd") * F.col("sxd"))
+            / (F.col("nd") * F.col("nd"))
+        ).alias("sd"),
+    )
+    return v.select(
+        "event_type",
+        "n_gaps",
+        "mean_gap_us",
+        (
+            (F.col("sd") - F.col("mean_gap_us"))
+            / (F.col("sd") + F.col("mean_gap_us"))
+        ).alias("burstiness"),
     )

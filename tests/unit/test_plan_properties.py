@@ -1511,3 +1511,46 @@ def test_systematic_pps_two_scans_broadcast_alloc(spark):
     assert plan.count("FileScan parquet") == 2
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snm_one_sort_one_scan_no_join(spark):
+    """dedup_sorted_neighborhood: all W neighbor LEADs share one
+    window spec, so the plan carries exactly ONE keyed sort and ONE
+    corpus scan (a per-offset union would sort the corpus W times);
+    candidates unfold map-side (Generate), never via a self-join."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["dedup_sorted_neighborhood"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Sort ") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Generate" in plan
+
+
+def test_hapax_ratio_sort_free_stacked_partials(spark):
+    """text_hapax_ratio: two stacked hash aggregates with map-side
+    partials and NO sort anywhere — the vocabulary rollup never
+    orders anything; the scan reads only (source, text)."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["text_hapax_ratio"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "Sort " not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" not in read_schema and "n_chars" not in read_schema
+
+
+def test_burstiness_one_sort_partial_agg(spark):
+    """events_interarrival_burstiness: one (type)-keyed sort powers
+    the LEAD, the moment sums keep map-side partials, and the double
+    arithmetic runs on the collapsed |types| frame — no join."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["events_interarrival_burstiness"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Sort ") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
