@@ -5,7 +5,7 @@ parity gate ``tests/oracle/test_staged_r17_parity.py``, the
 ``STAGED_R17_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-17 query lands, so every registration is
 verified-by-construction from its first commit), then seeded the
-same round with 5 queries hash-verified at sf0.001 + sf0.01: the
+same round with 6 queries hash-verified at sf0.001 + sf0.01: the
 exact WEIGHTED median by integer rank selection (the length of the
 document holding the median character — 2·cum ≥ total crossing,
 WindowGroupLimit-pushed rn=1 pick), SYSTEMATIC PPS sampling
@@ -17,9 +17,12 @@ family: one keyed sort, W leads in one Window, Levenshtein-capped
 prefix verify — no hashing, no pair explosion), the HAPAX legomena
 ratio (sort-free stacked partial aggregates, one division), and
 inter-arrival BURSTINESS (Goh-Barabási B from exact int64/decimal
-moment sums, mirrored double expression trees). Rounds 15-17 fill
-the rest (≤ ~15 queries — the rotation-backlog cap, see the
-BENCH_NOTES ledger); round 18 flips the flag.
+moment sums, mirrored double expression trees), and the trailing
+time-INTERVAL RANGE frame (per-row rolling hour metrics — the
+calendar-arithmetic frame family every other range frame here
+spells numerically). Rounds 15-17 fill the rest (≤ ~15 queries —
+the rotation-backlog cap, see the BENCH_NOTES ledger); round 18
+flips the flag.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -563,4 +566,60 @@ def events_interarrival_burstiness(
             (F.col("sd") - F.col("mean_gap_us"))
             / (F.col("sd") + F.col("mean_gap_us"))
         ).alias("burstiness"),
+    )
+
+
+_TRAIL_WIN = "INTERVAL 1 HOUR"  # trailing event-time frame width
+
+
+@register_staged(
+    "events_trailing_window_metrics",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+               AS v_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN {_TRAIL_WIN} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_window_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-INTERVAL RANGE frame — per event, the count and exact
+    value sum of all same-type events in the trailing HOUR of EVENT
+    time (``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW``): the per-row rolling load metric rate limiters and
+    anomaly scorers read, and a frame family every other range frame
+    in this repo spells numerically — here the engine itself does
+    the calendar arithmetic, and the pin is that both engines place
+    the inclusive [t−1h, t] boundary identically (probed on
+    boundary-straddling fixtures before this query existed).
+    Timestamp ties need NO detie: a RANGE frame is value-based, so
+    peer rows share one frame on both engines by definition. The
+    sum accumulates as exact DECIMAL inside the frame and leaves as
+    one double per row.
+
+    Scale shape: one (type)-keyed sort powers both frame aggregates
+    (shared window spec, one Window operator); the frame buffer is
+    bounded by an hour of events per key, independent of corpus
+    size."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("tss"),
+        "value",
+    )
+    over = (
+        "OVER (PARTITION BY event_type ORDER BY tss "
+        f"RANGE BETWEEN {_TRAIL_WIN} PRECEDING AND CURRENT ROW)"
+    )
+    return e.selectExpr(
+        "event_id",
+        "event_type",
+        f"CAST(count(*) {over} AS BIGINT) AS n_trailing_1h",
+        f"CAST(sum(CAST(value AS DECIMAL(12,2))) {over} AS DOUBLE)"
+        " AS v_trailing_1h",
     )

@@ -1554,3 +1554,18 @@ def test_burstiness_one_sort_partial_agg(spark):
     assert plan.count("Sort ") == 1
     assert "Join" not in plan
     assert "partial_sum" in plan
+
+
+def test_trailing_interval_frame_shares_one_window(spark):
+    """events_trailing_window_metrics: both frame aggregates share
+    one window spec, so Catalyst evaluates them in a single Window
+    operator over ONE (type)-keyed sort — and no join exists (the
+    self-join spelling of a trailing window is the O(n·k) plan this
+    query replaces)."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["events_trailing_window_metrics"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Sort ") == 1
+    assert plan.count("Window ") == 1
+    assert "Join" not in plan
