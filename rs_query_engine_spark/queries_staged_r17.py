@@ -5,7 +5,7 @@ parity gate ``tests/oracle/test_staged_r17_parity.py``, the
 ``STAGED_R17_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-17 query lands, so every registration is
 verified-by-construction from its first commit), then seeded the
-same round with 6 queries hash-verified at sf0.001 + sf0.01: the
+same round with 7 queries hash-verified at sf0.001 + sf0.01: the
 exact WEIGHTED median by integer rank selection (the length of the
 document holding the median character — 2·cum ≥ total crossing,
 WindowGroupLimit-pushed rn=1 pick), SYSTEMATIC PPS sampling
@@ -15,14 +15,16 @@ telescoping, multiplicity for oversized docs, two corpus scans
 total), SORTED-NEIGHBORHOOD dedup (the third classic blocking
 family: one keyed sort, W leads in one Window, Levenshtein-capped
 prefix verify — no hashing, no pair explosion), the HAPAX legomena
-ratio (sort-free stacked partial aggregates, one division), and
+ratio (sort-free stacked partial aggregates, one division),
 inter-arrival BURSTINESS (Goh-Barabási B from exact int64/decimal
-moment sums, mirrored double expression trees), and the trailing
+moment sums, mirrored double expression trees), the trailing
 time-INTERVAL RANGE frame (per-row rolling hour metrics — the
 calendar-arithmetic frame family every other range frame here
-spells numerically). Rounds 15-17 fill the rest (≤ ~15 queries —
-the rotation-backlog cap, see the BENCH_NOTES ledger); round 18
-flips the flag.
+spells numerically), and the Benford first-digit audit (exact
+integer-cents digit extraction, repr-round-tripped expected
+frequencies). Rounds 15-17 fill the rest (≤ ~15 queries — the
+rotation-backlog cap, see the BENCH_NOTES ledger); round 18 flips
+the flag.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -94,7 +96,7 @@ def oracle_sql() -> dict[str, str]:
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from rs_query_engine_spark.queries import _t  # noqa: E402
+from rs_query_engine_spark.queries import D_PRICE, _t  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Round-14 seeds (r13-r16 precedent: the pen is created at round end
@@ -622,4 +624,98 @@ def events_trailing_window_metrics(
         f"CAST(count(*) {over} AS BIGINT) AS n_trailing_1h",
         f"CAST(sum(CAST(value AS DECIMAL(12,2))) {over} AS DOUBLE)"
         " AS v_trailing_1h",
+    )
+
+
+def _benford_parts() -> tuple[str, str]:
+    """Engine-mirrored Benford constants: the expected first-digit
+    frequencies log10(1+1/d) are computed ONCE here and embedded in
+    both the Spark literal chain and the oracle CASE from the same
+    Python floats (repr round-trips the exact double, DuckDB's strtod
+    parses it back bit-identically)."""
+    import math
+
+    probs = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    # string literal + CAST, not a bare numeric literal: DuckDB types
+    # bare decimals as DECIMAL (driver hash is type-sensitive) and the
+    # VARCHAR→DOUBLE path is strtod — correctly rounded, so the repr
+    # round-trips to the bit-identical double Spark gets via py4j
+    sql_case = "CASE " + " ".join(
+        f"WHEN lead_digit = {d} THEN CAST('{probs[d]!r}' AS DOUBLE)"
+        for d in range(1, 10)
+    ) + " END"
+    return ",".join(f"{d}:{probs[d]!r}" for d in probs), sql_case
+
+
+@register_staged(
+    "quality_benford_audit",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS c
+        FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+            AS lead_digit
+        FROM cents WHERE c > 0
+    ),
+    counts AS (
+        SELECT lead_digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY lead_digit
+    )
+    SELECT lead_digit, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+               AS frac,
+           {_benford_parts()[1]} AS benford_expected
+    FROM counts
+    """,
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-digit audit — the observed leading-digit
+    distribution of order amounts against Benford's law
+    (P(d) = log10(1+1/d)): the classic screen for fabricated or
+    systematically-generated numeric columns (synthetic uniform
+    amounts, like this corpus's, FAIL Benford loudly — the audit's
+    point is to quantify by how much). Digit extraction never strings
+    a double (engine float rendering differs): amounts become exact
+    int64 CENTS through a DECIMAL(12,2) cast, and the leading digit
+    of an INTEGER renders identically everywhere. The expected
+    frequencies are nine shared literals round-tripped through repr
+    (bit-identical in both engines); frac is one int→double division
+    per digit.
+
+    Scale shape: map-side digit extraction, one partial+final
+    aggregate to ≤9 rows, and the total as a window over that tiny
+    frame — corpus size only touches the scan."""
+    d = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast(D_PRICE) * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    import math
+
+    from pyspark.sql import Window
+
+    digits = d.filter(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("lead_digit")
+    )
+    counts = digits.groupBy("lead_digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    expected = F.lit(None).cast("double")
+    for dig in range(9, 0, -1):
+        expected = F.when(
+            F.col("lead_digit") == dig, F.lit(math.log10(1 + 1 / dig))
+        ).otherwise(expected)
+    return counts.select(
+        "lead_digit",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double")
+        ).alias("frac"),
+        expected.alias("benford_expected"),
     )
