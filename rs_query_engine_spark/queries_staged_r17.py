@@ -50,12 +50,20 @@ Candidate leads (from round-14 loose ends — evaluate, don't assume):
   ``agg_approx_percentile``, ``text_unigram_logprob``) stays
   rows-only by design with invariant companions — re-evaluate only
   if one becomes exactly oracle-able.
-- Unexplored-but-plausible operator families if a round needs seeds:
-  weighted/interval-censored medians via exact rank selection,
-  A/B-test ratio metrics with exact numerator/denominator columns,
-  per-key EWMA cross-checks against closed-form integer geometric
-  sums, multi-way sortWithinPartitions write-layout audits, DuckDB-
-  mirrorable grouping_id() slices over rollup frames.
+- Unexplored-but-plausible operator families if a round needs seeds
+  (the weighted-median / SNM / burstiness / Benford / INTERVAL-frame
+  leads from this list all landed as round-14 seeds above):
+  A/B-test ratio metrics with exact numerator/denominator columns
+  (mostly conditional aggregates — keep only if paired with a
+  relative-lift join), funnel time-to-convert latency with an exact
+  rank-selected median (reuses the weighted-median selection rule on
+  first-view→first-purchase gaps), per-key EWMA cross-checks against
+  closed-form integer geometric sums, multi-way sortWithinPartitions
+  write-layout audits. Evaluated and REJECTED this round: pairwise
+  source vocabulary-Jaccard matrix (the synthetic corpus's tiny
+  shared vocab makes every cell ≈1 — a trivial pin), phonetic
+  join family (DuckDB 1.0 has no soundex), moving median over row
+  frames (interpolation-convention roulette on even-count windows).
 """
 
 from __future__ import annotations
