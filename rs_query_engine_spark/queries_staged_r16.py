@@ -890,11 +890,13 @@ def maintenance_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     either side: each row folds to a 32-bit integer from its md5 (the
     one hash both engines spell identically — Spark xxhash64 and
     DuckDB hash() differ by design), and two commutative aggregates
-    summarize the multiset — SUM (catches changed/missing rows;
-    exact int64, ≤2^32 per row so no overflow below ~2^21 rows per
-    group, and the driver-grade DECIMAL hop is dodged by construction)
-    and BIT_XOR (catches even-count duplicate swaps SUM could cancel
-    only in adversarial pairs). Integer/varchar columns only in the
+    summarize the multiset — SUM (catches changed/missing rows; the
+    int64 accumulator is EXACT — never a double — so with ≤2^32 per
+    row it holds ~2^31 rows per audit group before overflow; beyond
+    that, widen the accumulator to DECIMAL(38,0), still commutative
+    and exact) and BIT_XOR (catches even-count duplicate swaps SUM
+    could cancel only in adversarial pairs; XOR never overflows at
+    any scale). Integer/varchar columns only in the
     row image — float/date rendering never enters the hash.
 
     Scale shape: map-side md5 + fold, ONE partial+final aggregate at
