@@ -6446,11 +6446,12 @@ STAGED_R16_ENABLED = False
 # Round-17 holding pen (``queries_staged_r17.py``): gate created
 # EMPTY at round-14 end (ADVICE r07 precedent — pen, parity gate,
 # flag, and _PEN_MODULES entry all predate the first registration),
-# seeded the same round with 7 queries (exact weighted median by
+# seeded the same round with 8 queries (exact weighted median by
 # rank selection, systematic PPS sampling with Hamilton budgets,
 # sorted-neighborhood dedup, hapax-legomena ratio, inter-arrival
 # burstiness, trailing time-INTERVAL range frame, Benford digit
-# audit), hash-verified at sf0.001 + sf0.01 in
+# audit, funnel time-to-convert latency), hash-verified at
+# sf0.001 + sf0.01 in
 # tests/oracle/test_staged_r17_parity.py. Rounds 15-17 fill the
 # rest (≤ ~15 per the rotation-backlog cap); round 18 flips this
 # flag.

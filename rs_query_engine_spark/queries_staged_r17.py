@@ -5,7 +5,7 @@ parity gate ``tests/oracle/test_staged_r17_parity.py``, the
 ``STAGED_R17_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-17 query lands, so every registration is
 verified-by-construction from its first commit), then seeded the
-same round with 7 queries hash-verified at sf0.001 + sf0.01: the
+same round with 8 queries hash-verified at sf0.001 + sf0.01: the
 exact WEIGHTED median by integer rank selection (the length of the
 document holding the median character — 2·cum ≥ total crossing,
 WindowGroupLimit-pushed rn=1 pick), SYSTEMATIC PPS sampling
@@ -22,9 +22,11 @@ time-INTERVAL RANGE frame (per-row rolling hour metrics — the
 calendar-arithmetic frame family every other range frame here
 spells numerically), and the Benford first-digit audit (exact
 integer-cents digit extraction, repr-round-tripped expected
-frequencies). Rounds 15-17 fill the rest (≤ ~15 queries — the
-rotation-backlog cap, see the BENCH_NOTES ledger); round 18 flips
-the flag.
+frequencies), and funnel TIME-TO-CONVERT latency (first-view →
+first-purchase gaps summarized by exact rank selection — lower
+median and discrete p90, never interpolation). Rounds 15-17 fill
+the rest (≤ ~15 queries — the rotation-backlog cap, see the
+BENCH_NOTES ledger); round 18 flips the flag.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -55,11 +57,10 @@ Candidate leads (from round-14 loose ends — evaluate, don't assume):
   leads from this list all landed as round-14 seeds above):
   A/B-test ratio metrics with exact numerator/denominator columns
   (mostly conditional aggregates — keep only if paired with a
-  relative-lift join), funnel time-to-convert latency with an exact
-  rank-selected median (reuses the weighted-median selection rule on
-  first-view→first-purchase gaps), per-key EWMA cross-checks against
+  relative-lift join), per-key EWMA cross-checks against
   closed-form integer geometric sums, multi-way sortWithinPartitions
-  write-layout audits. Evaluated and REJECTED this round: pairwise
+  write-layout audits (funnel time-to-convert landed as a seed
+  below). Evaluated and REJECTED this round: pairwise
   source vocabulary-Jaccard matrix (the synthetic corpus's tiny
   shared vocab makes every cell ≈1 — a trivial pin), phonetic
   join family (DuckDB 1.0 has no soundex), moving median over row
@@ -726,4 +727,102 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy()).cast("double")
         ).alias("frac"),
         expected.alias("benford_expected"),
+    )
+
+
+@register_staged(
+    "events_funnel_latency",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                   AS first_view_us
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP)))
+                   - MAX(fv.first_view_us) AS gap_us
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'purchase'
+          AND fv.first_view_us IS NOT NULL
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > fv.first_view_us
+        GROUP BY e.user_id
+    ),
+    ranked AS (
+        SELECT gap_us,
+               ROW_NUMBER() OVER (ORDER BY gap_us, user_id) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2
+                         THEN gap_us END) AS BIGINT) AS median_gap_us,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10
+                         THEN gap_us END) AS BIGINT) AS p90_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM ranked
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNNEL time-to-convert — how long after their FIRST view a
+    user takes to make their first purchase-after-that-view, with
+    the latency distribution summarized by exact RANK SELECTION
+    (lower median at rn=(n+1)//2, discrete p90 at rn=⌈0.9n⌉ — chosen
+    values, never interpolation, so no convention roulette): the
+    number that turns events_funnel's conversion COUNT into an SLA
+    ("half convert within X minutes"). Gaps are exact int64 micros;
+    every statistic is a selection or MIN/MAX — nothing floats.
+
+    Scale shape: the corpus collapses to one row per user
+    (partial+final conditional aggregate), purchases join back on
+    the user key (one equi-shuffle — never an event×event pair
+    join), and the exact global selection sorts only the
+    |converted users| frame. That single-partition rank is the
+    honest cost of an EXACT global median — swap the selection for
+    approx_percentile's mergeable sketch when the user base itself
+    is too big to sort on one executor (the same trade
+    agg_percentiles_distinct documents)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    fv = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "first_view_us"
+        )
+    ).filter(F.col("first_view_us").isNotNull())
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("us") > F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(
+            (F.min("us") - F.max("first_view_us")).alias("gap_us")
+        )
+    )
+    wr = Window.orderBy("gap_us", "user_id")
+    wall = Window.partitionBy()
+    ranked = conv.select(
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    med_rn = F.expr("(n + 1) DIV 2")
+    p90_rn = F.expr("(9 * n + 9) DIV 10")
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max(F.when(F.col("rn") == med_rn, F.col("gap_us"))).alias(
+            "median_gap_us"
+        ),
+        F.max(F.when(F.col("rn") == p90_rn, F.col("gap_us"))).alias(
+            "p90_gap_us"
+        ),
+        F.max("gap_us").alias("max_gap_us"),
     )

@@ -76,3 +76,34 @@ def test_systematic_pps_budgets_split_by_hamilton(spark, tmp_path):
         for r in r17.queries()["sample_systematic_pps"](spark, sf).collect()
     }
     assert got == {"s1": 300, "s2": 200}
+
+
+def test_funnel_latency_rank_selection(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def ev(eid, sec, user, typ):
+        return (eid, t0 + dt.timedelta(seconds=sec), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "view"), ev(2, 100, 1, "purchase"),
+        ev(3, 0, 2, "view"), ev(4, 200, 2, "purchase"),
+        ev(5, 0, 3, "view"), ev(6, 400, 3, "purchase"),
+        ev(7, 0, 4, "view"),                      # never converts
+        ev(8, 0, 5, "purchase"), ev(9, 10, 5, "view"),  # wrong order
+    ]
+    spark.createDataFrame(rows, ev_schema).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    [r] = r17.queries()["events_funnel_latency"](
+        spark, str(tmp_path)
+    ).collect()
+    # gaps 100/200/400s: lower median rn=2 -> 200s, p90 rn=3 -> 400s
+    assert tuple(r) == (
+        3, 100_000_000, 200_000_000, 400_000_000, 400_000_000
+    )
