@@ -588,7 +588,8 @@ _TRAIL_WIN = "INTERVAL 1 HOUR"  # trailing event-time frame width
     oracle=f"""
     SELECT event_id, event_type,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w
+                     AS VARCHAR) AS DOUBLE)
                AS v_trailing_1h
     FROM events
     WINDOW w AS (PARTITION BY event_type
@@ -636,12 +637,12 @@ def events_trailing_window_metrics(
     )
 
 
-def _benford_parts() -> tuple[str, str]:
+def _benford_parts() -> tuple[dict, str]:
     """Engine-mirrored Benford constants: the expected first-digit
-    frequencies log10(1+1/d) are computed ONCE here and embedded in
-    both the Spark literal chain and the oracle CASE from the same
-    Python floats (repr round-trips the exact double, DuckDB's strtod
-    parses it back bit-identically)."""
+    frequencies log10(1+1/d) are computed ONCE here; the oracle CASE
+    embeds them as repr literals (repr round-trips the exact double,
+    DuckDB's strtod parses it back bit-identically) and the Spark
+    literal chain is built from the SAME returned dict."""
     import math
 
     probs = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
@@ -653,7 +654,7 @@ def _benford_parts() -> tuple[str, str]:
         f"WHEN lead_digit = {d} THEN CAST('{probs[d]!r}' AS DOUBLE)"
         for d in range(1, 10)
     ) + " END"
-    return ",".join(f"{d}:{probs[d]!r}" for d in probs), sql_case
+    return probs, sql_case
 
 
 @register_staged(
@@ -702,8 +703,6 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c")
     )
-    import math
-
     from pyspark.sql import Window
 
     digits = d.filter(F.col("c") > 0).select(
@@ -714,10 +713,11 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = digits.groupBy("lead_digit").agg(
         F.count(F.lit(1)).alias("n")
     )
+    probs = _benford_parts()[0]
     expected = F.lit(None).cast("double")
     for dig in range(9, 0, -1):
         expected = F.when(
-            F.col("lead_digit") == dig, F.lit(math.log10(1 + 1 / dig))
+            F.col("lead_digit") == dig, F.lit(probs[dig])
         ).otherwise(expected)
     return counts.select(
         "lead_digit",

@@ -10,8 +10,10 @@ giant rows, single-row groups."""
 
 from __future__ import annotations
 
+import atexit
 import datetime as dt
 import itertools
+import shutil
 import tempfile
 
 import pytest
@@ -32,9 +34,17 @@ _SETTINGS = dict(
 
 _counter = itertools.count()
 
+# one reaped base dir for every generated mini-corpus: hypothesis
+# drives _sf 8 examples × 7 tests per run, and per-example mkdtemp
+# with no cleanup leaked the dirs across runs (ADVICE r14)
+_PROP_BASE = tempfile.mkdtemp(prefix="rsqes_prop_base_")
+atexit.register(shutil.rmtree, _PROP_BASE, True)
+
 
 def _sf(spark, name, rows, schema):
-    d = tempfile.mkdtemp(prefix=f"rsqes_prop_{next(_counter)}_")
+    d = tempfile.mkdtemp(
+        prefix=f"rsqes_prop_{next(_counter)}_", dir=_PROP_BASE
+    )
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
         f"{d}/{name}.parquet"
     )
