@@ -6412,9 +6412,11 @@ STAGED_R13_ENABLED = True
 # rate-micro-batch, foreachBatch versioned upsert, URL-canonical
 # dedup, code-vs-prose detect, SHUFFLE_HASH hint, exact OLS trend —
 # all hash-verified at sf0.001 + sf0.01 in
-# tests/oracle/test_staged_r14_parity.py. Round 14 fills the r15 pen
-# while activating the r13 one; round 15 flips this flag.
-STAGED_R14_ENABLED = False
+# tests/oracle/test_staged_r14_parity.py. Round 15 flipped this flag
+# after re-driving all 15 through the driver-shaped DuckDB loop at
+# sf0.01 (15/15 exact): the queries are live and front-load the
+# driver's round-15 correctness window.
+STAGED_R14_ENABLED = True
 
 # Round-15 holding pen (``queries_staged_r15.py``): gate created
 # EMPTY at round-13 end (ADVICE r07 precedent — pen, parity gate,
