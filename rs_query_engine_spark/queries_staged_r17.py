@@ -24,9 +24,38 @@ spells numerically), and the Benford first-digit audit (exact
 integer-cents digit extraction, repr-round-tripped expected
 frequencies), and funnel TIME-TO-CONVERT latency (first-view →
 first-purchase gaps summarized by exact rank selection — lower
-median and discrete p90, never interpolation). Rounds 15-17 fill
-the rest (≤ ~15 queries — the rotation-backlog cap, see the
-BENCH_NOTES ledger); round 18 flips the flag.
+median and discrete p90, never interpolation). Round 15 added 3
+more, hash-verified at sf0.001 + sf0.01 from first commit: the
+Spark-4.1 TIME-typed minute-of-day profile (make_time /
+time_trunc / TIME accessors end-to-end, serialized to known
+types at the boundary), the A/B relative-lift join (exact
+per-arm counts and decimal mass, two tiny arm frames equi-joined
+per event_type — the pen-header lead landed WITH its pairing
+condition), and the per-user dyadic EWMA (recency average as an
+exact int64 geometric sum over the last W=16 values, closed-form
+denominator 2^W − 2^(W−m) — the "EWMA vs closed-form integer
+geometric sums" lead landed). Rounds 16-17 fill the rest (≤ ~15
+queries — the rotation-backlog cap, see the BENCH_NOTES ledger);
+round 18 flips the flag.
+
+Round-15 Spark 4.1 surface scan (VERDICT r14 next-#6): probed the
+installed 4.1.2 function/type surface once. NEW and seeded: the
+TIME data type family (``to_time``/``make_time``/``time_trunc``/
+TIME accessors, feature-flagged behind
+``spark.sql.timeType.enabled`` — landed as
+``events_time_of_day_profile``; the TIME column itself stays
+inside the plan because neither the driver canonicalizer nor
+DuckDB's date_trunc has a TIME surface at the boundary). Probed
+and REJECTED: ``theta_sketch_agg``/``hll_sketch_agg`` (approx-only
+results would grow the rows-only set the verdict wants held at
+three), ``uniform``/``randstr`` (seeded but partition-order-
+dependent → not stable under repartition, unfit for an exact
+oracle). Already covered in earlier pens: VARIANT
+(``json_variant_extract``, r11), Python DataSource filter pushdown
+(r13), recursive CTE / SQL scripting / pipe syntax / LATERAL /
+GROUP BY ALL / named params / IDENTIFIER / EXECUTE IMMEDIATE.
+Re-probed NOTHING recorded BLOCKED (Avro,
+transformWithStateInPandas) — the image did not change.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -55,12 +84,10 @@ Candidate leads (from round-14 loose ends — evaluate, don't assume):
 - Unexplored-but-plausible operator families if a round needs seeds
   (the weighted-median / SNM / burstiness / Benford / INTERVAL-frame
   leads from this list all landed as round-14 seeds above):
-  A/B-test ratio metrics with exact numerator/denominator columns
-  (mostly conditional aggregates — keep only if paired with a
-  relative-lift join), per-key EWMA cross-checks against
-  closed-form integer geometric sums, multi-way sortWithinPartitions
-  write-layout audits (funnel time-to-convert landed as a seed
-  below). Evaluated and REJECTED this round: pairwise
+  multi-way sortWithinPartitions write-layout audits (funnel
+  time-to-convert landed as a round-14 seed; the A/B relative-lift
+  and dyadic-EWMA leads landed as round-15 additions below).
+  Evaluated and REJECTED at round 14: pairwise
   source vocabulary-Jaccard matrix (the synthetic corpus's tiny
   shared vocab makes every cell ≈1 — a trivial pin), phonetic
   join family (DuckDB 1.0 has no soundex), moving median over row
@@ -825,4 +852,249 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_gap_us"
         ),
         F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 additions (VERDICT r14 next-#5: fill the pen from the
+# evaluated-leads ledger; next-#6: the Spark 4.1 surface scan note
+# lives in the module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_time_type(spark: SparkSession) -> None:
+    """Enable the Spark 4.1 TIME data type (SPARK-51162 family): the
+    type is feature-flagged off by default in 4.1.2; the flag only
+    unlocks the type and changes no other semantics."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+
+
+@register_staged(
+    "events_time_of_day_profile",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('minute', CAST(ts AS TIMESTAMP))
+                    AS TIME) AS tm,
+               CAST(value AS DECIMAL(12,2)) AS v
+        FROM events
+    )
+    SELECT CAST(tm AS VARCHAR) AS minute_of_day,
+           CAST(hour(tm) * 60 + minute(tm) AS BIGINT) AS minute_index,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS v_sum
+    FROM m GROUP BY tm
+    """,
+)
+def events_time_of_day_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-typed minute-of-day load profile — the Spark 4.1 TIME
+    data type (SPARK-51162), driven end-to-end: wall-clock
+    time-of-day built with ``make_time`` (exact integer micros for
+    the fractional second), truncated with ``time_trunc('MINUTE')``,
+    grouped AS a TIME value, and read back through the TIME
+    accessors ``hour``/``minute`` — the diurnal-load rollup that
+    ignores the calendar date entirely (capacity planning reads
+    load-by-time-of-day across all days). DuckDB mirrors by
+    truncating the TIMESTAMP first and casting to TIME (its
+    date_trunc has no TIME overload); both engines then render the
+    minute-granular TIME identically as 'HH:MM:SS'. The result
+    serializes the TIME as VARCHAR + an integer minute index — the
+    driver canonicalizer has no TIME family, so the TIME type stays
+    inside the plan (where the operators run) and leaves as known
+    types. The value mass accumulates as exact DECIMAL and exits
+    through the VARCHAR-hop double cast on the DuckDB side.
+
+    Scale shape: map-side make_time/time_trunc, one partial+final
+    aggregate onto a ≤1440-row domain — corpus size only touches
+    the scan."""
+    _ensure_time_type(spark)
+    t = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("ts").cast("timestamp").alias("tss"),
+            F.col("value").cast(D_PRICE).alias("v"),
+        )
+        .selectExpr(
+            "make_time(hour(tss), minute(tss),"
+            " CAST(unix_micros(tss) % 60000000 AS DECIMAL(16,6))"
+            " / 1000000) AS t",
+            "v",
+        )
+    )
+    g = (
+        t.selectExpr("time_trunc('MINUTE', t) AS tm", "v")
+        .groupBy("tm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("vsum"))
+    )
+    return g.select(
+        F.col("tm").cast("string").alias("minute_of_day"),
+        (F.hour("tm") * 60 + F.minute("tm"))
+        .cast("bigint")
+        .alias("minute_index"),
+        "n",
+        F.col("vsum").cast("double").alias("v_sum"),
+    )
+
+
+@register_staged(
+    "events_ab_lift",
+    oracle="""
+    WITH per AS (
+        SELECT event_type, (user_id % 2 = 0) AS is_a,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(12,2))) AS vsum
+        FROM events GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT event_type, n AS n_a,
+               CAST(CAST(vsum AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS mean_a
+        FROM per WHERE is_a
+    ),
+    b AS (
+        SELECT event_type, n AS n_b,
+               CAST(CAST(vsum AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS mean_b
+        FROM per WHERE NOT is_a
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+           (mean_b - mean_a) / mean_a AS rel_lift
+    FROM a JOIN b USING (event_type)
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B RATIO metric with a relative-lift join — the experiment
+    readout: users split into deterministic arms by key parity
+    (user_id % 2 — the hash-bucket assignment every experimentation
+    platform uses, minus the hash), per-(event_type, arm) exact
+    event counts and DECIMAL value mass, then the two arm frames
+    joined back per event_type for the headline relative lift
+    (mean_b − mean_a) / mean_a. Every mean is one int→double and
+    decimal→double division; the lift is two further double ops on
+    those — mirrored expression trees, with the DuckDB decimal cast
+    through the documented VARCHAR hop. Evaluated-lead note: kept
+    because it IS paired with the relative-lift join (the pen
+    header's condition) — the join is what turns two group rows
+    into one comparable row.
+
+    Scale shape: ONE partial+final aggregate onto a |event_type|×2
+    domain, lineage-cut so both arm branches reuse the materialized
+    ~10-row frame (without the cut Catalyst pushes each arm's
+    parity filter below its own copy of the aggregate and scans the
+    corpus TWICE — plan-pinned to one scan), then an equi-join of
+    the two tiny arm frames; the corpus is never pair-joined."""
+    from rs_query_engine_spark.session import truncate_lineage
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.col("value").cast(D_PRICE).alias("v"),
+    )
+    per = (
+        e.groupBy("event_type", "is_a")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("vsum"))
+        .transform(truncate_lineage)
+    )
+    mean = F.col("vsum").cast("double") / F.col("n").cast("double")
+    a = per.filter(F.col("is_a")).select(
+        "event_type", F.col("n").alias("n_a"), mean.alias("mean_a")
+    )
+    b = per.filter(~F.col("is_a")).select(
+        "event_type", F.col("n").alias("n_b"), mean.alias("mean_b")
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_b") - F.col("mean_a")) / F.col("mean_a")).alias(
+            "rel_lift"
+        ),
+    )
+
+
+_EWMA_W = 16  # dyadic window width: weights 2^15 .. 2^0, newest first
+
+
+@register_staged(
+    "events_ewma_dyadic",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                            event_id DESC) AS k
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(cents * (CAST(1 AS BIGINT) << ({_EWMA_W} - k)))
+                    AS BIGINT) AS num
+        FROM r WHERE k <= {_EWMA_W} GROUP BY user_id
+    )
+    SELECT user_id, m,
+           CAST(num AS DOUBLE)
+           / CAST({1 << _EWMA_W} - (CAST(1 AS BIGINT) << ({_EWMA_W} - m))
+                  AS DOUBLE) AS ewma_cents
+    FROM g
+    """,
+)
+def events_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dyadic EWMA, cross-checked by CLOSED-FORM integer
+    geometric sums — the exponentially-weighted recency average
+    EWMA_n = (x_n + EWMA_{{n-1}})/2 unrolled over the user's last
+    W=16 events: weight of the k-th newest value is 2^(W−k), so the
+    whole statistic is numerator = Σ cents_k·2^(W−k) (EXACT int64 —
+    max |cents|·(2^W−1) ≈ 6.6e9) over denominator = 2^W − 2^(W−m)
+    (the geometric series Σ_{{k=1..m}} 2^(W−k) in closed form, which
+    also makes short histories m<W exact rather than zero-padded).
+    One int64→double division per user at the very end — no float
+    ever accumulates, which is what makes a recursively-defined
+    float statistic exactly oracle-able (the pen header's
+    "EWMA vs closed-form integer geometric sums" lead). Ordering
+    deties on event_id; DuckDB orders by epoch_us of the
+    micro-truncated timestamp so nanosecond residue can never
+    reorder ties across engines.
+
+    Scale shape: one keyed sort powers the row_number, and the k≤W
+    rank filter pushes into the sort as a WindowGroupLimit (plan-
+    pinned) — per-key state is W rows, never the user's history;
+    the aggregate is partial+final on the user key."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.col("value").cast(D_PRICE) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "user_id", "cents", F.row_number().over(w).alias("k")
+    ).filter(F.col("k") <= _EWMA_W)
+    g = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            F.expr(f"cents * shiftleft(CAST(1 AS BIGINT), {_EWMA_W} - k)")
+        ).alias("num"),
+    )
+    return g.select(
+        "user_id",
+        "m",
+        (
+            F.col("num").cast("double")
+            / F.expr(
+                f"CAST({1 << _EWMA_W} - shiftleft(CAST(1 AS BIGINT),"
+                f" {_EWMA_W} - m) AS DOUBLE)"
+            )
+        ).alias("ewma_cents"),
     )

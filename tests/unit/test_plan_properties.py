@@ -1569,3 +1569,50 @@ def test_trailing_interval_frame_shares_one_window(spark):
     assert plan.count("Sort ") == 1
     assert plan.count("Window ") == 1
     assert "Join" not in plan
+
+
+def test_ewma_dyadic_rank_limit_before_shuffle(spark):
+    """events_ewma_dyadic: the k<=W rank filter must push into the
+    window sort as a WindowGroupLimit on BOTH sides of the exchange
+    (Partial before the shuffle caps every map task's output at W
+    rows per user; Final after it) — per-key state is W rows, the
+    shuffle never carries a user's full history, and the aggregate
+    keeps map-side partials. No join anywhere."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["events_ewma_dyadic"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("WindowGroupLimit") == 2
+    assert "Partial" in plan and "Final" in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_ab_lift_single_scan_tiny_broadcast_join(spark):
+    """events_ab_lift: the per-(type, arm) aggregate is lineage-cut,
+    so the corpus parquet is scanned exactly ONCE (without the cut
+    Catalyst pushes each arm's parity filter below its own copy of
+    the aggregate and reads events twice); the relative-lift join
+    runs on the two ~5-row arm frames and must never be a cartesian
+    product."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["events_ab_lift"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 0  # cut: scan ran at build
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_time_of_day_profile_map_side_partials_no_join(spark):
+    """events_time_of_day_profile: the TIME construction and MINUTE
+    truncation are map-side projections feeding a partial+final
+    aggregate onto the <=1440-row minute domain — one exchange keyed
+    on the TIME value, no sort, no join."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["events_time_of_day_profile"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Join" not in plan
+    assert "Sort " not in plan
