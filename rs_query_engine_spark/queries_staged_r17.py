@@ -34,9 +34,13 @@ per event_type — the pen-header lead landed WITH its pairing
 condition), and the per-user dyadic EWMA (recency average as an
 exact int64 geometric sum over the last W=16 values, closed-form
 denominator 2^W − 2^(W−m) — the "EWMA vs closed-form integer
-geometric sums" lead landed). Rounds 16-17 fill the rest (≤ ~15
-queries — the rotation-backlog cap, see the BENCH_NOTES ledger);
-round 18 flips the flag.
+geometric sums" lead landed), then a 4th: the MULTI-WAY clustered
+write-layout audit (repartition-by-type + sortWithinPartitions
+(type, ts), audited through _metadata file_path/row_index — run
+contiguity, in-run time order, and the exact one-run-per-type
+count). Rounds 16-17 fill the rest (≤ ~15 queries — the
+rotation-backlog cap, see the BENCH_NOTES ledger); round 18 flips
+the flag.
 
 Round-15 Spark 4.1 surface scan (VERDICT r14 next-#6): probed the
 installed 4.1.2 function/type surface once. NEW and seeded: the
@@ -81,13 +85,14 @@ Candidate leads (from round-14 loose ends — evaluate, don't assume):
   ``agg_approx_percentile``, ``text_unigram_logprob``) stays
   rows-only by design with invariant companions — re-evaluate only
   if one becomes exactly oracle-able.
-- Unexplored-but-plausible operator families if a round needs seeds
-  (the weighted-median / SNM / burstiness / Benford / INTERVAL-frame
-  leads from this list all landed as round-14 seeds above):
-  multi-way sortWithinPartitions write-layout audits (funnel
-  time-to-convert landed as a round-14 seed; the A/B relative-lift
-  and dyadic-EWMA leads landed as round-15 additions below).
-  Evaluated and REJECTED at round 14: pairwise
+- Unexplored-but-plausible operator families if a round needs seeds:
+  the ENTIRE round-14 leads ledger has now landed (weighted-median /
+  SNM / burstiness / Benford / INTERVAL-frame / funnel
+  time-to-convert as round-14 seeds; A/B relative-lift, dyadic
+  EWMA, and the multi-way sortWithinPartitions write-layout audit
+  as round-15 additions below) — rounds 16-17 seed from fresh
+  evaluation, not this list. Evaluated and REJECTED at round 14:
+  pairwise
   source vocabulary-Jaccard matrix (the synthetic corpus's tiny
   shared vocab makes every cell ≈1 — a trivial pin), phonetic
   join family (DuckDB 1.0 has no soundex), moving median over row
@@ -1097,4 +1102,101 @@ def events_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" {_EWMA_W} - m) AS DOUBLE)"
             )
         ).alias("ewma_cents"),
+    )
+
+
+@register_staged(
+    "maintenance_multiway_cluster_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_runs,
+           TRUE AS types_contiguous,
+           TRUE AS time_sorted_within_runs
+    FROM events
+    """,
+)
+def maintenance_multiway_cluster_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-WAY clustered write layout —
+    ``repartition(K, type) + sortWithinPartitions(type, ts)``, the
+    category-then-time layout for per-type time-slice workloads at
+    100 TB (all of one type's data co-located in one file, time-
+    ordered inside it: a (type, time-slice) query opens ONE file and
+    reads ONE contiguous run). Each invocation rewrites the events
+    table so clustered (applicationId-keyed, the
+    maintenance_range_cluster_layout precedent), reads it back, and
+    audits the layout DISTRIBUTEDLY through the ``_metadata`` hidden
+    columns: per-(file, type) runs from ``file_path`` grouping, run
+    contiguity as ``max(row_index) − min(row_index) + 1 = n`` per
+    run, and time-sortedness inside runs from a lag compare keyed by
+    file in ``row_index`` order. The joint layout claim is EXACT and
+    SQL-expressible: hash-partitioning BY type puts every type
+    wholly in one partition, so a correct layout has exactly ONE run
+    per type — ``n_runs = COUNT(DISTINCT event_type)`` (file counts
+    themselves are murmur3-shaped and deliberately not surfaced; a
+    collision merely co-locates two types in one file without
+    breaking any claim). Row count proves the rewrite lost nothing;
+    any regression flips a boolean or splits a run and fails the
+    hash gate. Evaluated-lead note: this lands the pen header's
+    "multi-way sortWithinPartitions write-layout audits" lead.
+
+    ``repartition`` on a key column is deterministic (murmur3 of the
+    type string), and both booleans are tie-insensitive (equal
+    timestamps satisfy ≤ in any order), so the result is stable
+    run-to-run.
+
+    Scale shape: the audit window is keyed by file with O(1) state
+    (one lag row), the run frame is |files|×|types|-sized, and the
+    final reduce runs over that tiny frame — one keyed sort, no
+    join, partial+final aggregates everywhere."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    app_id = spark.sparkContext.applicationId
+    dst = os.path.join(
+        tempfile.gettempdir(), f"rsqes_mwclust_{digest}_{app_id}"
+    )
+    (
+        ev.repartition(4, "event_type")
+        .sortWithinPartitions("event_type", "ts")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    back = spark.read.parquet(dst).select(
+        "event_type",
+        "ts",
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    w = Window.partitionBy("f").orderBy("ri")
+    seq = back.select(
+        "f",
+        "event_type",
+        "ri",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    runs = seq.groupBy("f", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("ri") - F.min("ri") + 1).alias("span"),
+        F.every(
+            F.col("prev_ts").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+            | (F.col("prev_ts") <= F.col("ts"))
+        ).alias("sorted_ok"),
+    )
+    return runs.agg(
+        F.sum("n").alias("n_rows"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.every(F.col("span") == F.col("n")).alias("types_contiguous"),
+        F.every("sorted_ok").alias("time_sorted_within_runs"),
     )

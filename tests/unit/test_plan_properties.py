@@ -1616,3 +1616,20 @@ def test_time_of_day_profile_map_side_partials_no_join(spark):
     assert "partial_count" in plan and "partial_sum" in plan
     assert "Join" not in plan
     assert "Sort " not in plan
+
+
+def test_multiway_cluster_audit_one_file_keyed_sort_no_join(spark):
+    """maintenance_multiway_cluster_audit: the read-back audit is a
+    file-keyed window (one sort, O(1) lag state) feeding
+    partial+final aggregates — no join anywhere, and the final
+    reduce runs over the |files|x|types| run frame, never the
+    corpus."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["maintenance_multiway_cluster_audit"](
+        spark, SF_DIR
+    )
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Sort ") == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan
