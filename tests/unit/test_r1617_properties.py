@@ -235,3 +235,51 @@ def test_twap_matches_bruteforce(spark, evs):
     assert r["n_segments"] == len(seq) - 1
     assert r["duration_us"] == dur
     assert r["twap"] == float(num) / float(dur)
+
+
+# (user offset-seconds, whole-dollar value) tuples; repeated offsets
+# exercise the event_id detie in the recency ordering
+ewma_events = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 1000)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(**_SETTINGS)
+@given(evs=ewma_events)
+def test_ewma_dyadic_matches_bruteforce(spark, evs):
+    rows = [
+        (i, _T0 + dt.timedelta(seconds=s), 1, "a", float(v), "{}")
+        for i, (s, v) in enumerate(evs)
+    ]
+    sf = _sf(spark, "events", rows, _EV_SCHEMA)
+    [r] = r17.queries()["events_ewma_dyadic"](spark, sf).collect()
+    # newest first: ts desc then event_id desc, last W=16 kept
+    order = sorted(
+        range(len(evs)), key=lambda i: (-evs[i][0], -i)
+    )[:16]
+    m = len(order)
+    num = sum(evs[i][1] * 100 * (1 << (16 - k)) for k, i in enumerate(order, 1))
+    den = (1 << 16) - (1 << (16 - m))
+    assert r["m"] == m
+    assert r["ewma_cents"] == num / den
+
+
+@settings(**_SETTINGS)
+@given(evs=ewma_events)
+def test_multiway_cluster_audit_invariants(spark, evs):
+    types = ("a", "b", "c")
+    rows = [
+        (i, _T0 + dt.timedelta(seconds=s), 1, types[v % 3], float(v), "{}")
+        for i, (s, v) in enumerate(evs)
+    ]
+    sf = _sf(spark, "events", rows, _EV_SCHEMA)
+    [r] = r17.queries()["maintenance_multiway_cluster_audit"](
+        spark, sf
+    ).collect()
+    n_types = len({t for _, _, _, t, _, _ in rows})
+    assert r["n_rows"] == len(rows)
+    assert r["n_types"] == n_types
+    assert r["n_runs"] == n_types
+    assert r["types_contiguous"] and r["time_sorted_within_runs"]
