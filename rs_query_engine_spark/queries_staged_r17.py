@@ -38,9 +38,19 @@ geometric sums" lead landed), then a 4th: the MULTI-WAY clustered
 write-layout audit (repartition-by-type + sortWithinPartitions
 (type, ts), audited through _metadata file_path/row_index — run
 contiguity, in-run time order, and the exact one-run-per-type
-count). Rounds 16-17 fill the rest (≤ ~15 queries — the
-rotation-backlog cap, see the BENCH_NOTES ledger); round 18 flips
-the flag.
+count). A round-15 second wave then CLOSED the pen at **15** with
+the multi-dimensional GROUP BY family — the last ungrouped-
+aggregation API surfaces with no query anywhere in the registry:
+ROLLUP hierarchy totals (``DataFrame.rollup`` + ``grouping_id``,
+Expand-planned, DuckDB GROUPING bit-convention probed identical),
+CUBE cross-tabulation (``DataFrame.cube`` over
+(event_type, dayofweek), the dow mapping probed as DuckDB
+``EXTRACT(dow)+1``), and explicit-values relational PIVOT
+(``GroupedData.pivot`` desugaring to one-pass conditional
+aggregates, coalesced against the FILTER-clause oracle; the row
+total is a projection over the pivoted columns, never a second
+aggregate joined back). Round 18 flips the flag; rounds 16-17
+carry no pen work beyond their own flips.
 
 Round-15 Spark 4.1 surface scan (VERDICT r14 next-#6): probed the
 installed 4.1.2 function/type surface once. NEW and seeded: the
@@ -1200,3 +1210,166 @@ def maintenance_multiway_cluster_audit(
         F.every(F.col("span") == F.col("n")).alias("types_contiguous"),
         F.every("sorted_ok").alias("time_sorted_within_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 second wave (fresh evaluation per the header note): the
+# multi-dimensional GROUP BY family — ROLLUP, CUBE, and relational
+# PIVOT were the last ungrouped-aggregation API surfaces with no
+# query anywhere in the registry (GROUPING SETS landed in r5's
+# agg_grouping_sets; these are its DataFrame-API cousins). Pen
+# CLOSES at 15 with these.
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "agg_rollup_returnflag",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — the ``DataFrame.rollup`` API driven
+    end-to-end: per-(flag, status) leaves, per-flag subtotals, and
+    the grand total in ONE aggregate, each level tagged by
+    ``grouping_id()`` (bit vector, MSB = first rollup column — the
+    same convention as DuckDB's two-argument GROUPING, probed before
+    this query existed). Spark plans rollup through the same Expand
+    operator as GROUPING SETS: each input row is replicated once per
+    grouping set BEFORE the exchange, so subtotals are partial-
+    aggregated map-side like any other group — no second pass, no
+    driver-side re-aggregation. NULL group cells here are rollup
+    padding, not data (both corpus columns are non-null), so the
+    cross-engine NULL equality convention never engages.
+
+    Scale shape: one Expand (×3 sets) + one partial+final aggregate
+    onto a ≤|flags|·|statuses|+|flags|+1 domain; quantity mass
+    accumulates as exact DECIMAL and exits once as double (VARCHAR
+    hop on the DuckDB side)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast(D_PRICE).alias("q"),
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("double").alias("sum_qty"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty", "gid")
+    )
+
+
+@register_staged(
+    "agg_cube_type_dow",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(EXTRACT(dow FROM CAST(ts AS TIMESTAMP)) + 1
+                    AS INT) AS dow,
+               CAST(value AS DECIMAL(12,2)) AS v
+        FROM events
+    )
+    SELECT event_type, dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS v_sum,
+           CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
+    FROM e GROUP BY CUBE(event_type, dow)
+    """,
+)
+def agg_cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE cross-tabulation totals — the ``DataFrame.cube`` API:
+    every subset of (event_type, day-of-week) grouped in one
+    aggregate (leaves, both one-dimensional margins, and the grand
+    total), levels tagged by ``grouping_id()``. Day-of-week is the
+    engine-mirrored ``dayofweek`` = DuckDB ``EXTRACT(dow)+1``
+    (Sunday=1, probed identical before this query existed). Like
+    rollup, cube plans through Expand (×4 sets here) — the margins
+    are partial-aggregated map-side, never recomputed from the
+    leaves.
+
+    Scale shape: one Expand + one partial+final aggregate onto a
+    ≤(|types|+1)·(7+1)-row domain; corpus size only touches the
+    scan; the value mass is exact DECIMAL until the final double
+    exit."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        F.col("value").cast(D_PRICE).alias("v"),
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("v_sum"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("event_type", "dow", "n", "v_sum", "gid")
+    )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register_staged(
+    "agg_pivot_type_matrix",
+    oracle=f"""
+    SELECT CAST(EXTRACT(dow FROM CAST(ts AS TIMESTAMP)) + 1 AS INT)
+               AS dow,
+           {", ".join(
+               f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}')"
+               f" AS BIGINT) AS {t}" for t in _PIVOT_TYPES
+           )},
+           CAST({" + ".join(
+               f"COUNT(*) FILTER (WHERE event_type = '{t}')"
+               for t in _PIVOT_TYPES
+           )} AS BIGINT) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT — the ``GroupedData.pivot`` API with an
+    EXPLICIT value list (the deterministic form: no distinct-scan to
+    discover columns, which also makes the 100 TB plan one pass):
+    the day-of-week × event-type contingency matrix every
+    activity dashboard renders. Spark compiles explicit-values pivot
+    to conditional aggregates in ONE pass — exactly the
+    FILTER-clause spelling the oracle uses — so this pins that the
+    sugar and the desugared form agree. Empty cells leave pivot as
+    NULL but FILTER as 0; the final projection coalesces to 0 so
+    both engines emit the same integer (and 0 is the honest count).
+    The row total is the SUM of the pivoted columns (the value list
+    is the closed event-type domain), NOT a second aggregate joined
+    back — a separate total frame would make Catalyst duplicate the
+    corpus scan (the events_ab_lift lesson), and the row-sum costs
+    four additions on a 7-row frame.
+
+    Scale shape: ONE partial+final aggregate onto the 7-row dow
+    domain with |types| counters per group — no Expand, no join, no
+    second scan, one exchange."""
+    e = _t(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        "event_type",
+    )
+    p = (
+        e.groupBy("dow")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+        for t in _PIVOT_TYPES
+    ]
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)) for t in _PIVOT_TYPES),
+        F.lit(0),
+    )
+    return p.select("dow", *cols, total.cast("bigint").alias("total"))

@@ -1633,3 +1633,36 @@ def test_multiway_cluster_audit_one_file_keyed_sort_no_join(spark):
     assert plan.count("Sort ") == 1
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+def test_rollup_cube_plan_through_expand_with_partials(spark):
+    """agg_rollup_returnflag / agg_cube_type_dow: ROLLUP and CUBE
+    must plan through ONE Expand operator (x3 / x4 grouping sets,
+    replicated BEFORE the exchange) feeding a partial+final
+    aggregate — subtotals are map-side partials like any leaf group,
+    never a second pass or a union of aggregates. No join."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    for name in ("agg_rollup_returnflag", "agg_cube_type_dow"):
+        df = r17.queries()[name](spark, SF_DIR)
+        plan = explain_str(df, mode="simple")
+        assert plan.count("Expand") == 1, name
+        assert "partial_count" in plan, name
+        assert "Join" not in plan, name
+        assert plan.count("FileScan parquet") == 1, name
+
+
+def test_pivot_single_aggregate_no_join_no_second_scan(spark):
+    """agg_pivot_type_matrix: explicit-values pivot desugars to
+    conditional aggregates in ONE pass — one corpus scan, one
+    partial+final aggregate, no Expand, no join (the row total is a
+    projection over the pivoted columns, not a second aggregate
+    joined back)."""
+    from rs_query_engine_spark import queries_staged_r17 as r17
+
+    df = r17.queries()["agg_pivot_type_matrix"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Expand" not in plan
+    assert "partial_count" in plan
