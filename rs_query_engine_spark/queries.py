@@ -156,6 +156,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R15_ENABLED", "queries_staged_r15"),
     ("STAGED_R16_ENABLED", "queries_staged_r16"),
     ("STAGED_R17_ENABLED", "queries_staged_r17"),
+    ("STAGED_R18_ENABLED", "queries_staged_r18"),
 )
 
 
@@ -6458,3 +6459,13 @@ STAGED_R16_ENABLED = False
 # rest (≤ ~15 per the rotation-backlog cap); round 18 flips this
 # flag.
 STAGED_R17_ENABLED = False
+
+# Round-18 holding pen (``queries_staged_r18.py``): gate created
+# EMPTY at round-15 end (ADVICE r07 precedent — pen, parity gate,
+# flag, and _PEN_MODULES entry all predate the first registration).
+# Rounds 16-18 seed it (≤ ~15 per the rotation-backlog cap); round
+# 19 flips this flag. The pen header carries the round-15 evaluated
+# leads ledger (MAP-column operators, sequence grids, funnel decay,
+# stratified min_by matrix, checksum diff, percent-of-parent rollup
+# ratios) and the standing REJECTED list.
+STAGED_R18_ENABLED = False
