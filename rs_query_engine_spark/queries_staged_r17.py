@@ -49,8 +49,9 @@ CUBE cross-tabulation (``DataFrame.cube`` over
 (``GroupedData.pivot`` desugaring to one-pass conditional
 aggregates, coalesced against the FILTER-clause oracle; the row
 total is a projection over the pivoted columns, never a second
-aggregate joined back). Round 18 flips the flag; rounds 16-17
-carry no pen work beyond their own flips.
+aggregate joined back). Round 18 flips the flag; rounds 16-17 seed the
+round-18 pen (created EMPTY with its gate at round-15 end) rather
+than this one.
 
 Round-15 Spark 4.1 surface scan (VERDICT r14 next-#6): probed the
 installed 4.1.2 function/type surface once. NEW and seeded: the
