@@ -4,9 +4,16 @@ EMPTY at creation (round-15 end; ADVICE r07 precedent: the pen, its
 parity gate ``tests/oracle/test_staged_r18_parity.py``, the
 ``STAGED_R18_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-18 registration, so every query is
-verified-by-construction from its first commit). Rounds 16-18 seed
-it (≤ ~15 queries — the rotation-backlog cap, see the BENCH_NOTES
-ledger); round 19 flips the flag. Flip cadence for context: round 16
+verified-by-construction from its first commit), then seeded the
+same round with 2 queries hash-verified at sf0.001 + sf0.01:
+PERCENT-OF-PARENT hierarchy shares (exact DECIMAL window sums over
+the leaf frame, the drill-down companion to agg_rollup_returnflag)
+and the HIGHER-ORDER map-operator pipeline (map_filter →
+transform_values → map_entries-explode pinned against the
+relational GROUP BY/HAVING spelling — the transformation tier of
+the MAP surface whose build/lookup tier is map_functions). Rounds
+16-18 fill the rest (≤ ~15 queries — the rotation-backlog cap, see
+the BENCH_NOTES ledger); round 19 flips the flag. Flip cadence for context: round 16
 flips the r15 pen, round 17 flips the r16 pen, round 18 flips the
 r17 pen (closed at 15 in round 15), round 19 flips this one.
 
@@ -84,3 +91,145 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from rs_query_engine_spark.queries import D_PRICE, _t  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Round-15 seeds (r13-r17 precedent: the pen is created at round end
+# and seeded the same round with verified queries)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "agg_pct_of_parent_hierarchy",
+    oracle="""
+    WITH leaf AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qsum
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, n,
+           CAST(CAST(qsum AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(qsum AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(qsum) OVER (PARTITION BY l_returnflag)
+                           AS VARCHAR) AS DOUBLE) AS pct_of_parent,
+           CAST(CAST(qsum AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(qsum) OVER () AS VARCHAR) AS DOUBLE)
+               AS pct_of_total
+    FROM leaf
+    """,
+)
+def agg_pct_of_parent_hierarchy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERCENT-OF-PARENT down a grouping hierarchy — each
+    (flag, status) leaf's share of its flag subtotal and of the
+    grand total: the drill-down ratio every BI hierarchy renders
+    next to agg_rollup_returnflag's absolute subtotals (the round-15
+    leads-ledger pairing). The parent masses are DECIMAL window sums
+    over the LEAF frame — exact, so each share is one
+    double ÷ double with both operands leaving exactness at the
+    documented boundary (VARCHAR hop on the DuckDB side); no float
+    ever re-aggregates. The unpartitioned total window runs on the
+    ≤|flags|·|statuses|-row aggregated frame, never the corpus (the
+    quality_pareto_frontier discipline).
+
+    Scale shape: ONE partial+final corpus aggregate; both hierarchy
+    windows share the tiny leaf frame (the flag-keyed one and the
+    global one are O(leaf-count)); no join, no Expand, one corpus
+    scan."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast(D_PRICE).alias("q"),
+    )
+    leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("qsum")
+    )
+    wf = Window.partitionBy("l_returnflag")
+    wall = Window.partitionBy()
+    leaf_d = F.col("qsum").cast("double")
+    return leaf.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        leaf_d.alias("sum_qty"),
+        (leaf_d / F.sum("qsum").over(wf).cast("double")).alias(
+            "pct_of_parent"
+        ),
+        (leaf_d / F.sum("qsum").over(wall).cast("double")).alias(
+            "pct_of_total"
+        ),
+    )
+
+
+@register_staged(
+    "text_token_map_pipeline",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        FROM documents
+    ),
+    per AS (
+        SELECT doc_id, token, COUNT(*) AS c
+        FROM tok WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id, token, CAST(c * c AS BIGINT) AS boost
+    FROM per WHERE c >= 2
+    """,
+)
+def text_token_map_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER-ORDER map operators — the transformation tier of the
+    MAP column surface (building + lookup landed as
+    ``map_functions``; this pins ``map_filter`` →
+    ``transform_values`` → ``map_entries``-explode against the
+    relational spelling): per-document token→count feature bags
+    filtered to repeated tokens (count ≥ 2) and re-weighted (count²,
+    the classic tf² boost), then exploded back to rows. The map is
+    deterministic despite collect_list's nondeterministic order
+    because keys are unique by construction (pre-grouped on
+    (doc, token) — the map_functions precedent), and the lambda
+    pipeline must produce exactly the GROUP BY ... HAVING multiset
+    the oracle computes. Tokenization is the repo-standard
+    whitespace split mirrored by regexp_split_to_array, empty edge
+    tokens dropped on both engines.
+
+    Scale shape: one (doc, token)-keyed partial+final aggregate,
+    one (doc)-keyed map rollup, then map-cell lambdas (JVM-side,
+    whole-stage-codegen — no Python) and a map-only explode; no
+    join; map cells never reach the driver (exploded to scalar rows
+    at the boundary)."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    per = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    m = per.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("t", "c"))).alias("m")
+    )
+    m2 = m.select(
+        "doc_id",
+        F.transform_values(
+            F.map_filter("m", lambda k, v: v >= 2), lambda k, v: v * v
+        ).alias("m2"),
+    )
+    return (
+        m2.select("doc_id", F.explode(F.map_entries("m2")).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.key").alias("token"),
+            F.col("e.value").cast("bigint").alias("boost"),
+        )
+    )

@@ -1666,3 +1666,31 @@ def test_pivot_single_aggregate_no_join_no_second_scan(spark):
     assert "Join" not in plan
     assert "Expand" not in plan
     assert "partial_count" in plan
+
+
+def test_pct_of_parent_windows_on_leaf_frame_one_scan(spark):
+    """agg_pct_of_parent_hierarchy: one corpus aggregate, both
+    hierarchy windows over the tiny leaf frame — one scan, no join,
+    no Expand, map-side partials."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    df = r18.queries()["agg_pct_of_parent_hierarchy"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Expand" not in plan
+    assert "partial_count" in plan
+
+
+def test_token_map_pipeline_jvm_lambdas_no_join(spark):
+    """text_token_map_pipeline: the map lambdas stay JVM-side (no
+    BatchEvalPython / ArrowEvalPython anywhere), the pipeline is two
+    keyed aggregates + a map-only explode — one scan, no join."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    df = r18.queries()["text_token_map_pipeline"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate explode" in plan
