@@ -5,13 +5,17 @@ parity gate ``tests/oracle/test_staged_r18_parity.py``, the
 ``STAGED_R18_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-18 registration, so every query is
 verified-by-construction from its first commit), then seeded the
-same round with 2 queries hash-verified at sf0.001 + sf0.01:
+same round with 3 queries hash-verified at sf0.001 + sf0.01:
 PERCENT-OF-PARENT hierarchy shares (exact DECIMAL window sums over
-the leaf frame, the drill-down companion to agg_rollup_returnflag)
-and the HIGHER-ORDER map-operator pipeline (map_filter →
+the leaf frame, the drill-down companion to agg_rollup_returnflag),
+the HIGHER-ORDER map-operator pipeline (map_filter →
 transform_values → map_entries-explode pinned against the
 relational GROUP BY/HAVING spelling — the transformation tier of
-the MAP surface whose build/lookup tier is map_functions). Rounds
+the MAP surface whose build/lookup tier is map_functions), and the
+ANTI-ENTROPY checksum DIFF (per-bucket SUM+BIT_XOR digests of two
+deterministically-derived table generations, differing buckets
+only — the repair-scoping companion to maintenance_table_checksum,
+computed in one conditional-aggregate pass). Rounds
 16-18 fill the rest (≤ ~15 queries — the rotation-backlog cap, see
 the BENCH_NOTES ledger); round 19 flips the flag. Flip cadence for context: round 16
 flips the r15 pen, round 17 flips the r16 pen, round 18 flips the
@@ -232,4 +236,114 @@ def text_token_map_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.key").alias("token"),
             F.col("e.value").cast("bigint").alias("boost"),
         )
+    )
+
+
+@register_staged(
+    "maintenance_checksum_diff",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderkey % 64 AS bucket,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                                   || CAST(o_custkey AS VARCHAR) || '|'
+                                   || o_orderstatus), 1, 8))::BIGINT
+                   AS rh1,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                              || '|' || CAST(o_custkey AS VARCHAR) || '|'
+                              || CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+                                      ELSE o_orderstatus END
+                          ), 1, 8))::BIGINT
+               END AS rh2
+        FROM orders
+    ),
+    b AS (
+        SELECT bucket,
+               CAST(COUNT(rh1) AS BIGINT) AS n_v1,
+               CAST(COUNT(rh2) AS BIGINT) AS n_v2,
+               CAST(SUM(rh1) AS BIGINT) AS s1,
+               CAST(COALESCE(SUM(rh2), 0) AS BIGINT) AS s2,
+               CAST(bit_xor(rh1) AS BIGINT) AS x1,
+               CAST(COALESCE(bit_xor(rh2), 0) AS BIGINT) AS x2
+        FROM h GROUP BY bucket
+    )
+    SELECT bucket, n_v1, n_v2,
+           (s1 = s2) AS sum_match, (x1 = x2) AS xor_match
+    FROM b
+    WHERE NOT (n_v1 = n_v2 AND s1 = s2 AND x1 = x2)
+    """,
+)
+def maintenance_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI-ENTROPY checksum DIFF of two table generations — WHICH
+    buckets of a replica diverged, the repair-scoping step that
+    follows maintenance_table_checksum's whole-table verdict (the
+    Merkle-less Cassandra/Dynamo repair primitive: compare per-bucket
+    digests, re-sync only differing buckets). Generation v2 is v1
+    under a deterministic key-driven mutation (keys ≡0 mod 97
+    deleted, keys ≡0 mod 101 status-rewritten), so both engines
+    derive identical generations with no fixture write. Per bucket
+    (key mod 64): exact row counts and the order-independent
+    SUM + BIT_XOR digests of each generation (the
+    maintenance_table_checksum fold — int64-exact, never a double),
+    emitting ONLY the buckets where any digest disagrees. Both
+    generations' digests come from ONE conditional-aggregate pass
+    (rh2 is NULL for deleted rows — both engines' SUM/BIT_XOR skip
+    NULLs, probed by the parity gate); against two PHYSICAL replicas
+    the same plan is two map-side folds + a |buckets|-row equi-join
+    — never a row-level join.
+
+    Scale shape: map-side md5 + fold, ONE partial+final aggregate
+    onto the 64-bucket domain, a tiny post-filter; no join, no sort,
+    one corpus scan."""
+    o = _t(spark, sf_dir, "orders")
+
+    def rh(status_col):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        status_col,
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    h = o.select(
+        (F.col("o_orderkey") % 64).alias("bucket"),
+        rh(F.col("o_orderstatus")).alias("rh1"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None)).otherwise(
+            rh(
+                F.when(F.col("o_orderkey") % 101 == 0, F.lit("X")).otherwise(
+                    F.col("o_orderstatus")
+                )
+            )
+        ).alias("rh2"),
+    )
+    b = h.groupBy("bucket").agg(
+        F.count("rh1").alias("n_v1"),
+        F.count("rh2").alias("n_v2"),
+        F.sum("rh1").alias("s1"),
+        F.coalesce(F.sum("rh2"), F.lit(0)).alias("s2"),
+        F.expr("bit_xor(rh1)").alias("x1"),
+        F.coalesce(F.expr("bit_xor(rh2)"), F.lit(0)).alias("x2"),
+    )
+    return b.filter(
+        ~(
+            (F.col("n_v1") == F.col("n_v2"))
+            & (F.col("s1") == F.col("s2"))
+            & (F.col("x1") == F.col("x2"))
+        )
+    ).select(
+        "bucket",
+        "n_v1",
+        "n_v2",
+        (F.col("s1") == F.col("s2")).alias("sum_match"),
+        (F.col("x1") == F.col("x2")).alias("xor_match"),
     )

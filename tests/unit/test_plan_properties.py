@@ -1694,3 +1694,18 @@ def test_token_map_pipeline_jvm_lambdas_no_join(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "Generate explode" in plan
+
+
+def test_checksum_diff_one_pass_no_join_no_sort(spark):
+    """maintenance_checksum_diff: both generations' digests come from
+    ONE conditional-aggregate pass — one corpus scan, map-side md5 +
+    fold with partial aggregates onto the 64-bucket domain, no join,
+    no sort anywhere."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    df = r18.queries()["maintenance_checksum_diff"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Sort " not in plan
+    assert "partial_count" in plan
