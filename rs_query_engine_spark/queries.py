@@ -6428,9 +6428,10 @@ STAGED_R14_ENABLED = True
 # winsorize/Simpson/collocation/changepoint pipeline ops, RFC4180
 # multiline CSV, and the Python DataSource streaming writer — all
 # hash-verified at sf0.001 + sf0.01 in
-# tests/oracle/test_staged_r15_parity.py. Round 16 flips this flag
-# (round 15 flips the r14 pen).
-STAGED_R15_ENABLED = False
+# tests/oracle/test_staged_r15_parity.py. FLIPPED ON in round 16
+# after the full pen re-passed the driver-shaped DuckDB gate at
+# sf0.01 (scripts/drive_pen.py, 15/15 PASS).
+STAGED_R15_ENABLED = True
 
 # Round-16 holding pen (``queries_staged_r16.py``): gate created
 # EMPTY at round-14 end (ADVICE r07 precedent — pen, parity gate,
