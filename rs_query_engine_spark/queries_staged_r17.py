@@ -881,7 +881,14 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_time_type(spark: SparkSession) -> None:
     """Enable the Spark 4.1 TIME data type (SPARK-51162 family): the
     type is feature-flagged off by default in 4.1.2; the flag only
-    unlocks the type and changes no other semantics."""
+    unlocks the type and changes no other semantics.
+
+    ``session.py:get_spark`` now sets the flag at session build time
+    (ADVICE r15: a mid-session ``conf.set`` persists for the rest of
+    the session, so the suite would otherwise run order-dependently
+    flag-on after this query's first invocation). This helper stays
+    as an idempotent safeguard for externally-built sessions (the
+    round driver constructs its own SparkSession)."""
     spark.conf.set("spark.sql.timeType.enabled", "true")
 
 
@@ -1116,6 +1123,50 @@ def events_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sweep_stale_mwclust(current: str) -> None:
+    """Best-effort two-phase reap of ``rsqes_mwclust_*`` dirs left by
+    PRIOR sessions (ADVICE r15: each session x SF otherwise leaves a
+    full clustered copy of events in /tmp — at sf0.1 that compounds).
+    Same mark-then-reap discipline as
+    ``sources/artifacts._sweep_stale_generations`` (grace window
+    ``SWEEP_GRACE_SEC``) so a CONCURRENT live session's dir is never
+    deleted mid-audit; the tombstone is ``_swept.txt``
+    (underscore-prefixed, so Spark's parquet reader ignores it if the
+    owning session re-reads before the reap), and the owner's own
+    ``mode("overwrite")`` rewrite clears any tombstone, restarting
+    the clock."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .sources.artifacts import SWEEP_GRACE_SEC
+
+    parent = tempfile.gettempdir()
+    keep = os.path.basename(current)
+    now = time.time()
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for d in entries:
+        if not d.startswith("rsqes_mwclust_") or d == keep:
+            continue
+        path = os.path.join(parent, d)
+        marker = os.path.join(path, "_swept.txt")
+        try:
+            marked_at = os.stat(marker).st_mtime
+        except OSError:
+            try:  # first sighting — tombstone, reap on a later pass
+                with open(marker, "w") as f:
+                    f.write(str(now))
+            except OSError:
+                pass
+            continue
+        if now - marked_at >= SWEEP_GRACE_SEC:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 @register_staged(
     "maintenance_multiway_cluster_audit",
     oracle="""
@@ -1174,6 +1225,7 @@ def maintenance_multiway_cluster_audit(
     dst = os.path.join(
         tempfile.gettempdir(), f"rsqes_mwclust_{digest}_{app_id}"
     )
+    _sweep_stale_mwclust(dst)
     (
         ev.repartition(4, "event_type")
         .sortWithinPartitions("event_type", "ts")

@@ -179,7 +179,8 @@ def agg_pct_of_parent_hierarchy(
     oracle=r"""
     WITH tok AS (
         SELECT doc_id,
-               unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+               unnest(regexp_split_to_array(lower(text),
+                                            '[ \t\n\r\f]+')) AS token
         FROM documents
     ),
     per AS (
@@ -202,9 +203,12 @@ def text_token_map_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     because keys are unique by construction (pre-grouped on
     (doc, token) — the map_functions precedent), and the lambda
     pipeline must produce exactly the GROUP BY ... HAVING multiset
-    the oracle computes. Tokenization is the repo-standard
-    whitespace split mirrored by regexp_split_to_array, empty edge
-    tokens dropped on both engines.
+    the oracle computes. Tokenization uses the explicit class
+    ``[ \\t\\n\\r\\f]+`` in BOTH engines (ADVICE r15: Java's ``\\s``
+    includes U+000B vertical tab, RE2's does not — the explicit
+    class makes the tokenizers provably identical instead of
+    relying on the corpus containing no unusual whitespace); empty
+    edge tokens dropped on both engines.
 
     Scale shape: one (doc, token)-keyed partial+final aggregate,
     one (doc)-keyed map rollup, then map-cell lambdas (JVM-side,
@@ -215,7 +219,9 @@ def text_token_map_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.explode(F.split(F.lower("text"), r"\s+")).alias("t"),
+            F.explode(
+                F.split(F.lower("text"), r"[ \t\n\r\f]+")
+            ).alias("t"),
         )
         .filter(F.col("t") != "")
     )

@@ -56,6 +56,15 @@ def get_spark(
         # Loaders branch on the observed schema (corpus.py
         # normalize_events_ts), so setting it is correct on both.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's TIME data type (SPARK-51162 family) ships
+        # feature-flagged off. Set it HERE so every session runs one
+        # uniform configuration, rather than the flag flipping on
+        # mid-session the first time a TIME-typed query runs
+        # (ADVICE r15 on queries_staged_r17._ensure_time_type, which
+        # remains as an idempotent safeguard for externally-built
+        # sessions). The flag only unlocks the type — probed r15; no
+        # other semantics change.
+        .config("spark.sql.timeType.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
