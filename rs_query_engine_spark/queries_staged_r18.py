@@ -17,7 +17,33 @@ deterministically-derived table generations, differing buckets
 only — the repair-scoping companion to maintenance_table_checksum,
 computed in one conditional-aggregate pass). Rounds
 16-18 fill the rest (≤ ~15 queries — the rotation-backlog cap, see
-the BENCH_NOTES ledger); round 19 flips the flag. Flip cadence for context: round 16
+the BENCH_NOTES ledger); round 19 flips the flag.
+
+ROUND-16 wave (8 queries, every one hash-verified at sf0.001 +
+sf0.01 from first commit, plan-pinned in
+``tests/unit/test_plan_properties.py``):
+
+- ``array_higher_order_pipeline`` — the ARRAY lambda tier
+  (transform/filter/exists/forall/aggregate/zip_with) against
+  DuckDB's list-lambda algebra; order-sensitive dot-with-reversed
+  pinned through a (linenumber, qty) sort on both engines.
+- ``string_str_to_map_parse`` — str_to_map parse pinned by
+  reconstruction (the url-parse-family discipline).
+- ``scalar_from_csv_parse`` — to_csv → from_csv expression-level
+  roundtrip with RFC4180 quoting and bit-exact double re-parse.
+- ``events_ab_rank_sum`` — exact Mann-Whitney U / probability of
+  superiority via ×2-scaled tie-averaged ranks (asc+desc rank
+  trick), one exchange for the whole statistic.
+- ``events_funnel_conversion_decay`` — the 4-step first-touch
+  chain with per-step decay ratios (the header's funnel lead).
+- ``string_binary_codec_family`` — unhex/hex/base64/octet_length/
+  encode over real digests; bytes-vs-codepoints split pinned on
+  the zh documents.
+- ``agg_moments_skew_kurtosis`` — exact population skewness +
+  excess kurtosis from decimal power sums (the variance_exact
+  extension; x⁴ via (x²)·(x²) stays under precision 38).
+- ``text_sentence_segmentation`` — sentence-boundary stats on the
+  explicit ``[.!?]+`` class, arrays never exploded. Flip cadence for context: round 16
 flips the r15 pen, round 17 flips the r16 pen, round 18 flips the
 r17 pen (closed at 15 in round 15), round 19 flips this one.
 
@@ -352,4 +378,569 @@ def maintenance_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_v2",
         (F.col("s1") == F.col("s2")).alias("sum_match"),
         (F.col("x1") == F.col("x2")).alias("xor_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-16 wave (header leads: array higher-order tier, parse
+# surfaces, exact nonparametric A/B readout, K-step funnel decay,
+# binary codec family, exact higher moments, sentence segmentation)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "array_higher_order_pipeline",
+    oracle="""
+    WITH a AS (
+        SELECT l_orderkey,
+               list(CAST(l_quantity AS BIGINT)
+                    ORDER BY l_linenumber, CAST(l_quantity AS BIGINT))
+                   AS arr
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(arr) AS BIGINT) AS n_items,
+           CAST(COALESCE(list_sum(list_transform(
+                    list_filter(arr, x -> x > 25), x -> x * x)), 0)
+                AS BIGINT) AS sum_sq_heavy,
+           list_contains(arr, 50) AS has_max_qty,
+           list_aggregate(list_transform(arr, x -> x >= 1), 'bool_and')
+               AS all_positive,
+           CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                    i -> arr[i] * arr[len(arr) + 1 - i])) AS BIGINT)
+               AS dot_reversed
+    FROM a
+    """,
+)
+def array_higher_order_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ARRAY higher-order lambda tier — ``transform`` / ``filter`` /
+    ``exists`` / ``forall`` / ``aggregate`` / ``zip_with`` driven as
+    one pipeline over per-order quantity arrays and pinned against
+    DuckDB's list-lambda spelling of the same algebra (the ARRAY
+    counterpart of the MAP tier in ``text_token_map_pipeline``; the
+    build/explode tier lives in ``array_explode_semantics``). The
+    array is deterministic despite ``collect_list``'s arbitrary
+    order: collected as (linenumber, qty) structs and
+    ``array_sort``-ed — and because this corpus carries DUPLICATE
+    line numbers per order, the sort key is the full (linenumber,
+    qty) pair on BOTH engines; any remaining tie is between equal
+    values, which cannot change ``dot_reversed`` (swapping equal
+    cells leaves every product identical). ``dot_reversed`` pairs
+    position i with n+1-i, so order is semantics-bearing. ``aggregate`` starts from a bigint
+    0 so an empty filtered array folds to 0, mirrored by COALESCE in
+    the oracle.
+
+    Scale shape: one partial+final collect per order key (the only
+    shuffle), then every lambda runs JVM-side inside whole-stage
+    codegen over array cells — no Python, no explode-regroup
+    round-trip, no join; arrays are per-order (≤7 lines in TPC-H
+    shape), so cells never amplify the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    a = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "q"))),
+            lambda s: s["q"],
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    zero = F.lit(0).cast("bigint")
+    return a.select(
+        "l_orderkey",
+        F.size(arr).cast("bigint").alias("n_items"),
+        F.aggregate(
+            F.transform(F.filter(arr, lambda x: x > 25), lambda x: x * x),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("sum_sq_heavy"),
+        F.exists(arr, lambda x: x == 50).alias("has_max_qty"),
+        F.forall(arr, lambda x: x >= 1).alias("all_positive"),
+        F.aggregate(
+            F.zip_with(arr, F.reverse(arr), lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("dot_reversed"),
+    )
+
+
+@register_staged(
+    "string_str_to_map_parse",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_keys,
+           lang AS lang_v,
+           CAST(doc_id % 8 AS VARCHAR) AS shard_v,
+           TRUE AS has_lang,
+           'lang,n,shard,source' AS keys_csv
+    FROM documents
+    """,
+)
+def string_str_to_map_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``str_to_map`` config-string parsing pinned by RECONSTRUCTION
+    (the ``string_url_parse_family`` precedent: the oracle never
+    parses — it re-derives every field from the source columns, so
+    the Spark parse must exactly invert the deterministic
+    ``k=v;...`` construction). Exercises ``str_to_map`` (both
+    delimiters are regexes — ``;`` and ``=`` are literal-safe),
+    map-key extraction via ``element_at``, ``map_contains_key``, and
+    ``map_keys`` + ``array_sort`` serialized through ``concat_ws``
+    (MAP cells can't reach the driver hash — the
+    ``map_functions`` boundary convention).
+
+    Scale shape: pure map-side scalar work, no shuffle at all; the
+    parse runs JVM-side inside codegen."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = F.concat(
+        F.lit("lang="),
+        F.col("lang"),
+        F.lit(";n="),
+        F.col("n_chars").cast("string"),
+        F.lit(";shard="),
+        (F.col("doc_id") % 8).cast("string"),
+        F.lit(";source="),
+        F.col("source"),
+    )
+    parsed = d.select(
+        "doc_id", F.str_to_map(cfg, F.lit(";"), F.lit("=")).alias("m")
+    )
+    return parsed.select(
+        "doc_id",
+        F.size("m").cast("bigint").alias("n_keys"),
+        F.element_at(F.col("m"), F.lit("lang")).alias("lang_v"),
+        F.element_at(F.col("m"), F.lit("shard")).alias("shard_v"),
+        F.map_contains_key(F.col("m"), F.lit("lang")).alias("has_lang"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+    )
+
+
+@register_staged(
+    "scalar_from_csv_parse",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus || ',' || o_orderpriority AS combo,
+           o_totalprice AS price,
+           TRUE AS roundtrip_ok
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def scalar_from_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``to_csv`` → ``from_csv`` expression-level roundtrip with an
+    embedded-comma field (the combo column forces RFC4180 quoting on
+    serialize and unquoting on parse — the same class
+    ``source_csv_quoted_multiline`` pins at file level, here at the
+    scalar-expression tier). The double column proves numeric
+    fidelity end-to-end: Java's shortest-roundtrip double formatting
+    re-parses to the bit-identical double, asserted row-wise by
+    ``roundtrip_ok`` (any drift flips the boolean against the
+    oracle's constant TRUE) and value-wise by ``price`` hashing
+    against the raw source column.
+
+    Scale shape: map-side scalar codegen only, no shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.concat_ws(",", "o_orderstatus", "o_orderpriority").alias(
+                "combo"
+            ),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    parsed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.from_csv(line, "k BIGINT, combo STRING, price DOUBLE").alias("p"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.combo").alias("combo"),
+        F.col("p.price").alias("price"),
+        (
+            (F.col("p.k") == F.col("o_orderkey"))
+            & (F.col("p.price") == F.col("o_totalprice"))
+        ).alias("roundtrip_ok"),
+    )
+
+
+@register_staged(
+    "events_ab_rank_sum",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, (user_id % 2 = 0) AS is_a,
+               RANK() OVER (PARTITION BY event_type ORDER BY value)
+                   AS ra,
+               RANK() OVER (PARTITION BY event_type ORDER BY value DESC)
+                   AS rd,
+               COUNT(*) OVER (PARTITION BY event_type) AS nt
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS n_b,
+               CAST(SUM(ra + nt + 1 - rd) FILTER (WHERE is_a) AS BIGINT)
+                   AS r2_a
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           r2_a - n_a * (n_a + 1) AS u2_a,
+           2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+           CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+               / CAST(2 * n_a * n_b AS DOUBLE) AS auc_a
+    FROM g
+    """,
+)
+def events_ab_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Mann-Whitney rank-sum readout per event type — the
+    nonparametric companion to ``events_ab_lift`` (that one compares
+    arm MEANS; this compares whole DISTRIBUTIONS, the robust choice
+    when value is skewed). Everything stays integer until the final
+    division: the tie-averaged rank is kept ×2-scaled — for a tied
+    group, min_rank + max_rank = RANK() ascending + (n_t + 1 −
+    RANK() descending), both integers — so the doubled rank sum
+    R2_a, the doubled U statistic u2_a = R2_a − n_a(n_a+1), and the
+    complementary u2_b = 2·n_a·n_b − u2_a are exact bigints on both
+    engines; ``auc_a`` (= P[A > B] + ½P[tie], the probability of
+    superiority) is one raw double division at the end.
+
+    Scale shape: the two rank passes and the count share ONE
+    partitioning (event_type) — a single exchange feeds two in-
+    partition sorts (asc/desc) and the frame-less count; the final
+    aggregate is partial+final on (type, arm). No join, no
+    per-pair work — the U statistic via ranks is O(n log n) where
+    the naive definition is an O(n²) all-pairs comparison."""
+    from pyspark.sql import Window
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+            "value",
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "is_a",
+        F.rank().over(wp.orderBy("value")).alias("ra"),
+        F.rank().over(wp.orderBy(F.col("value").desc())).alias("rd"),
+        F.count(F.lit(1)).over(wp).alias("nt"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.sum(
+            F.when(
+                F.col("is_a"),
+                F.col("ra") + F.col("nt") + 1 - F.col("rd"),
+            )
+        ).alias("r2_a"),
+    )
+    u2_a = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        u2_a.alias("u2_a"),
+        (F.lit(2) * F.col("n_a") * F.col("n_b") - u2_a).alias("u2_b"),
+        (
+            u2_a.cast("double")
+            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("auc_a"),
+    )
+
+
+@register_staged(
+    "events_funnel_conversion_decay",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(t0) AS BIGINT) AS n_signup,
+               CAST(COUNT(CASE WHEN t1 > t0 THEN 1 END) AS BIGINT)
+                   AS n_view,
+               CAST(COUNT(CASE WHEN t2 > t1 AND t1 > t0 THEN 1 END)
+                    AS BIGINT) AS n_click,
+               CAST(COUNT(CASE WHEN t3 > t2 AND t2 > t1 AND t1 > t0
+                          THEN 1 END) AS BIGINT) AS n_purchase
+        FROM f
+    )
+    SELECT n_signup, n_view, n_click, n_purchase,
+           CAST(n_view AS DOUBLE) / NULLIF(CAST(n_signup AS DOUBLE), 0.0)
+               AS decay_1,
+           CAST(n_click AS DOUBLE) / NULLIF(CAST(n_view AS DOUBLE), 0.0)
+               AS decay_2,
+           CAST(n_purchase AS DOUBLE)
+               / NULLIF(CAST(n_click AS DOUBLE), 0.0) AS decay_3
+    FROM s
+    """,
+)
+def events_funnel_conversion_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-STEP funnel with per-step conversion decay (the header's
+    "sessionized funnel steps with per-step conversion decay" lead):
+    the 4-step signup → view → click → purchase chain on FIRST-touch
+    timestamps, a user counted at step k only if every earlier step
+    happened strictly before (the chained-inequality spelling —
+    ``events_funnel`` is the 2-step global version; this is the
+    full-chain readout with the step-over-step ratios every growth
+    dashboard plots). Counts are exact bigints; the three decay
+    ratios are raw double divisions, NULL on an empty upstream step
+    via try_divide / NULLIF on both engines.
+
+    Scale shape: ONE shuffle (the per-user conditional-MIN
+    aggregate), then a global partial+final reduce — the scale-
+    correct funnel idiom; the naive K-way self-join is quadratic-
+    plus in events-per-user and never appears (plan-pinned:
+    no Join in the plan)."""
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t0"),
+        first_ts("view").alias("t1"),
+        first_ts("click").alias("t2"),
+        first_ts("purchase").alias("t3"),
+    )
+    chain1 = F.col("t1") > F.col("t0")
+    chain2 = chain1 & (F.col("t2") > F.col("t1"))
+    chain3 = chain2 & (F.col("t3") > F.col("t2"))
+    s = f.agg(
+        F.count("t0").alias("n_signup"),
+        F.count(F.when(chain1, 1)).alias("n_view"),
+        F.count(F.when(chain2, 1)).alias("n_click"),
+        F.count(F.when(chain3, 1)).alias("n_purchase"),
+    )
+    return s.select(
+        "n_signup",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.try_divide(
+            F.col("n_view").cast("double"), F.col("n_signup").cast("double")
+        ).alias("decay_1"),
+        F.try_divide(
+            F.col("n_click").cast("double"), F.col("n_view").cast("double")
+        ).alias("decay_2"),
+        F.try_divide(
+            F.col("n_purchase").cast("double"),
+            F.col("n_click").cast("double"),
+        ).alias("decay_3"),
+    )
+
+
+@register_staged(
+    "string_binary_codec_family",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           hex(unhex(md5(text))) AS hex_upper,
+           base64(unhex(md5(text))) AS b64,
+           CAST(octet_length(unhex(md5(text))) AS BIGINT) AS digest_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS utf8_bytes,
+           CAST(length(text) AS BIGINT) AS n_codepoints
+    FROM documents
+    """,
+)
+def string_binary_codec_family(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BINARY codec scalar family — ``unhex`` / ``hex`` / ``base64``
+    / ``octet_length`` / ``encode`` driven through a real binary
+    value (the md5 digest of each document) and pinned cross-engine:
+    lowercase md5 text, uppercase hex re-encode, RFC4648 base64, and
+    the bytes-vs-codepoints split (``utf8_bytes`` ≠ ``n_codepoints``
+    on the zh documents — the classic tokenizer-budget bug where
+    char counts silently stand in for byte sizes). The digest is the
+    only binary that ever leaves the expression tree, and it leaves
+    SERIALIZED (hex/base64 strings) per the driver-hash boundary
+    convention.
+
+    Scale shape: map-side scalar codegen only, no shuffle, binary
+    cells never reach the driver raw."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.unhex(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.hex(b).alias("hex_upper"),
+        F.base64(b).alias("b64"),
+        F.octet_length(b).cast("bigint").alias("digest_bytes"),
+        F.octet_length("text").cast("bigint").alias("utf8_bytes"),
+        F.length("text").cast("bigint").alias("n_codepoints"),
+    )
+
+
+@register_staged(
+    "agg_moments_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(q * q) AS VARCHAR) AS DOUBLE) AS sx2,
+               CAST(CAST(SUM(q * q * q) AS VARCHAR) AS DOUBLE) AS sx3,
+               CAST(CAST(SUM((q * q) * (q * q)) AS VARCHAR) AS DOUBLE)
+                   AS sx4
+        FROM (SELECT l_returnflag,
+                     CAST(l_quantity AS DECIMAL(4,2)) AS q
+              FROM lineitem)
+        GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT l_returnflag, n, sx / n AS m1,
+               sx2 / n - (sx / n) * (sx / n) AS m2,
+               sx2, sx3, sx4
+        FROM s
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           m2 AS var_pop,
+           (sx3 / n - 3.0 * m1 * (sx2 / n) + 2.0 * m1 * m1 * m1)
+               / NULLIF(m2 * sqrt(m2), 0.0) AS skewness_pop,
+           (sx4 / n - 4.0 * m1 * (sx3 / n) + 6.0 * m1 * m1 * (sx2 / n)
+                - 3.0 * m1 * m1 * m1 * m1)
+               / NULLIF(m2 * m2, 0.0) - 3.0 AS excess_kurtosis_pop
+    FROM m
+    """,
+)
+def agg_moments_skew_kurtosis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT higher moments — population skewness and excess
+    kurtosis from decimal-exact power sums, the 3rd/4th-moment
+    extension of ``agg_variance_exact``: Σx, Σx², Σx³, Σx⁴ are exact
+    decimals (quantity fits DECIMAL(4,2); x⁴ lands on DECIMAL(19,8)
+    with no precision-38 rounding — x⁴ is computed as (x²)·(x²) so
+    no intermediate exceeds the cap), so the only float ops are the
+    identical closed-form combination on both engines. The built-in
+    ``skewness``/``kurtosis`` aggregates use engine-specific
+    streaming update orders and can never hash-match — sufficient
+    statistics are also the mergeable map-side form a distributed
+    engine wants. DuckDB's decimal→double cast is 1 ULP off beyond
+    2^53 (Σx⁴ crosses it by sf0.1), hence the VARCHAR hop.
+
+    Scale shape: one partial+final aggregate; four extra decimal
+    multiplies per row, all codegen."""
+    q = F.col("l_quantity").cast("decimal(4,2)")
+    q2 = q * q
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", q.alias("q"), q2.alias("q2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("q").cast("double").alias("sx"),
+            F.sum(F.col("q2")).cast("double").alias("sx2"),
+            F.sum(F.col("q2") * F.col("q")).cast("double").alias("sx3"),
+            F.sum(F.col("q2") * F.col("q2")).cast("double").alias("sx4"),
+        )
+    )
+    n, sx, sx2, sx3, sx4 = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sx2"),
+        F.col("sx3"),
+        F.col("sx4"),
+    )
+    m1 = sx / n
+    m2 = sx2 / n - (sx / n) * (sx / n)
+    skew = F.try_divide(
+        sx3 / n - F.lit(3.0) * m1 * (sx2 / n) + F.lit(2.0) * m1 * m1 * m1,
+        m2 * F.sqrt(m2),
+    )
+    kurt = (
+        F.try_divide(
+            sx4 / n
+            - F.lit(4.0) * m1 * (sx3 / n)
+            + F.lit(6.0) * m1 * m1 * (sx2 / n)
+            - F.lit(3.0) * m1 * m1 * m1 * m1,
+            m2 * m2,
+        )
+        - F.lit(3.0)
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        m2.alias("var_pop"),
+        skew.alias("skewness_pop"),
+        kurt.alias("excess_kurtosis_pop"),
+    )
+
+
+@register_staged(
+    "text_sentence_segmentation",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   regexp_split_to_array(text, '[.!?]+'), p -> trim(p)),
+                   p -> p <> '') AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_sum(list_transform(sents,
+                    p -> length(p))), 0) AS BIGINT) AS total_chars,
+           CAST(list_aggregate(list_transform(sents, p -> length(p)),
+                    'max') AS BIGINT) AS max_chars,
+           CAST(COALESCE(list_sum(list_transform(sents,
+                    p -> length(p))), 0) AS DOUBLE)
+               / NULLIF(CAST(len(sents) AS DOUBLE), 0.0) AS avg_chars
+    FROM s
+    """,
+)
+def text_sentence_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SENTENCE segmentation stats — the sentence-level quality
+    signal (avg/max sentence length drives boilerplate and
+    run-on-text filters; ``text_chunking`` cuts fixed windows,
+    ``text_token_stats`` counts words — neither sees sentence
+    boundaries). Split on the EXPLICIT terminator class ``[.!?]+``
+    (identical semantics in Java regex and RE2 — the same
+    provably-identical-class discipline as
+    ``text_token_map_pipeline`` after ADVICE r15), trim each piece,
+    drop empties, then length stats per document; ``max_chars`` is
+    NULL and ``avg_chars`` NULL for sentence-less documents on both
+    engines (array_max/list_aggregate-max of empty, try_divide /
+    NULLIF).
+
+    Scale shape: map-side array lambdas in codegen, no explode, no
+    shuffle; sentence cells never leave the expression tree."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    lens = F.transform(sents, lambda p: F.length(p))
+    zero = F.lit(0).cast("bigint")
+    total = F.aggregate(
+        lens, zero, lambda acc, x: acc + x.cast("bigint")
+    )
+    nsent = F.size(sents).cast("bigint")
+    return d.select(
+        "doc_id",
+        nsent.alias("n_sentences"),
+        total.alias("total_chars"),
+        F.array_max(lens).cast("bigint").alias("max_chars"),
+        F.try_divide(total.cast("double"), nsent.cast("double")).alias(
+            "avg_chars"
+        ),
     )

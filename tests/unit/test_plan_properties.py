@@ -1709,3 +1709,81 @@ def test_checksum_diff_one_pass_no_join_no_sort(spark):
     assert "Join" not in plan
     assert "Sort " not in plan
     assert "partial_count" in plan
+
+
+def test_rank_sum_one_exchange_feeds_sorts_windows_and_agg(spark):
+    """events_ab_rank_sum: the asc rank, desc rank, partition count,
+    and the final (type, arm) aggregate all REUSE one
+    hashpartitioning(event_type) exchange — two in-partition sorts,
+    three Window operators, partial+final agg, and not a single
+    additional shuffle or join. This partitioning reuse is the whole
+    scale story: the O(n log n) rank spelling of the U statistic
+    costs exactly one shuffle."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    df = r18.queries()["events_ab_rank_sum"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning(event_type" in plan
+    assert plan.count("Window") == 3
+    assert "Join" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_funnel_decay_conditional_agg_no_join(spark):
+    """events_funnel_conversion_decay: the 4-step chain is ONE
+    per-user conditional-MIN aggregate plus a global reduce — no
+    K-way self-join anywhere (the naive funnel spelling is quadratic
+    in events-per-user), partial aggregation map-side on both
+    levels."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    df = r18.queries()["events_funnel_conversion_decay"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_min" in plan and "partial_count" in plan
+    assert plan.count("Exchange") == 2  # user_id hash + final single
+
+
+def test_array_hof_lambdas_jvm_side_one_shuffle(spark):
+    """array_higher_order_pipeline: every lambda
+    (transform/filter/exists/forall/aggregate/zip_with) runs
+    JVM-side in the projection — no Python eval operator — and the
+    only shuffle is the per-order collect (partial+final
+    ObjectHashAggregate)."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    df = r18.queries()["array_higher_order_pipeline"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("ObjectHashAggregate") == 2  # partial + final
+    assert "Join" not in plan
+
+
+def test_parse_family_map_side_only_pruned_scans(spark):
+    """string_str_to_map_parse / scalar_from_csv_parse /
+    string_binary_codec_family / text_sentence_segmentation: pure
+    map-side scalar/array work — no shuffle, no join, one pruned
+    scan each (the sentence stats never explode; sentences live and
+    die inside the expression tree)."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    for name in (
+        "string_str_to_map_parse",
+        "scalar_from_csv_parse",
+        "string_binary_codec_family",
+        "text_sentence_segmentation",
+    ):
+        df = r18.queries()[name](spark, SF_DIR)
+        plan = explain_str(df, mode="simple")
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+        assert plan.count("FileScan parquet") == 1, name
+    # pruning spot-check: sentence stats read exactly (doc_id, text)
+    df = r18.queries()["text_sentence_segmentation"](spark, SF_DIR)
+    plan = explain_str(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
