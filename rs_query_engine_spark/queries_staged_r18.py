@@ -43,9 +43,22 @@ sf0.01 from first commit, plan-pinned in
   excess kurtosis from decimal power sums (the variance_exact
   extension; x⁴ via (x²)·(x²) stays under precision 38).
 - ``text_sentence_segmentation`` — sentence-boundary stats on the
-  explicit ``[.!?]+`` class, arrays never exploded. Flip cadence for context: round 16
-flips the r15 pen, round 17 flips the r16 pen, round 18 flips the
-r17 pen (closed at 15 in round 15), round 19 flips this one.
+  explicit ``[.!?]+`` class, arrays never exploded.
+
+ROUND-16 closing wave — the pen CLOSED at 15 the same round:
+``string_format_family`` (lpad/format_string/translate/repeat/
+reverse, restricted to the printf subset identical across Java and
+C dialects), ``scalar_epoch_conversions`` (unix_micros/millis,
+timestamp_micros and unix_date/date_from_unix_date roundtrips —
+the event-time-bound surface), ``array_posexplode_outer``
+(outer-generate keeps empty-array parents, pinned against the
+LEFT-JOIN relational spelling), and ``sample_neyman_allocation``
+(variance-weighted stratified budget with exact sufficient
+statistics + largest-remainder integer top-up, Σ alloc = K).
+
+Flip cadence for context: round 16 flipped the r15 pen, round 17
+flips the r16 pen, round 18 flips the r17 pen (closed at 15 in
+round 15), round 19 flips this one.
 
 Float-determinism discipline matches ``queries.py`` (see its module
 docstring): row-level doubles raw, no round(), SUM/AVG through exact
@@ -943,4 +956,265 @@ def text_sentence_segmentation(
         F.try_divide(total.cast("double"), nsent.cast("double")).alias(
             "avg_chars"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-16 closing wave — the pen CLOSES at 15 with the remaining
+# uncovered scalar surfaces (format/codec-style string builders,
+# epoch conversions, outer-generate semantics) and the
+# variance-weighted sampling design.
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "string_format_family",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           printf('%05d|%s', p_partkey % 1000, p_brand) AS fmt_label,
+           translate(p_type, 'AEIOU', 'aeiou') AS devoweled,
+           repeat('ab', p_size % 4) AS repeated,
+           reverse(p_name) AS reversed_name
+    FROM part WHERE p_partkey % 5 = 0
+    """,
+)
+def string_format_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING formatting/building scalar family — ``lpad`` /
+    ``format_string`` / ``translate`` / ``repeat`` / ``reverse``
+    pinned against DuckDB's lpad/printf/translate/repeat/reverse.
+    ``format_string`` is Java ``String.format`` vs C-style printf —
+    deliberately restricted to the ``%05d``/``%s`` subset where the
+    two dialects are identical (locale-dependent conversions like
+    %f or %,d are NOT cross-engine-stable and stay out). The
+    zero-repeat edge (p_size % 4 = 0 → empty string) rides on both
+    engines.
+
+    Scale shape: map-side scalar codegen, no shuffle; the modulus
+    filter is pushed to the scan."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias(
+            "padded_key"
+        ),
+        F.format_string(
+            "%05d|%s", (F.col("p_partkey") % 1000).cast("int"), "p_brand"
+        ).alias("fmt_label"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("devoweled"),
+        F.repeat(F.lit("ab"), (F.col("p_size") % 4).cast("int")).alias(
+            "repeated"
+        ),
+        F.reverse("p_name").alias("reversed_name"),
+    )
+
+
+@register_staged(
+    "scalar_epoch_conversions",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS us,
+           epoch_ms(ts) AS ms,
+           epoch_us(ts) // 1000000 AS secs,
+           make_timestamp(epoch_us(ts)) = ts AS ts_roundtrip_ok,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_days,
+           (DATE '1970-01-01' + INTERVAL (1) DAY
+                * (CAST(ts AS DATE) - DATE '1970-01-01'))
+               = CAST(ts AS DATE) AS date_roundtrip_ok
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def scalar_epoch_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH integer conversion family — ``unix_micros`` /
+    ``unix_millis`` / micro→second integer division /
+    ``timestamp_micros`` roundtrip / ``unix_date`` /
+    ``date_from_unix_date`` roundtrip, pinned against DuckDB's
+    epoch_us/epoch_ms/make_timestamp and raw date arithmetic. This
+    is the surface every event-time bound in the engine rides on
+    (the CLAUDE.md ``unix_micros``-not-``unix_timestamp`` invariant
+    — ``unix_timestamp`` truncates sub-second precision and is
+    exactly the bug this query would catch); everything stays in
+    exact int64, the roundtrip booleans prove the conversions
+    invert losslessly at microsecond and day grain.
+
+    Scale shape: map-side scalar codegen; the modulus filter is
+    pushed to the scan; no shuffle."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    ts = F.col("ts").cast("timestamp")
+    us = F.unix_micros(ts)
+    d = ts.cast("date")
+    days = F.unix_date(d)
+    return e.select(
+        "event_id",
+        us.alias("us"),
+        F.unix_millis(ts).alias("ms"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").alias(
+            "secs"
+        ),
+        (F.timestamp_micros(us) == ts).alias("ts_roundtrip_ok"),
+        days.cast("bigint").alias("epoch_days"),
+        (F.date_from_unix_date(days) == d).alias("date_roundtrip_ok"),
+    )
+
+
+@register_staged(
+    "array_posexplode_outer",
+    oracle="""
+    WITH heavy AS (
+        SELECT l_orderkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)
+               ) - 1 AS INTEGER) AS pos,
+               CAST(l_linenumber AS INTEGER) AS ln,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem WHERE l_quantity > 45
+    ),
+    orders_all AS (SELECT DISTINCT l_orderkey FROM lineitem)
+    SELECT o.l_orderkey, h.pos, h.ln, h.q
+    FROM orders_all o LEFT JOIN heavy h USING (l_orderkey)
+    """,
+)
+def array_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER-generate semantics — ``posexplode_outer`` over a
+    possibly-EMPTY per-order array (heavy lines only, qty > 45;
+    most orders have none) keeps the parent row with NULL
+    position/fields, pinned against the relational LEFT JOIN
+    spelling. The plain/outer explode split is a classic migration
+    bug (inner explode silently DROPS parents with empty arrays —
+    ``array_explode_semantics`` pins the inner side; this pins the
+    outer). Array order is semantics-bearing through ``pos``, so
+    the struct sort uses the same (linenumber, qty) key as the
+    oracle's ROW_NUMBER (ties beyond it are identical rows, which
+    swap invisibly).
+
+    Scale shape: ONE per-order collect shuffle + a map-side
+    Generate — the outer-generate REPLACES the oracle's
+    distinct + left-join (two shuffles and a join) with one
+    aggregate, which is the point at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("ln"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    a = li.groupBy("l_orderkey").agg(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("ln", "q"))),
+            lambda s: s["q"] > 45,
+        ).alias("arr")
+    )
+    return a.select(
+        "l_orderkey", F.posexplode_outer("arr").alias("pos", "item")
+    ).select(
+        "l_orderkey",
+        "pos",
+        F.col("item.ln").alias("ln"),
+        F.col("item.q").alias("q"),
+    )
+
+
+@register_staged(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(q * q) AS VARCHAR) AS DOUBLE) AS sx2
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS DECIMAL(12,2)) AS q
+              FROM lineitem)
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT l_returnflag, l_linestatus, n,
+               n * sqrt((n * sx2 - sx * sx) / (n * (n - 1.0))) AS wgt
+        FROM s
+    ),
+    q AS (
+        SELECT l_returnflag, l_linestatus, n, wgt,
+               1000.0 * wgt / SUM(wgt) OVER () AS quota
+        FROM w
+    ),
+    fl AS (
+        SELECT l_returnflag, l_linestatus, n, quota,
+               CAST(floor(quota) AS BIGINT) AS base,
+               quota - floor(quota) AS rem
+        FROM q
+    ),
+    rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, l_returnflag,
+                                  l_linestatus) AS rr,
+               1000 - SUM(base) OVER () AS leftover
+        FROM fl
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(n AS BIGINT) AS n_rows,
+           base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM rk
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (variance-weighted) stratified allocation — the
+    optimal sample-size split n_h ∝ N_h·S_h for a fixed budget
+    K=1000, the statistical upgrade of the proportional (Hamilton)
+    allocation in ``sample_proportional_allocation``: strata with
+    higher within-stratum spread get more of the budget. S_h comes
+    from exact decimal sufficient statistics (the
+    ``agg_variance_exact`` discipline), so the double quota is the
+    same IEEE expression on both engines; integer floors +
+    largest-remainder top-up make Σ alloc = K exactly (ranking ties
+    broken by the stratum key, so the apportionment is
+    deterministic).
+
+    Scale shape: one partial+final corpus aggregate onto the
+    |strata| frame; every window below runs on that tiny frame —
+    the corpus is scanned once and never re-shuffled."""
+    from pyspark.sql import Window
+
+    q = F.col("l_quantity").cast(D_PRICE)
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", q.alias("q"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("q").cast("double").alias("sx"),
+            F.sum(F.col("q") * F.col("q")).cast("double").alias("sx2"),
+        )
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    wgt = n * F.sqrt((n * sx2 - sx * sx) / (n * (n - F.lit(1.0))))
+    w = s.select("l_returnflag", "l_linestatus", n.alias("n"), wgt.alias("wgt"))
+    wall = Window.partitionBy()
+    quota = F.lit(1000.0) * F.col("wgt") / F.sum("wgt").over(wall)
+    fl = w.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        quota.alias("quota"),
+        F.floor(quota).cast("bigint").alias("base"),
+        (quota - F.floor(quota)).alias("rem"),
+    )
+    rk = fl.select(
+        "*",
+        F.row_number()
+        .over(
+            wall.orderBy(
+                F.col("rem").desc(), "l_returnflag", "l_linestatus"
+            )
+        )
+        .alias("rr"),
+        (F.lit(1000) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return rk.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
     )

@@ -1787,3 +1787,59 @@ def test_parse_family_map_side_only_pruned_scans(spark):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_posexplode_outer_one_collect_no_join(spark):
+    """array_posexplode_outer: the outer Generate replaces the
+    oracle's distinct + LEFT JOIN spelling — one per-order collect
+    shuffle, a Generate with the outer flag, and no join anywhere."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    df = r18.queries()["array_posexplode_outer"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "Generate posexplode" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_neyman_allocation_windows_on_strata_frame(spark):
+    """sample_neyman_allocation: ONE corpus scan and one
+    partial+final aggregate onto the |strata| frame; every window
+    (weight total, remainder rank, floor total) runs on that tiny
+    frame after the aggregate — the corpus is never re-shuffled or
+    re-scanned."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    df = r18.queries()["sample_neyman_allocation"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    # windows sit ABOVE the final HashAggregate in the operator chain
+    agg_pos = plan.index("HashAggregate")
+    assert plan.index("Window") < agg_pos
+
+
+def test_format_and_epoch_families_map_side_pushdown(spark):
+    """string_format_family / scalar_epoch_conversions: map-side
+    scalar codegen only — no shuffle, no join, one scan, and the
+    modulus row filter evaluated at the scan (DataFilters), not in a
+    post-shuffle stage."""
+    from rs_query_engine_spark import queries_staged_r18 as r18
+
+    for name in ("string_format_family", "scalar_epoch_conversions"):
+        df = r18.queries()[name](spark, SF_DIR)
+        plan = explain_str(df, mode="simple")
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+        assert plan.count("FileScan parquet") == 1, name
+        # the modulus predicate is a scan-stage DataFilter (simple
+        # mode prints it in the FileScan descriptor)
+        scan_line = [
+            ln for ln in plan.splitlines() if "FileScan parquet" in ln
+        ][0]
+        assert "DataFilters: [" in scan_line, name
+        assert "% " in scan_line.split("DataFilters: [")[1].split("]")[0], (
+            name
+        )
