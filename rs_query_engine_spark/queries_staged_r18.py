@@ -56,6 +56,23 @@ LEFT-JOIN relational spelling), and ``sample_neyman_allocation``
 (variance-weighted stratified budget with exact sufficient
 statistics + largest-remainder integer top-up, Σ alloc = K).
 
+Round-16 Spark 4.1.2 surface scan (the once-per-round directive):
+walked ``pyspark.sql.functions`` for time/sketch/random/variant/
+collation/make_*/try_* families. Nothing seeded — the pen closed at
+15 and nothing new demands a slot: KLL quantile sketches and theta
+set sketches remain REJECTED (approx-only, would grow the rows-only
+set held at three by design — same verdict as r15's hll/theta
+scan); TIME-type functions (``make_time``/``time_trunc``/
+``time_diff``) are covered by ``events_time_of_day_profile``'s
+surface; ``convert_timezone`` by ``events_timezone_bucketing``;
+the bitmap family by ``agg_bitmap_distinct``; ``monthname``/
+``dayname`` evaluated and not taken (locale-independent but
+semantically inside ``date_functions``' weekday pin).
+``make_valid_utf8``/``try_validate_utf8`` noted as a POSSIBLE r19
+lead (UTF8-validation audit over binary-ish text — would need a
+corrupt-bytes fixture); Avro and transformWithStateInPandas remain
+BLOCKED (image unchanged).
+
 Flip cadence for context: round 16 flipped the r15 pen, round 17
 flips the r16 pen, round 18 flips the r17 pen (closed at 15 in
 round 15), round 19 flips this one.
