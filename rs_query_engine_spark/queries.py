@@ -157,6 +157,7 @@ _PEN_MODULES: tuple[tuple[str, str], ...] = (
     ("STAGED_R16_ENABLED", "queries_staged_r16"),
     ("STAGED_R17_ENABLED", "queries_staged_r17"),
     ("STAGED_R18_ENABLED", "queries_staged_r18"),
+    ("STAGED_R19_ENABLED", "queries_staged_r19"),
 )
 
 
@@ -6468,5 +6469,19 @@ STAGED_R17_ENABLED = False
 # 19 flips this flag. The pen header carries the round-15 evaluated
 # leads ledger (MAP-column operators, sequence grids, funnel decay,
 # stratified min_by matrix, checksum diff, percent-of-parent rollup
-# ratios) and the standing REJECTED list.
+# ratios) and the standing REJECTED list. CLOSED at 15 in round 16
+# (round-15 seeds + the round-16 wave and closing wave), 15/15
+# exact-oracled and hash-verified at sf0.001 + sf0.01 in
+# tests/oracle/test_staged_r18_parity.py.
 STAGED_R18_ENABLED = False
+
+# Round-19 holding pen (``queries_staged_r19.py``): gate created
+# EMPTY at round-16 end (ADVICE r07 precedent — pen, parity gate,
+# flag, and _PEN_MODULES entry all predate the first registration).
+# Rounds 17-19 seed it; round 20 — the final round — flips this
+# flag, so the pen must stay small enough that its first-ever
+# verification fits the round-20 window alongside the re-check
+# backlog. The pen header carries the round-16 evaluated-leads
+# ledger (UTF8-validation audit lead; everything else scanned and
+# covered or rejected).
+STAGED_R19_ENABLED = False
