@@ -227,6 +227,7 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TRY_DIV_MOD = 7  # every 7th order gets a zero denominator
+_TRY_POISON_MOD = 101  # every 101st order carries the poisoned cell
 
 
 @register_staged(
@@ -238,12 +239,18 @@ _TRY_DIV_MOD = 7  # every 7th order gets a zero denominator
                     ELSE CAST(FLOOR(o_totalprice
                          / CAST(o_orderkey % {_TRY_DIV_MOD} AS DOUBLE)
                          * 100) AS BIGINT) END AS q_cents,
-               TRY_CAST(o_orderpriority AS INTEGER) AS prio_raw,
+               CASE WHEN o_orderkey % {_TRY_POISON_MOD} = 0 THEN NULL
+                    ELSE CAST(substring(o_orderpriority, 1, 1)
+                              AS INTEGER) END AS prio_raw,
                TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)
                    AS prio_num,
-               CASE WHEN o_orderkey <= 0
-                    THEN 9223372036854775807 + o_orderkey
-                    ELSE NULL END AS overflowed
+               CASE WHEN o_orderkey % {_TRY_POISON_MOD} = 0
+                         AND o_orderkey > 0
+                    THEN NULL
+                    ELSE 9223372036854775807
+                         + (CASE WHEN o_orderkey % {_TRY_POISON_MOD} = 0
+                                 THEN o_orderkey
+                                 ELSE -o_orderkey END) END AS overflowed
         FROM orders
     )
     SELECT o_orderstatus,
@@ -266,10 +273,23 @@ def scalar_try_ansi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured semantics pinned against ground truth the oracle states
     independently: division by a zero denominator → NULL (every
     {mod}th order), a non-numeric string cast → NULL while the
-    digit-prefix cast succeeds, and ``try_add`` at int64 max → NULL
-    on overflow (every positive orderkey overflows; the corpus's one
-    zero orderkey does NOT — the oracle states that boundary, which
-    is exactly the off-by-one an overflow guard must get right).
+    digit-prefix cast succeeds (the full priority string is fed to
+    try_cast only on every {poison}th order), and ``try_add`` at
+    int64 max → NULL on overflow (only the positive poisoned-row
+    orderkeys overflow; the corpus's one ZERO orderkey lands on the
+    poisoned branch with addend 0 and does NOT — the oracle states
+    that boundary, which is exactly the off-by-one an overflow guard
+    must get right).
+
+    Poison is deliberately RARE (~1%, the quarantine scenario this
+    family exists for): Spark implements every try_* miss as a
+    caught JVM exception, so a column where EVERY row fails pays
+    exception-unwind per row — measured round 16 at sf0.1, the
+    all-rows-poisoned spelling of this query cost 4.3 s in try_add
+    + 1.8 s in try_cast alone (~6 s total vs ~0.5 s now, BENCH_NOTES
+    r16). At 100 TB an all-poisoned column is an upstream design
+    bug, not a quarantine case; the rare-poison spelling is the
+    scale-correct one and the pins are unchanged.
 
     Float discipline: the only double op chain is
     price / k * 100 → FLOOR, written in the same order on both
@@ -286,13 +306,23 @@ def scalar_try_ansi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("q_cents"),
-        F.col("o_orderpriority").try_cast("int").alias("prio_raw"),
+        F.when(
+            F.col("o_orderkey") % _TRY_POISON_MOD == 0,
+            F.col("o_orderpriority"),
+        )
+        .otherwise(F.col("o_orderpriority").substr(1, 1))
+        .try_cast("int")
+        .alias("prio_raw"),
         F.col("o_orderpriority")
         .substr(1, 1)
         .try_cast("int")
         .alias("prio_num"),
         F.try_add(
-            F.lit(9223372036854775807).cast("bigint"), F.col("o_orderkey")
+            F.lit(9223372036854775807).cast("bigint"),
+            F.when(
+                F.col("o_orderkey") % _TRY_POISON_MOD == 0,
+                F.col("o_orderkey"),
+            ).otherwise(-F.col("o_orderkey")),
         ).alias("overflowed"),
     )
     return t.groupBy("o_orderstatus").agg(
