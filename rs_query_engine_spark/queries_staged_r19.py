@@ -4,9 +4,14 @@ EMPTY at creation (round-16 end; ADVICE r07 precedent: the pen, its
 parity gate ``tests/oracle/test_staged_r19_parity.py``, the
 ``STAGED_R19_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-19 registration, so every query is
-verified-by-construction from its first commit). Rounds 17-19 fill
-it (≤ ~15 queries — the rotation-backlog cap, see the BENCH_NOTES
-ledger); round 20 flips the flag. Flip cadence for context: round 16
+verified-by-construction from its first commit), then SEEDED the
+same round with 1 query hash-verified at sf0.001 + sf0.01:
+``quality_utf8_validation_audit`` (the header's make_valid_utf8
+lead, probed and landed — is_valid_utf8 / make_valid_utf8 /
+try_validate_utf8 over deterministically-corrupted bytes, pinned by
+reconstruction since DuckDB cannot hold invalid UTF8). Rounds 17-19
+fill the rest (≤ ~15 queries — the rotation-backlog cap, see the
+BENCH_NOTES ledger); round 20 flips the flag. Flip cadence for context: round 16
 flipped the r15 pen, round 17 flips the r16 pen, round 18 flips the
 r17 pen, round 19 flips the r18 pen (closed at 15 in round 16), and
 round 20 — the final round — flips this one, so keep it SMALL enough
@@ -21,12 +26,12 @@ through the VARCHAR hop.
 
 Candidate leads (round-16 loose ends — evaluate, don't assume):
 
-- ``make_valid_utf8`` / ``try_validate_utf8`` (new in the 4.x line):
-  a UTF8-validation audit over deliberately-corrupted bytes — needs
-  a corrupt-bytes fixture (binary-file source or unhex-built), and a
-  DuckDB mirror through its stricter UTF8 handling; evaluate whether
-  the two engines' replacement-character behavior can be made
-  provably identical before seeding.
+- ``make_valid_utf8`` / ``try_validate_utf8``: LANDED same round
+  (``quality_utf8_validation_audit`` below) — the replacement
+  behavior was probed per corruption class (invalid start + tail
+  byte → one U+FFFD with the tail surviving; lone continuation →
+  one U+FFFD; truncated multi-byte prefix consumed as a unit) and
+  the oracle reconstructs rather than parses.
 - The round-16 surface scan found nothing else new worth a slot:
   KLL/theta sketches remain REJECTED (approx-only — would grow the
   rows-only set held at three by design), TIME-type functions are
@@ -76,3 +81,78 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from rs_query_engine_spark.queries import _t  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Round-16 seed (the pen-header's make_valid_utf8 lead, probed and
+# landed the same round the pen was created — r18-pen precedent)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "quality_utf8_validation_audit",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS is_valid,
+           lang || CASE WHEN doc_id % 7 = 0 THEN chr(65533) || '('
+                        WHEN doc_id % 11 = 0 THEN chr(65533)
+                        ELSE '-' END || source AS repaired,
+           (doc_id % 7 = 0 OR doc_id % 11 = 0) AS quarantined,
+           CAST(length(lang || CASE WHEN doc_id % 7 = 0
+                                    THEN chr(65533) || '('
+                                    WHEN doc_id % 11 = 0 THEN chr(65533)
+                                    ELSE '-' END || source) AS BIGINT)
+               AS repaired_chars
+    FROM documents
+    """,
+)
+def quality_utf8_validation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UTF8-VALIDATION corpus hygiene — ``is_valid_utf8`` /
+    ``make_valid_utf8`` / ``try_validate_utf8`` (Spark 4.x) driven
+    over deterministically-corrupted bytes and pinned by
+    RECONSTRUCTION (DuckDB strings are strictly valid UTF8 and
+    cannot parse the corrupt input — the oracle re-derives every
+    output from the corruption schedule instead, the
+    str_to_map-parse discipline). Two probed corruption classes:
+    an invalid 2-byte start followed by a non-continuation
+    (``0xC3 0x28`` → ONE U+FFFD, the '(' survives) on every 7th
+    doc, and a lone continuation byte (``0x80`` → ONE U+FFFD) on
+    every 11th; both replacement behaviors probed before this query
+    existed (a truncated 3-byte prefix ``0xE2 0x82`` also collapses
+    to ONE replacement — prefixes are consumed as a unit).
+    ``try_validate_utf8`` is surfaced as a quarantine BOOLEAN (the
+    raw invalid string must never reach the driver hash — Arrow
+    would re-replace it lossily; ``repaired`` is valid by
+    construction and hashes exactly). This is the byte-level
+    pre-tokenization gate every multi-source text pipeline needs —
+    mojibake rows get repaired or quarantined BEFORE they poison a
+    tokenizer at 100 TB.
+
+    Scale shape: map-side scalar codegen only — encode/concat/
+    validate all inside one projection, no shuffle, no join, one
+    pruned scan."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    infix = (
+        F.when(doc % 7 == 0, F.unhex(F.lit("C328")))
+        .when(doc % 11 == 0, F.unhex(F.lit("80")))
+        .otherwise(F.encode(F.lit("-"), "utf-8"))
+    )
+    s = F.concat(
+        F.encode("lang", "utf-8"), infix, F.encode("source", "utf-8")
+    ).cast("string")
+    repaired = F.make_valid_utf8(s)
+    return d.select(
+        "doc_id",
+        F.is_valid_utf8(s).alias("is_valid"),
+        repaired.alias("repaired"),
+        F.try_validate_utf8(s).isNull().alias("quarantined"),
+        F.length(repaired).cast("bigint").alias("repaired_chars"),
+    )

@@ -1843,3 +1843,20 @@ def test_format_and_epoch_families_map_side_pushdown(spark):
         assert "% " in scan_line.split("DataFilters: [")[1].split("]")[0], (
             name
         )
+
+
+def test_utf8_validation_audit_map_side_only(spark):
+    """quality_utf8_validation_audit: encode/corrupt/validate/repair
+    all inside one map-side projection — no shuffle, no join, one
+    pruned scan (doc_id, lang, source; never the text column)."""
+    from rs_query_engine_spark import queries_staged_r19 as r19
+
+    df = r19.queries()["quality_utf8_validation_audit"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+    full = explain_str(df)
+    read_schema = [ln for ln in full.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" in read_schema and "source" in read_schema
+    assert "text" not in read_schema and "n_chars" not in read_schema
