@@ -5,11 +5,16 @@ parity gate ``tests/oracle/test_staged_r19_parity.py``, the
 ``STAGED_R19_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-19 registration, so every query is
 verified-by-construction from its first commit), then SEEDED the
-same round with 1 query hash-verified at sf0.001 + sf0.01:
+same round with 2 queries hash-verified at sf0.001 + sf0.01:
 ``quality_utf8_validation_audit`` (the header's make_valid_utf8
 lead, probed and landed — is_valid_utf8 / make_valid_utf8 /
 try_validate_utf8 over deterministically-corrupted bytes, pinned by
-reconstruction since DuckDB cannot hold invalid UTF8). Rounds 17-19
+reconstruction since DuckDB cannot hold invalid UTF8) and
+``events_dau_wau_stickiness`` (the trailing-window-distinct
+EXPANSION idiom: explode each (user, day) over the 7 days it
+covers instead of a window distinct Spark cannot express or a
+day×day self-join; the shared distinct is lineage-cut so the
+corpus is scanned once — plan-pinned). Rounds 17-19
 fill the rest (≤ ~15 queries — the rotation-backlog cap, see the
 BENCH_NOTES ledger); round 20 flips the flag. Flip cadence for context: round 16
 flipped the r15 pen, round 17 flips the r16 pen, round 18 flips the
@@ -155,4 +160,80 @@ def quality_utf8_validation_audit(
         repaired.alias("repaired"),
         F.try_validate_utf8(s).isNull().alias("quarantined"),
         F.length(repaired).cast("bigint").alias("repaired_chars"),
+    )
+
+
+@register_staged(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    cover AS (
+        SELECT DISTINCT user_id, CAST(g.d AS DATE) AS day
+        FROM ud, LATERAL unnest(generate_series(
+            CAST(day AS TIMESTAMP),
+            CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+            INTERVAL 1 DAY)) AS g(d)
+    ),
+    wau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM cover GROUP BY day
+    )
+    SELECT day, dau, wau,
+           CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS — per day, distinct daily actives over
+    distinct trailing-7-day actives (the engagement ratio every
+    growth team tracks), computed with the time-window EXPANSION
+    idiom: each (user, day) row is exploded to the 7 days it covers
+    and deduplicated, so the trailing-window distinct becomes a
+    plain groupBy count. This is the scale-correct spelling — a
+    distinct over a trailing RANGE frame does not exist in Spark
+    (count_distinct is unsupported in window frames), and the naive
+    day×day self-join re-scans the per-day frame 7 times; expansion
+    is one linear explode (×7, bounded by the window length) over
+    the already-deduplicated (user, day) frame, then partial+final
+    counts. WAU days past the corpus edge fall out of the inner
+    join with the DAU frame; the ratio is one raw double division.
+
+    Scale shape: the corpus is touched ONCE — the (user, day)
+    distinct is lineage-cut (``truncate_lineage``, the ab_lift
+    precedent: both the DAU and WAU branches consume it, and
+    without the cut Catalyst re-derives it per branch, scanning the
+    corpus twice — plan-pinned to one scan); everything downstream
+    — expansion, second distinct, both counts, the day-keyed join —
+    runs on frames bounded by |users|·|days| and |users|·|days|·7,
+    never corpus rows. No window-function distinct, no self-join."""
+    from rs_query_engine_spark.session import truncate_lineage
+
+    e = _t(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("day"),
+    ).distinct()
+    wau = cover.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
     )

@@ -1860,3 +1860,27 @@ def test_utf8_validation_audit_map_side_only(spark):
     read_schema = [ln for ln in full.splitlines() if "ReadSchema" in ln][0]
     assert "lang" in read_schema and "source" in read_schema
     assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_dau_wau_expansion_no_self_join_no_window_distinct(spark):
+    """events_dau_wau_stickiness: the trailing-window distinct is the
+    EXPANSION idiom — one corpus scan into the (user, day) distinct,
+    a bounded x7 explode, a second distinct, and a day-keyed join of
+    two tiny per-day frames. No day x day self-join (exactly one
+    Join, the final DAU-WAU one), no window functions at all."""
+    from rs_query_engine_spark import queries_staged_r19 as r19
+
+    df = r19.queries()["events_dau_wau_stickiness"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    # the (user, day) distinct is lineage-cut: the corpus never
+    # appears in this plan (Scan ExistingRDD twice, FileScan zero)
+    assert plan.count("FileScan parquet") == 0
+    assert "Window" not in plan
+    assert plan.count("Generate explode") == 1
+    # exactly one join: the final per-day DAU-WAU merge
+    assert (
+        plan.count("SortMergeJoin(")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+        == 1
+    )
