@@ -5,7 +5,7 @@ parity gate ``tests/oracle/test_staged_r19_parity.py``, the
 ``STAGED_R19_ENABLED`` flag, and the ``_PEN_MODULES`` entry all exist
 BEFORE the first round-19 registration, so every query is
 verified-by-construction from its first commit), then SEEDED the
-same round with 2 queries hash-verified at sf0.001 + sf0.01:
+same round with 3 queries hash-verified at sf0.001 + sf0.01:
 ``quality_utf8_validation_audit`` (the header's make_valid_utf8
 lead, probed and landed — is_valid_utf8 / make_valid_utf8 /
 try_validate_utf8 over deterministically-corrupted bytes, pinned by
@@ -14,7 +14,11 @@ reconstruction since DuckDB cannot hold invalid UTF8) and
 EXPANSION idiom: explode each (user, day) over the 7 days it
 covers instead of a window distinct Spark cannot express or a
 day×day self-join; the shared distinct is lineage-cut so the
-corpus is scanned once — plan-pinned). Rounds 17-19
+corpus is scanned once — plan-pinned), and
+``events_session_relative_features`` (row-grain session ordinal /
+event index / time-into-session where every window rides ONE
+user-keyed exchange via running maxes of the session-start
+markers — plan-pinned single exchange). Rounds 17-19
 fill the rest (≤ ~15 queries — the rotation-backlog cap, see the
 BENCH_NOTES ledger); round 20 flips the flag. Flip cadence for context: round 16
 flipped the r15 pen, round 17 flips the r16 pen, round 18 flips the
@@ -236,4 +240,87 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
             "stickiness"
         ),
+    )
+
+
+@register_staged(
+    "events_session_relative_features",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN LAG(ts) OVER w1 IS NULL
+                         OR ts - LAG(ts) OVER w1 >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess,
+               ROW_NUMBER() OVER w1 AS rn
+        FROM events
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_sess) OVER w2 AS BIGINT) AS session_ordinal,
+           CAST(rn - MAX(CASE WHEN new_sess = 1 THEN rn END) OVER w2 + 1
+                AS BIGINT) AS event_index,
+           CAST(us - MAX(CASE WHEN new_sess = 1 THEN us END) OVER w2
+                AS BIGINT) AS us_into_session
+    FROM o
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def events_session_relative_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-EVENT session-relative features — session ordinal, event
+    index within session, and microseconds since session start: the
+    row-grain enrichment sequence models train on
+    (``events_sessionization`` aggregates the same 5-minute-gap
+    sessions away; this keeps every event row). Spelled so EVERY
+    window shares ONE (user_id)-partitioning with one ordering: the
+    session id is a running SUM over the lag-gap marker, and both
+    relative features come from a running MAX of the
+    session-START row's rank/epoch (the start row always carries
+    the marker), so no (user, session)-keyed second window ever
+    materializes. Ordinals/indices/epochs are exact int64
+    end-to-end; ``unix_micros`` not ``unix_timestamp`` (the
+    CLAUDE.md truncation invariant).
+
+    Scale shape: ONE exchange + ONE in-partition sort feed the lag,
+    the rank, the running sum, and both running maxes — the naive
+    spelling re-shuffles on (user, session_id) for the per-session
+    window; this plan is pinned to a single hashpartitioning(user)
+    exchange and zero joins."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts = F.col("ts")
+    gap_us = F.lit(5 * 60 * 1_000_000)
+    us = F.unix_micros(ts.cast("timestamp"))
+    o = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w1).isNull()
+            | (us - F.lag(us).over(w1) >= gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+        F.row_number().over(w1).alias("rn"),
+    )
+    start_rn = F.max(
+        F.when(F.col("new_sess") == 1, F.col("rn"))
+    ).over(w2)
+    start_us = F.max(
+        F.when(F.col("new_sess") == 1, F.col("us"))
+    ).over(w2)
+    return o.select(
+        "user_id",
+        "event_id",
+        F.sum("new_sess").over(w2).cast("bigint").alias("session_ordinal"),
+        (F.col("rn") - start_rn + 1).cast("bigint").alias("event_index"),
+        (F.col("us") - start_us).cast("bigint").alias("us_into_session"),
     )

@@ -1884,3 +1884,20 @@ def test_dau_wau_expansion_no_self_join_no_window_distinct(spark):
         + plan.count("ShuffledHashJoin")
         == 1
     )
+
+
+def test_session_relative_features_single_exchange(spark):
+    """events_session_relative_features: the session id (running
+    sum), event index, and time-into-session (running maxes of the
+    session-start markers) all ride ONE hashpartitioning(user_id)
+    exchange and one in-partition sort — the naive spelling
+    re-shuffles on (user, session_id) for a per-session window; no
+    join anywhere."""
+    from rs_query_engine_spark import queries_staged_r19 as r19
+
+    df = r19.queries()["events_session_relative_features"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
