@@ -1129,12 +1129,18 @@ def _sweep_stale_mwclust(current: str) -> None:
     full clustered copy of events in /tmp — at sf0.1 that compounds).
     Same mark-then-reap discipline as
     ``sources/artifacts._sweep_stale_generations`` (grace window
-    ``SWEEP_GRACE_SEC``) so a CONCURRENT live session's dir is never
-    deleted mid-audit; the tombstone is ``_swept.txt``
+    ``SWEEP_GRACE_SEC``): the tombstone is ``_swept.txt``
     (underscore-prefixed, so Spark's parquet reader ignores it if the
     owning session re-reads before the reap), and the owner's own
     ``mode("overwrite")`` rewrite clears any tombstone, restarting
-    the clock."""
+    the clock. LIVENESS ASSUMPTION (r16 ADVICE): a concurrent live
+    session is protected only while it re-runs the audit at least
+    once per ``SWEEP_GRACE_SEC`` — a peer idle longer than the grace
+    window between audits can have its copy reaped, and there is a
+    small stat-then-rmtree race against an in-flight rewrite. Both
+    are benign here because the owner rewrites the dir before every
+    read (a reaped copy is rebuilt, never read stale), so the reap
+    stays best-effort (``ignore_errors``) by design."""
     import os
     import shutil
     import tempfile

@@ -1030,10 +1030,11 @@ def string_format_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_epoch_conversions",
     oracle="""
     SELECT event_id,
-           epoch_us(ts) AS us,
-           epoch_ms(ts) AS ms,
-           epoch_us(ts) // 1000000 AS secs,
-           make_timestamp(epoch_us(ts)) = ts AS ts_roundtrip_ok,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS secs,
+           make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)))
+               = CAST(ts AS TIMESTAMP) AS ts_roundtrip_ok,
            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
                AS epoch_days,
            (DATE '1970-01-01' + INTERVAL (1) DAY
@@ -1053,7 +1054,12 @@ def scalar_epoch_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ``unix_timestamp`` truncates sub-second precision and is
     exactly the bug this query would catch); everything stays in
     exact int64, the roundtrip booleans prove the conversions
-    invert losslessly at microsecond and day grain.
+    invert losslessly at microsecond and day grain. The oracle hops
+    through ``CAST(ts AS TIMESTAMP)`` before every epoch_* and the
+    roundtrip compare so DuckDB sees the same micro-grain value Spark
+    reads from the TIMESTAMP(NANOS) parquet column — without it a
+    sub-microsecond component in the corpus would diverge the
+    roundtrip boolean (r16 ADVICE).
 
     Scale shape: map-side scalar codegen; the modulus filter is
     pushed to the scan; no shuffle."""

@@ -22,6 +22,7 @@ import duckdb
 
 from rs_query_engine_spark.session import get_spark
 from rs_query_engine_spark.sources.corpus import TABLES
+from rs_query_engine_spark.typefamilies import arrow_family, spark_family
 
 
 def _norm_cell(v):
@@ -70,9 +71,19 @@ def main() -> int:
         drows = [tuple(r.values()) for r in tbl.to_pylist()]
         ok_cols = sorted(scols) == sorted(dcols)
         ok_rows = len(srows) == len(drows)
+        # The driver hash is type-sensitive: equal values in different
+        # type families (HUGEINT vs bigint, DECIMAL vs double) still
+        # fail the real driver, so the gate asserts families too.
+        stypes = {
+            f.name: spark_family(f.dataType.simpleString())
+            for f in sdf.schema.fields
+        }
+        dtypes = {f.name: arrow_family(f.type) for f in tbl.schema}
+        ok_types = stypes == dtypes
         ok_vals = (
             ok_cols
             and ok_rows
+            and ok_types
             and _normalize(srows, scols) == _normalize(drows, dcols)
         )
         status = "PASS" if ok_vals else "FAIL"
@@ -80,7 +91,8 @@ def main() -> int:
             failed.append(name)
         print(
             f"{name}: {status} rows={len(srows)}/{len(drows)} "
-            f"cols={'ok' if ok_cols else (scols, dcols)}"
+            f"cols={'ok' if ok_cols else (scols, dcols)} "
+            f"types={'ok' if ok_types else (stypes, dtypes)}"
         )
     spark.stop()
     if failed:

@@ -87,37 +87,10 @@ def test_query_matches_oracle(spark, name):
 # test above cannot catch. Map both engines' output types to a family
 # and require exact family agreement per column.
 
-_ARROW_FAMILY = {
-    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
-    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
-    "float": "float", "double": "float", "halffloat": "float",
-    "string": "str", "large_string": "str", "bool": "bool",
-    "date32[day]": "date", "date64[ms]": "date",
-}
-
-
-def _arrow_family(t) -> str:
-    s = str(t)
-    if s.startswith("decimal"):
-        return "decimal"
-    if s.startswith("timestamp"):
-        return "timestamp"
-    return _ARROW_FAMILY.get(s, s)
-
-
-_SPARK_FAMILY = {
-    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
-    "float": "float", "double": "float", "string": "str",
-    "boolean": "bool", "date": "date",
-}
-
-
-def _spark_family(s: str) -> str:
-    if s.startswith("decimal"):
-        return "decimal"
-    if s.startswith("timestamp"):
-        return "timestamp"
-    return _SPARK_FAMILY.get(s, s)
+from rs_query_engine_spark.typefamilies import (  # noqa: E402
+    arrow_family as _arrow_family,
+    spark_family as _spark_family,
+)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
