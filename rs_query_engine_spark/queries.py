@@ -6445,8 +6445,10 @@ STAGED_R15_ENABLED = True
 # trigrams, order-independent table checksums, the _metadata file
 # audit, sweep-line peak concurrency) — all hash-verified at
 # sf0.001 + sf0.01 in tests/oracle/test_staged_r16_parity.py.
-# Round 15 flips the r14 pen; round 17 flips this flag.
-STAGED_R16_ENABLED = False
+# Round 15 flips the r14 pen; round 17 flipped this flag after all
+# 14 re-passed the driver-shaped drive_pen.py gate (now
+# type-family-asserting) at sf0.01.
+STAGED_R16_ENABLED = True
 
 # Round-17 holding pen (``queries_staged_r17.py``): gate created
 # EMPTY at round-14 end (ADVICE r07 precedent — pen, parity gate,

@@ -18,9 +18,23 @@ corpus is scanned once — plan-pinned), and
 ``events_session_relative_features`` (row-grain session ordinal /
 event index / time-into-session where every window rides ONE
 user-keyed exchange via running maxes of the session-start
-markers — plan-pinned single exchange). Rounds 17-19
-fill the rest (≤ ~15 queries — the rotation-backlog cap, see the
-BENCH_NOTES ledger); round 20 flips the flag. Flip cadence for context: round 16
+markers — plan-pinned single exchange). ROUND-17 WAVE (+6, pen now
+9): ``events_activity_islands`` (gaps-and-islands streaks — two
+exchanges total, hash(user) reused by every downstream step,
+plan-pinned), ``events_type_churn_sets`` (period set algebra over a
+broadcast exact-int64 midpoint, sorted-serialized sets,
+plan-pinned), ``events_association_residuals`` (contingency
+Pearson residuals — exact margins, row-level IEEE only),
+``events_autocorr_daily`` (lag-1/7 daily-volume autocorrelation
+from exact sufficient statistics, lineage-cut single scan,
+plan-pinned), ``string_common_prefix_groups`` (per-group LCP via
+the lexicographic MIN/MAX trick + monotone prefix max),
+``date_iso_week_boundaries`` (ISO week-year boundary audit,
+YEAROFWEEK ≡ isoyear) — all hash-verified at sf0.001 + sf0.01 via
+scripts/drive_pen.py (type-family-asserting) from first commit.
+Rounds 18-19 fill the rest (≤ ~10 queries total — this pen flips
+in the FINAL round-20 window alongside the re-check backlog);
+round 20 flips the flag. Flip cadence for context: round 16
 flipped the r15 pen, round 17 flips the r16 pen, round 18 flips the
 r17 pen, round 19 flips the r18 pen (closed at 15 in round 16), and
 round 20 — the final round — flips this one, so keep it SMALL enough
@@ -323,4 +337,507 @@ def events_session_relative_features(
         F.sum("new_sess").over(w2).cast("bigint").alias("session_ordinal"),
         (F.col("rn") - start_rn + 1).cast("bigint").alias("event_index"),
         (F.col("us") - start_us).cast("bigint").alias("us_into_session"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-17 wave (6 queries): gaps-and-islands streaks, period set
+# algebra, contingency residuals, daily autocorrelation, group LCP,
+# ISO week-year boundaries — all exact-oracle-able, hash-verified at
+# sf0.001 + sf0.01 from first commit (pen discipline).
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "events_activity_islands",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+        FROM ud
+    ),
+    isl AS (
+        SELECT user_id, anchor,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(day) AS start
+        FROM g GROUP BY user_id, anchor
+    ),
+    m AS (
+        SELECT user_id, len, start,
+               MAX(len) OVER (PARTITION BY user_id) AS maxlen
+        FROM isl
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           MAX(len) AS longest_streak,
+           MIN(CASE WHEN len = maxlen THEN start END) AS longest_start
+    FROM m GROUP BY user_id
+    """,
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS activity streaks — per user: total active
+    days, number of maximal consecutive-day runs, the longest run,
+    and the start date of the (earliest) longest run. The island key
+    is the classic ``day - row_number()`` anchor: consecutive days
+    share one anchor, any gap changes it — an EXACT integer/date
+    derivation, no session-gap heuristics. The longest-run start is
+    tie-broken deterministically (earliest) via a per-user running
+    MAX of island length and a conditional MIN — no
+    engine-specific ``arg_min`` ordering semantics in the hash path.
+
+    Scale shape: the per-user day frame is the deduplicated
+    (user, day) grid, bounded by |users|·|days|, never corpus rows.
+    After the one hash(user_id) exchange that feeds the
+    ``row_number`` window, EVERY downstream step — the
+    (user, anchor) island aggregate, the per-user max window, the
+    final per-user aggregate — reuses that partitioning
+    (hash(user) satisfies each clustered distribution), so the
+    whole island pipeline runs with exactly TWO exchanges total
+    (the (user, day) distinct + the user window) — plan-pinned.
+    No joins, no driver round-trips."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w).cast("int"))
+    )
+    isl = g.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start")
+    )
+    m = isl.select(
+        "user_id",
+        "len",
+        "start",
+        F.max("len").over(Window.partitionBy("user_id")).alias("maxlen"),
+    )
+    return m.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("active_days"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("len").alias("longest_streak"),
+        F.min(
+            F.when(F.col("len") == F.col("maxlen"), F.col("start"))
+        ).alias("longest_start"),
+    )
+
+
+@register_staged(
+    "events_type_churn_sets",
+    oracle="""
+    WITH mid AS (
+        SELECT (MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+                + MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS m
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               COALESCE(list(DISTINCT event_type) FILTER (
+                   WHERE epoch_us(CAST(ts AS TIMESTAMP)) < m), []) AS a,
+               COALESCE(list(DISTINCT event_type) FILTER (
+                   WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= m), []) AS b
+        FROM events, mid GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(a) AS BIGINT) AS n_first,
+           CAST(len(b) AS BIGINT) AS n_second,
+           COALESCE(array_to_string(list_sort(list_intersect(a, b)),
+               ','), '') AS retained_types,
+           COALESCE(array_to_string(list_sort(list_filter(
+               a, x -> NOT list_contains(b, x))), ','), '')
+               AS churned_types,
+           COALESCE(array_to_string(list_sort(list_filter(
+               b, x -> NOT list_contains(a, x))), ','), '')
+               AS new_types
+    FROM s
+    """,
+)
+def events_type_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-USER behavior-set CHURN between corpus halves — the
+    event-type sets a user exercised before vs after the global
+    time midpoint, and their exact set algebra: retained
+    (intersection), churned (first minus second), new (second minus
+    first). The midpoint is data-derived in exact int64 microseconds
+    (``(min+max) DIV 2`` — ``unix_micros``, the CLAUDE.md
+    truncation invariant) so the split point is identical on both
+    engines; set results are serialized sorted (``array_sort`` +
+    ``array_join``) so no engine-specific set iteration order ever
+    reaches the driver hash, and empty sets hash as the empty
+    string on both sides.
+
+    Scale shape: the one-row midpoint frame is crossJoin-BROADCAST
+    to the corpus (plan-pinned: broadcast nested-loop, no cartesian
+    — the governance_retention_sweep precedent); the per-user sets
+    come from ONE groupBy carrying two conditional collect_sets
+    (map-side partial collect, one exchange); the set algebra is
+    per-row array work on the aggregated frame, bounded by |users|,
+    never corpus rows."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = (
+        e.agg(
+            F.min(us).alias("mn"), F.max(us).alias("mx")
+        ).select(F.expr("(mn + mx) DIV 2").alias("m"))
+    )
+    s = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.collect_set(
+                F.when(us < F.col("m"), F.col("event_type"))
+            ).alias("a"),
+            F.collect_set(
+                F.when(us >= F.col("m"), F.col("event_type"))
+            ).alias("b"),
+        )
+    )
+    return s.select(
+        "user_id",
+        F.size("a").cast("bigint").alias("n_first"),
+        F.size("b").cast("bigint").alias("n_second"),
+        F.array_join(
+            F.array_sort(F.array_intersect("a", "b")), ","
+        ).alias("retained_types"),
+        F.array_join(
+            F.array_sort(F.array_except("a", "b")), ","
+        ).alias("churned_types"),
+        F.array_join(
+            F.array_sort(F.array_except("b", "a")), ","
+        ).alias("new_types"),
+    )
+
+
+@register_staged(
+    "events_association_residuals",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) - 1
+                    AS INT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, dow, observed,
+               CAST(SUM(observed) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS row_tot,
+               CAST(SUM(observed) OVER (PARTITION BY dow)
+                    AS BIGINT) AS col_tot,
+               CAST(SUM(observed) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT event_type, dow, observed,
+           CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE)
+               AS expected,
+           (CAST(observed AS DOUBLE)
+               - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+               AS pearson_resid
+    FROM t
+    """,
+)
+def events_association_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINGENCY-TABLE association audit — event_type × ISO
+    day-of-week cell counts with exact expected frequencies and
+    Pearson standardized residuals ((O−E)/√E), the cell-level
+    decomposition behind a chi-square independence test ("do error
+    events cluster on weekends?"). Every margin (row total, column
+    total, grand total) is an exact integer; ``expected`` is ONE
+    double division of exact int64 products (row·col < 2^53 at every
+    corpus scale this runs at — documented bound, no float
+    accumulation anywhere), and the residual is a short fixed IEEE
+    sequence (sub, div, sqrt) — identical on both engines, so the
+    whole table hash-matches without any float-sum ordering hazard
+    (a summed chi-square STATISTIC would order-diverge; the
+    cell-level residual table is the hash-stable spelling AND the
+    more useful diagnostic). Day-of-week via Spark ``weekday`` =
+    DuckDB ``isodow − 1`` (the date_functions week-start pin).
+
+    Scale shape: one partial+final count aggregation over the
+    corpus; the margin windows run on the tiny |types|×7 cell frame
+    (the single-partition window is over ≤ dozens of rows, never
+    corpus rows)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            "event_type",
+            F.weekday(F.date_trunc("day", "ts").cast("date")).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    t = cells.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.sum("observed")
+        .over(Window.partitionBy("event_type"))
+        .alias("row_tot"),
+        F.sum("observed").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    return t.select(
+        "event_type",
+        "dow",
+        "observed",
+        expected.alias("expected"),
+        (
+            (F.col("observed").cast("double") - expected)
+            / F.sqrt(expected)
+        ).alias("pearson_resid"),
+    )
+
+
+@register_staged(
+    "events_autocorr_daily",
+    # second-moment sums can exceed 2^53 at larger SFs; VARCHAR hop
+    # per the agg_corr_exact discipline.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT 1 AS lag, a.c AS x, b.c AS y
+        FROM daily a JOIN daily b ON b.day = a.day + 1
+        UNION ALL
+        SELECT 7 AS lag, a.c AS x, b.c AS y
+        FROM daily a JOIN daily b ON b.day = a.day + 7
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS autocorr
+    FROM s
+    """,
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY-VOLUME AUTOCORRELATION at lag 1 and lag 7 — the
+    time-series health probe behind seasonality detection (high
+    lag-7, low lag-1 ⇒ weekly pattern; both high ⇒ trend): Pearson
+    correlation of the daily event count against itself shifted k
+    days, from EXACT integer sufficient statistics (the
+    agg_corr_exact discipline: integer sums, one closed-form IEEE
+    sequence per lag — built-in ``corr`` streams order-dependent
+    running moments and can never hash-match). Lag pairing is a
+    date-key join (``day + k``), not a ROWS-frame lag, so calendar
+    gaps pair correctly instead of silently shifting.
+
+    Scale shape: the corpus is scanned ONCE for the daily-count
+    aggregate (partial+final counts); the frame is lineage-cut
+    (``truncate_lineage``, the dau_wau precedent — both lag
+    branches consume it, and without the cut Catalyst re-derives
+    the corpus scan per branch — plan-pinned to one scan). The lag
+    joins and the six-sum aggregate run over the |days|-sized
+    frame."""
+    from rs_query_engine_spark.session import truncate_lineage
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(truncate_lineage)
+    )
+    frames = []
+    for k in (1, 7):
+        lagged = daily.select(
+            F.col("day").alias("day2"), F.col("c").alias("y")
+        )
+        frames.append(
+            daily.join(lagged, F.date_add("day", k) == F.col("day2"))
+            .select(
+                F.lit(k).alias("lag"),
+                F.col("c").alias("x"),
+                F.col("y"),
+            )
+        )
+    pairs = frames[0].unionByName(frames[1])
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n_d * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select("lag", "n", (num / den).alias("autocorr"))
+
+
+@register_staged(
+    "string_common_prefix_groups",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(props) AS min_props,
+               MAX(props) AS max_props
+        FROM events GROUP BY event_type
+    ),
+    l AS (
+        SELECT event_type, n, min_props, max_props,
+               CAST(COALESCE(list_max(list_transform(
+                   generate_series(1, LEAST(length(min_props),
+                                            length(max_props))),
+                   i -> CASE WHEN substr(min_props, 1, CAST(i AS INT))
+                                  = substr(max_props, 1, CAST(i AS INT))
+                             THEN i ELSE 0 END)), 0) AS BIGINT) AS lcp_len
+        FROM g
+    )
+    SELECT event_type, n, min_props, max_props, lcp_len,
+           substr(min_props, 1, CAST(lcp_len AS INT)) AS lcp
+    FROM l
+    """,
+)
+def string_common_prefix_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-GROUP LONGEST COMMON PREFIX via the lexicographic min/max
+    trick: the LCP of a whole group equals LCP(MIN(s), MAX(s)) —
+    any string in between shares at least that prefix — so a
+    full-group string-scan aggregate collapses to TWO mergeable
+    built-in aggregates plus one post-hoc pairwise LCP. The
+    pairwise LCP itself exploits prefix-equality monotonicity:
+    ``substr(a,1,i) = substr(b,1,i)`` is non-increasing in i, so
+    ``max(i where equal)`` IS the LCP — one ``array_max`` over a
+    ``transform``'d ``sequence``, no mismatch-search lambda state.
+    Applied to event ``props`` payloads per type (the shared
+    template-prefix detector a log-schema miner runs). ASCII corpus
+    ⇒ lexicographic MIN/MAX agree byte-wise across engines (the
+    string_collation_groupby boundary); the empty-range guard
+    matters because Spark ``sequence(1,0)`` DESCENDS ([1,0]) while
+    DuckDB's is empty — pinned by ``greatest``/COALESCE on both
+    sides.
+
+    Scale shape: ONE partial+final aggregation pass (min/max/count
+    are all map-side combinable); the LCP expression runs on the
+    |groups|-sized frame only. No window, no join, no shuffle
+    beyond the one group-by exchange."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("props").alias("min_props"),
+        F.max("props").alias("max_props"),
+    )
+    l = g.withColumn(
+        "lcp_len",
+        F.expr(
+            """
+            CAST(CASE WHEN least(length(min_props), length(max_props)) < 1
+                 THEN 0
+                 ELSE array_max(transform(
+                     sequence(1, least(length(min_props),
+                                       length(max_props))),
+                     i -> CASE WHEN substr(min_props, 1, i)
+                                    = substr(max_props, 1, i)
+                               THEN i ELSE 0 END))
+                 END AS BIGINT)
+            """
+        ),
+    )
+    return l.select(
+        "event_type",
+        "n",
+        "min_props",
+        "max_props",
+        "lcp_len",
+        F.expr("substr(min_props, 1, CAST(lcp_len AS INT))").alias("lcp"),
+    )
+
+
+@register_staged(
+    "date_iso_week_boundaries",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderkey, d AS order_date,
+           CAST(extract(isoyear FROM d) AS INT) AS iso_year,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           CAST(isodow(d) - 1 AS INT) AS iso_weekday,
+           CAST(extract(year FROM d) AS INT) AS cal_year,
+           extract(isoyear FROM d) <> extract(year FROM d)
+               AS boundary_week,
+           weekofyear(d) = 53 AS week53,
+           d - CAST(isodow(d) - 1 AS INT) AS iso_week_start,
+           CAST(extract(isoyear FROM d) AS VARCHAR) || '-W'
+               || lpad(CAST(weekofyear(d) AS VARCHAR), 2, '0')
+               AS iso_label
+    FROM o
+    """,
+)
+def date_iso_week_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 WEEK-YEAR boundary audit — the calendar edge every
+    weekly-rollup migration gets wrong: Jan 1 can belong to week
+    52/53 of the PREVIOUS iso-year (2023-01-01 → 2022-W52) and late
+    December to week 1 of the NEXT (2024-12-30 → 2025-W01).
+    Surfaces iso-year (Spark ``extract(YEAROFWEEK)`` ≡ DuckDB
+    ``isoyear``), iso-week (``weekofyear`` is ISO on BOTH engines —
+    unlike ``dayofweek``, which disagrees on week start and is
+    already pinned in date_functions), Monday-0 weekday, the
+    boundary/week-53 flags, the Monday week-start date, and the
+    canonical ``YYYY-Www`` label. Exact ints/dates/strings
+    end-to-end; rides the 7-year orders date span so both
+    boundary directions and week-53 years actually occur.
+
+    Scale shape: map-side scalar codegen inside one projection; the
+    modulus sample filter is pushed to the scan; no shuffle."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+        )
+    )
+    d = F.col("d")
+    iso_year = F.expr("extract(YEAROFWEEK FROM d)").cast("int")
+    iso_week = F.weekofyear(d).cast("int")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        iso_year.alias("iso_year"),
+        iso_week.alias("iso_week"),
+        F.weekday(d).cast("int").alias("iso_weekday"),
+        F.year(d).cast("int").alias("cal_year"),
+        (F.expr("extract(YEAROFWEEK FROM d)") != F.year(d)).alias(
+            "boundary_week"
+        ),
+        (F.weekofyear(d) == 53).alias("week53"),
+        F.date_sub(d, F.weekday(d)).alias("iso_week_start"),
+        F.concat(
+            iso_year.cast("string"),
+            F.lit("-W"),
+            F.lpad(iso_week.cast("string"), 2, "0"),
+        ).alias("iso_label"),
     )

@@ -1901,3 +1901,54 @@ def test_session_relative_features_single_exchange(spark):
     assert "Exchange hashpartitioning(user_id" in plan
     assert "Join" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_activity_islands_two_exchanges_no_join(spark):
+    """events_activity_islands: after the (user, day) distinct and
+    the hash(user_id) exchange feeding the row_number window, the
+    island aggregate (user, anchor), the per-user max window, and
+    the final per-user aggregate all REUSE the hash(user)
+    partitioning (a hash partitioning on a subset satisfies each
+    clustered distribution) — exactly two exchanges total, one
+    corpus scan, no join anywhere."""
+    from rs_query_engine_spark import queries_staged_r19 as r19
+
+    df = r19.queries()["events_activity_islands"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange") == 2
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+    # both aggregates are partial+final (map-side combine)
+    assert "partial_count" in plan
+
+
+def test_type_churn_sets_broadcast_midpoint_one_set_pass(spark):
+    """events_type_churn_sets: the one-row global-midpoint frame is
+    BROADCAST to the corpus (BroadcastNestedLoopJoin over a one-row
+    build side — never a shuffled cartesian), and both period sets
+    come from ONE ObjectHashAggregate pass with map-side
+    partial_collect_set — one user exchange, not one per period."""
+    from rs_query_engine_spark import queries_staged_r19 as r19
+
+    df = r19.queries()["events_type_churn_sets"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("partial_collect_set") == 2
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_autocorr_daily_single_scan_broadcast_lags(spark):
+    """events_autocorr_daily: the daily-count frame is lineage-cut
+    (corpus scanned ONCE outside this plan — zero FileScans remain),
+    and both lag joins broadcast the tiny |days| frame; the six-sum
+    sufficient-statistics aggregate is partial+final."""
+    from rs_query_engine_spark import queries_staged_r19 as r19
+
+    df = r19.queries()["events_autocorr_daily"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
