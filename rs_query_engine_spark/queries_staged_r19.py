@@ -32,9 +32,14 @@ the lexicographic MIN/MAX trick + monotone prefix max),
 ``date_iso_week_boundaries`` (ISO week-year boundary audit,
 YEAROFWEEK ≡ isoyear) — all hash-verified at sf0.001 + sf0.01 via
 scripts/drive_pen.py (type-family-asserting) from first commit.
-Rounds 18-19 fill the rest (≤ ~10 queries total — this pen flips
-in the FINAL round-20 window alongside the re-check backlog);
-round 20 flips the flag. Flip cadence for context: round 16
+CLOSED at 10 the same round with
+``quality_split_leakage_audit`` (train/eval eval-contamination
+gate: bag-of-words-set near-dup fingerprints crossing the 90/5/5
+hash splits, single-pass stack unpivot, plan-pinned — the
+fingerprint is deliberately the token-SET form so the report is
+non-degenerate at every SF). Rounds 18-19 add NOTHING unless a
+driver finding demands it — this pen flips in the FINAL round-20
+window alongside the re-check backlog; round 20 flips the flag. Flip cadence for context: round 16
 flipped the r15 pen, round 17 flips the r16 pen, round 18 flips the
 r17 pen, round 19 flips the r18 pen (closed at 15 in round 16), and
 round 20 — the final round — flips this one, so keep it SMALL enough
@@ -840,4 +845,157 @@ def date_iso_week_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("-W"),
             F.lpad(iso_week.cast("string"), 2, "0"),
         ).alias("iso_label"),
+    )
+
+
+@register_staged(
+    "quality_split_leakage_audit",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   ' '))), ' ')) AS fp,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 8))::BIGINT % 100 < 90 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 8))::BIGINT % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    g AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+                   AS in_train,
+               MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) = 1
+                   AS in_val,
+               MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) = 1
+                   AS in_test
+        FROM f GROUP BY fp
+    ),
+    s AS (
+        SELECT
+            CAST(SUM(CASE WHEN in_train AND in_val THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tv_fp,
+            CAST(SUM(CASE WHEN in_train AND in_val THEN n_docs ELSE 0
+                 END) AS BIGINT) AS tv_docs,
+            CAST(SUM(CASE WHEN in_train AND in_test THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tt_fp,
+            CAST(SUM(CASE WHEN in_train AND in_test THEN n_docs ELSE 0
+                 END) AS BIGINT) AS tt_docs,
+            CAST(SUM(CASE WHEN in_val AND in_test THEN 1 ELSE 0 END)
+                 AS BIGINT) AS vt_fp,
+            CAST(SUM(CASE WHEN in_val AND in_test THEN n_docs ELSE 0
+                 END) AS BIGINT) AS vt_docs,
+            CAST(SUM(CASE WHEN CAST(in_train AS INT) + CAST(in_val AS
+                 INT) + CAST(in_test AS INT) >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS any_fp,
+            CAST(SUM(CASE WHEN CAST(in_train AS INT) + CAST(in_val AS
+                 INT) + CAST(in_test AS INT) >= 2 THEN n_docs ELSE 0
+                 END) AS BIGINT) AS any_docs
+        FROM g
+    )
+    SELECT 'train-val' AS leak_kind, tv_fp AS n_fingerprints,
+           tv_docs AS n_docs_involved FROM s
+    UNION ALL
+    SELECT 'train-test', tt_fp, tt_docs FROM s
+    UNION ALL
+    SELECT 'val-test', vt_fp, vt_docs FROM s
+    UNION ALL
+    SELECT 'any-cross-split', any_fp, any_docs FROM s
+    """,
+)
+def quality_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAIN/EVAL SPLIT-LEAKAGE audit — the eval-contamination gate
+    every training pipeline needs BEFORE benchmarking: near-duplicate
+    document fingerprints that appear in MORE THAN ONE hash-assigned
+    split (the sample_split_assign 90/5/5). A duplicated text whose
+    copies hash into train AND test silently inflates eval scores;
+    this reports, per split pair plus an any-cross-split total, how
+    many fingerprints leak and how many documents are involved. The
+    fingerprint is the BAG-OF-WORDS SET form — md5 of the sorted
+    distinct-token list over the dedup_exact normalization — i.e.
+    order- and multiplicity-insensitive near-dup identity (the
+    set-similarity limit of ngram-Jaccard at n=1, threshold 1.0),
+    chosen over the raw-text md5 deliberately: shuffled/repeated-word
+    rewrites are exactly the duplicates an exact hash MISSES and a
+    leakage audit exists to catch (and the corpus carries such
+    clusters at every SF, so the report is non-degenerate). Composes
+    two already-verified primitives (content fingerprint ×
+    hash-bucket split) into the audit neither covers alone:
+    dedup_exact sees duplicates but not splits;
+    sample_split_train_val_test sees splits but not duplicates.
+
+    Scale shape: ONE corpus scan → one hash(fp) groupBy carrying the
+    three split-membership flags as conditional maxes (map-side
+    partials) → one global 8-sum aggregate → a ``stack`` unpivot
+    into the 4 report rows. No self-join, no union of re-scans —
+    the union-per-kind spelling would re-aggregate the fingerprint
+    frame three times; ``stack`` over one aggregate row is the
+    single-pass spelling. Plan-pinned: 1 FileScan, no Join,
+    partial aggregation at both levels."""
+    from rs_query_engine_spark.functions.hashing import md5_hex8
+    from rs_query_engine_spark.functions.text import normalize_text
+    from rs_query_engine_spark.sources.corpus import spread
+
+    d = _t(spark, sf_dir, "documents")
+    b = md5_hex8(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    )
+    f = spread(d).select(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.split(normalize_text(F.col("text")), " ")
+                    )
+                ),
+                " ",
+            )
+        ).alias("fp"),
+        split.alias("split"),
+    )
+
+    def _in(s: str):
+        return (
+            F.max(F.when(F.col("split") == s, 1).otherwise(0)) == 1
+        ).alias(f"in_{s}")
+
+    g = f.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _in("train"),
+        _in("val"),
+        _in("test"),
+    )
+    n_splits = (
+        F.col("in_train").cast("int")
+        + F.col("in_val").cast("int")
+        + F.col("in_test").cast("int")
+    )
+
+    def _pair(cond, tag):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{tag}_fp"),
+            F.sum(F.when(cond, F.col("n_docs")).otherwise(0))
+            .cast("bigint")
+            .alias(f"{tag}_docs"),
+        ]
+
+    s = g.agg(
+        *_pair(F.col("in_train") & F.col("in_val"), "tv"),
+        *_pair(F.col("in_train") & F.col("in_test"), "tt"),
+        *_pair(F.col("in_val") & F.col("in_test"), "vt"),
+        *_pair(n_splits >= 2, "any"),
+    )
+    return s.selectExpr(
+        "stack(4, 'train-val', tv_fp, tv_docs,"
+        " 'train-test', tt_fp, tt_docs,"
+        " 'val-test', vt_fp, vt_docs,"
+        " 'any-cross-split', any_fp, any_docs)"
+        " AS (leak_kind, n_fingerprints, n_docs_involved)"
     )

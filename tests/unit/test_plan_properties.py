@@ -1952,3 +1952,21 @@ def test_autocorr_daily_single_scan_broadcast_lags(spark):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_split_leakage_single_pass_stack(spark):
+    """quality_split_leakage_audit: one corpus scan feeds the
+    hash(fp) groupBy (map-side partial flags), ONE global 8-sum
+    aggregate, and a stack unpivot into the report rows — the
+    union-per-leak-kind spelling would re-aggregate the fingerprint
+    frame three times; no join, no union, both aggregates
+    partial+final."""
+    from rs_query_engine_spark import queries_staged_r19 as r19
+
+    df = r19.queries()["quality_split_leakage_audit"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Union" not in plan
+    assert plan.count("Generate stack") == 1
+    assert "partial_max" in plan and "partial_sum" in plan
