@@ -447,9 +447,11 @@ def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT user_id,
                COALESCE(list(DISTINCT event_type) FILTER (
-                   WHERE epoch_us(CAST(ts AS TIMESTAMP)) < m), []) AS a,
+                   WHERE event_type IS NOT NULL
+                     AND epoch_us(CAST(ts AS TIMESTAMP)) < m), []) AS a,
                COALESCE(list(DISTINCT event_type) FILTER (
-                   WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= m), []) AS b
+                   WHERE event_type IS NOT NULL
+                     AND epoch_us(CAST(ts AS TIMESTAMP)) >= m), []) AS b
         FROM events, mid GROUP BY user_id
     )
     SELECT user_id,
@@ -477,7 +479,12 @@ def events_type_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; set results are serialized sorted (``array_sort`` +
     ``array_join``) so no engine-specific set iteration order ever
     reaches the driver hash, and empty sets hash as the empty
-    string on both sides.
+    string on both sides. NULL event types are excluded as set
+    members EXPLICITLY on both engines (Spark ``collect_set`` drops
+    NULL silently but DuckDB ``list(DISTINCT ...)`` keeps it — the
+    oracle's ``event_type IS NOT NULL`` filter pins the shared
+    semantics instead of leaning on the corpus never emitting NULL;
+    r17 review finding).
 
     Scale shape: the one-row midpoint frame is crossJoin-BROADCAST
     to the corpus (plan-pinned: broadcast nested-loop, no cartesian

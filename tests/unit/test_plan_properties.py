@@ -1954,6 +1954,23 @@ def test_autocorr_daily_single_scan_broadcast_lags(spark):
     assert "partial_sum" in plan
 
 
+def test_common_prefix_groups_one_pass_aggregation(spark):
+    """string_common_prefix_groups: the whole-group LCP rides the
+    lexicographic MIN/MAX trick — ONE partial+final hash aggregation
+    (min/max/count are all map-side combinable), one group-by
+    exchange, with the LCP expression on the aggregated frame only;
+    no window, no join, no second pass over the corpus."""
+    from rs_query_engine_spark import queries_staged_r19 as r19
+
+    df = r19.queries()["string_common_prefix_groups"](spark, SF_DIR)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
 def test_split_leakage_single_pass_stack(spark):
     """quality_split_leakage_audit: one corpus scan feeds the
     hash(fp) groupBy (map-side partial flags), ONE global 8-sum
