@@ -600,9 +600,16 @@ def events_association_residuals(
         F.sum("observed").over(Window.partitionBy("dow")).alias("col_tot"),
         F.sum("observed").over(Window.partitionBy()).alias("n"),
     )
-    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
-        "n"
-    ).cast("double")
+    # row_tot·col_tot through EXACT decimal (ADVICE r17): Spark's
+    # non-ANSI bigint multiply would wrap silently past ~9.5e7 events
+    # (row_tot*col_tot > 2^63) while DuckDB errors — decimal(38,0)
+    # keeps the product exact to 1e38, and decimal→double is the same
+    # correctly-rounded conversion as bigint→double at every corpus
+    # scale (< 2^53: both exact), so hashes are unchanged.
+    expected = (
+        F.col("row_tot").cast("decimal(38,0)")
+        * F.col("col_tot").cast("decimal(38,0)")
+    ).cast("double") / F.col("n").cast("double")
     return t.select(
         "event_type",
         "dow",
@@ -763,9 +770,14 @@ def string_common_prefix_groups(
     )
     l = g.withColumn(
         "lcp_len",
+        # outer COALESCE (ADVICE r17): a group whose props are ALL
+        # NULL yields min/max NULL → the CASE propagates NULL, but the
+        # DuckDB oracle COALESCEs to 0 — pin the same NULL semantics
+        # on both engines (latent: the corpus has no NULL props).
         F.expr(
             """
-            CAST(CASE WHEN least(length(min_props), length(max_props)) < 1
+            CAST(COALESCE(
+                 CASE WHEN least(length(min_props), length(max_props)) < 1
                  THEN 0
                  ELSE array_max(transform(
                      sequence(1, least(length(min_props),
@@ -773,7 +785,7 @@ def string_common_prefix_groups(
                      i -> CASE WHEN substr(min_props, 1, i)
                                     = substr(max_props, 1, i)
                                THEN i ELSE 0 END))
-                 END AS BIGINT)
+                 END, 0) AS BIGINT)
             """
         ),
     )
