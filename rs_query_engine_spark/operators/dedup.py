@@ -830,11 +830,18 @@ def exact_substring_spans(
     shuffle key is the gram STRING itself (exact, no hash collisions)
     with O(total_chars × L) shuffle volume, the honest cost of
     exactness (Lee et al. pay the same via sharded suffix arrays);
-    the duplicate test is one map-side-partial groupBy on the gram,
-    the join back is equi on the gram, and the island merge is one
-    window partitioned by doc — every stage hash-distributes, nothing
-    is pairwise in the corpus. Use the MinHash/SimHash operators when
-    approximate spans are acceptable at 1/L the shuffle volume.
+    the duplicate test is ONE window count over the gram partition
+    (each (id, off) row learns its gram's corpus frequency in the
+    same pass that shuffles it — r18: this replaced a groupBy+equi-
+    join-back spelling that exploded the corpus twice and shuffled
+    the gram volume twice), and the island merge is one window
+    partitioned by doc — every stage hash-distributes, nothing is
+    pairwise in the corpus. The window's sort-based spelling also
+    bounds a hot gram (one phrase repeated across the corpus) by
+    spillable sort, where a collect-based join-avoidance would buffer
+    the hot gram's postings in one aggregation buffer. Use the
+    MinHash/SimHash operators when approximate spans are acceptable
+    at 1/L the shuffle volume.
     """
     L = min_len
     t = spread(df).select(
@@ -852,13 +859,16 @@ def exact_substring_spans(
         )
         .select("_id", "off", F.expr(f"substring(_txt, off + 1, {L})").alias("gram"))
     )
-    dup = (
-        g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # corpus frequency of each gram via an unordered window over the
+    # gram partition: exactly the groupBy-count + join-back result,
+    # in one exchange of the exploded volume instead of two (plus one
+    # explode instead of two) — identical rows survive the >= 2 test.
+    w_gram = Window.partitionBy("gram")
+    p = (
+        g.withColumn("_n", F.count(F.lit(1)).over(w_gram))
         .filter(F.col("_n") >= 2)
-        .select("gram")
+        .select("_id", "off")
     )
-    p = g.join(dup, "gram").select("_id", "off")
     w_prev = (
         Window.partitionBy("_id")
         .orderBy("off")

@@ -398,10 +398,12 @@ def test_scd2_reuses_one_exchange_for_both_windows(spark):
 
 def test_exact_substr_spans_no_pairwise_and_partial_agg(spark):
     """Exact substring dedup must stay gram-equi: the duplicate test
-    is a partial-aggregated groupBy on the gram string and an
-    equi-join back — never a cartesian/nested-loop pair expansion —
-    and the island merge is one window partitioned by doc (hash-
-    distributes at any corpus size)."""
+    is ONE window count over the gram partition — never a cartesian/
+    nested-loop pair expansion, and (r18) never the groupBy+join-back
+    spelling that explodes the corpus twice and shuffles the gram
+    volume twice — and the island merge is one window partitioned by
+    doc (hash-distributes at any corpus size). Exactly two exchanges
+    total: by gram, then by doc."""
     from rs_query_engine_spark.operators.dedup import exact_substring_spans
     from rs_query_engine_spark.sources.corpus import load_table
 
@@ -411,9 +413,19 @@ def test_exact_substr_spans_no_pairwise_and_partial_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     low = plan.lower()
-    # partial + final aggregate around the gram exchange
-    assert low.count("hashaggregate") >= 2
-    assert "window" in low
+    # r18: the duplicate test must not re-join the exploded grams —
+    # one pass decides; the only join-free plan has no join node at
+    # all and exactly two hash exchanges (gram window, doc window)
+    assert "sortmergejoin" not in low
+    assert "shuffledhashjoin" not in low
+    import re as _re
+
+    # formatted mode lists each Exchange's partitioning on its own
+    # "Arguments:" line; exactly two HASH exchanges (gram window, doc
+    # window) — the third Exchange is spread()'s round-robin, which
+    # carries no key and is not a join/aggregation shuffle
+    assert len(_re.findall(r"arguments: hashpartitioning\(", low)) == 2
+    assert low.count("window") >= 2
 
 
 def test_hybrid_rrf_broadcasts_query_set_no_corpus_pairs(spark):
