@@ -56,6 +56,23 @@ def get_spark(
         # Loaders branch on the observed schema (corpus.py
         # normalize_events_ts), so setting it is correct on both.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The generated-class cache (whole-stage codegen + expression
+        # codegen) is keyed by generated SOURCE and capped at 100
+        # entries by default — sized for apps that run a handful of
+        # query shapes. This engine's registry holds 336 distinct
+        # queries (each compiling several codegen fragments), so a
+        # sequential pass evicts every entry before it is reused and
+        # EVERY run of a query re-pays Janino compilation (~10-100 ms
+        # per fragment). Static conf: takes effect only at JVM start,
+        # inert when attaching to an existing session. Production
+        # justification: a long-lived multi-tenant SQL application at
+        # 100 TB serves far more than 100 distinct plan shapes;
+        # the cache holds compiled classes (small) — raising it trades
+        # a few MB of driver/executor metaspace for not recompiling.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("RSQES_CODEGEN_CACHE_ENTRIES", "4096"),
+        )
         # Spark 4.1's TIME data type (SPARK-51162 family) ships
         # feature-flagged off. Set it HERE so every session runs one
         # uniform configuration, rather than the flag flipping on
