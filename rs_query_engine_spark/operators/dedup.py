@@ -763,9 +763,17 @@ def semantic_dedup(
     swaps in ``similarity.kmeans_centroids`` unchanged."""
     from rs_query_engine_spark.operators.similarity import assign_centroids, dot
 
+    # localCheckpoint: the assignment (corpus × centroids broadcast
+    # expansion + per-vector top-1 rank) is consumed THREE times — both
+    # sides of the within-cluster pair join and the final kept-flag
+    # join — and alias-renamed projections defeat ReuseExchange, so
+    # without the cut the expansion runs three times per action (r18:
+    # measured in the plan — the BroadcastNestedLoopJoin + rank subtree
+    # appeared 3× before, 1× after; same rationale as the minhash
+    # shingle staging)
     a = assign_centroids(
         corpus, centroids, id_col, vec_col, centroid_id, centroid_vec
-    )
+    ).transform(truncate_lineage)
     x = a.select(
         F.col(id_col).alias("_xid"),
         F.col("_v").alias("_xv"),

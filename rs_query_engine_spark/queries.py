@@ -2635,10 +2635,26 @@ def agg_percentiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanded shuffle (measured 1.4× slower at sf0.1; same trick as
     profile_columns)."""
     li = _t(spark, sf_dir, "lineitem")
-    pct = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
-        F.min("l_extendedprice").alias("min_price"),
+    # ONE percentile aggregate with an array of fractions: Spark's
+    # Percentile buffer is a per-group value->count map, so two scalar
+    # percentile calls build and sort that map twice; the array form
+    # computes both fractions from a single buffer (r18, guide §2.2 —
+    # shuffle/aggregate fewer bytes for the same answer). Values are
+    # bit-identical: same interpolation applied to the same sorted map.
+    pct = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))).alias(
+                "_pcts"
+            ),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_pcts")[0].alias("p50_price"),
+            F.col("_pcts")[1].alias("p90_price"),
+            "min_price",
+        )
     )
     nd = (
         li.groupBy("l_returnflag", "l_partkey")
