@@ -354,13 +354,23 @@ def similarity_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= 4)
         .select("query_id", "_qv", "_qn", "centroid_id", "pr")
     )
-    cand = assigned.join(F.broadcast(probes), "centroid_id").select(
-        "query_id",
-        "vec_id",
-        F.try_divide(
-            dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn")
-        ).alias("cos"),
-        "pr",
+    # checkpoint the scored candidate join too (r18): each of the three
+    # nprobe levels re-derived cand — the probe-side corpus scan, the
+    # broadcast join AND the 64-dim cosine per candidate — three times;
+    # the cut computes it once and the levels rank stored (query_id,
+    # vec_id, cos, pr) rows, keeping their WindowGroupLimit top-10
+    # pushdown over a block read instead of a recompute
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.try_divide(
+                dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn")
+            ).alias("cos"),
+            "pr",
+        )
+        .transform(truncate_lineage)
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     levels = []
