@@ -271,11 +271,18 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool-capped at 20 rows per query."""
     from rs_query_engine_spark.functions.text import tokens
     from rs_query_engine_spark.operators.similarity import cosine
+    from rs_query_engine_spark.session import truncate_lineage
     from rs_query_engine_spark.sources.corpus import spread
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
+    # localCheckpoint (r18): corpus (the docs⋈embeddings zip) feeds the
+    # dense leg, the query projection AND the term explode — without
+    # the cut the join subtree re-ran for every consumer (the before
+    # plan scanned the two tables 12 times); terms likewise feeds the
+    # df counts, the query-term probe and the posting join, so the
+    # tokenize+explode is also cut once below.
     corpus = (
         spread(d)
         .join(e, d["doc_id"] == e["vec_id"])
@@ -284,6 +291,7 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("v"),
             "text",
         )
+        .transform(truncate_lineage)
     )
     q = corpus.filter(F.col("id") % 100 == 0).select(
         F.col("id").alias("query_id"),
@@ -300,7 +308,7 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = corpus.select(
         "id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
-    )
+    ).transform(truncate_lineage)
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = terms.join(
         F.broadcast(q.select(F.col("query_id"))),
