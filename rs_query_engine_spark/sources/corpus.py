@@ -58,6 +58,22 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# (sf_dir, name) -> observed parquet schema. spark.read.parquet
+# EAGERLY lists the path and reads a footer to infer the schema on
+# every call (~30-60 ms driver-side per call on a healthy machine,
+# measured 3.5x the explicit-schema read); the registry constructs
+# each table a few hundred times per bench/driver pass, so the footer
+# work is pure repeated overhead. The cache holds SCHEMAS only — each
+# call still returns a fresh DataFrame over the live files, every
+# action still scans parquet, and the cached schema is byte-identical
+# to what inference returns for the same immutable corpus file (keyed
+# by directory, so distinct fixtures never collide). At 100 TB the
+# same trick is "pin the table schema in the metastore": inference
+# over thousands of footers is the thing production catalogs exist to
+# avoid.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table lazily.
 
@@ -67,9 +83,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from rs_query_engine_spark.session import ensure_nanos_as_long
 
         ensure_nanos_as_long(spark)
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_cached_schema(spark, sf_dir, name)
         return normalize_events_ts(df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_cached_schema(spark, sf_dir, name)
+
+
+def _read_cached_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def load_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -45,11 +45,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching conversion — guaranteeing batch/stream parity by
     construction. The probe reads only the parquet footer (no data)."""
     from rs_query_engine_spark.session import ensure_nanos_as_long
-    from rs_query_engine_spark.sources.corpus import normalize_events_ts
+    from rs_query_engine_spark.sources.corpus import (
+        _read_cached_schema,
+        normalize_events_ts,
+    )
 
     ensure_nanos_as_long(spark)
     src = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(src).schema
+    # r18: probe through the corpus schema cache — same (sf_dir,
+    # "events") key as every batch read of this path, so the footer
+    # inference happens once per process, not once per stream start
+    schema = _read_cached_schema(spark, sf_dir, "events").schema
     if os.path.isfile(src):
         # stable digest (not builtin hash(), which is per-process
         # randomized) so re-runs reuse the same shim dir instead of
