@@ -39,6 +39,7 @@ from rs_query_engine_spark.operators.similarity import (
     dot,
     norm_sq,
 )
+from rs_query_engine_spark.session import truncate_lineage
 from rs_query_engine_spark.sources.artifacts import artifact_root, install_artifact
 
 # Deterministic seed-centroid rule (corpus vectors vec_id < N_SEED) —
@@ -486,7 +487,17 @@ def probe_pq_index(
         q_assigned.select(query_id, "_v").dropDuplicates([query_id]),
         query_id, "_v", PQ_NUM_SUB, PQ_NUM_CENTROIDS, PQ_SUB_DIM,
     ).withColumnRenamed("_id", query_id)
-    probes = q_assigned.select(query_id, "centroid_id").join(q_tables, query_id)
+    # The probe-batch pipeline (centroid cross + top-nprobe rank,
+    # derived TWICE — once as q_assigned, once re-derived under the
+    # dedup feeding the distance tables — plus the codebook-literal
+    # distance expressions) is a broadcast-expansion subtree consumed
+    # by every downstream arm; stage it once so the ADC join broadcasts
+    # stored rows instead of re-running the assignment/table pipeline
+    # and re-carrying the literal-heavy expressions through analysis.
+    # The staged frame is probe-batch-sized (queries × nprobe rows).
+    probes = truncate_lineage(
+        q_assigned.select(query_id, "centroid_id").join(q_tables, query_id)
+    )
     codes = read_pq_codes(spark, root)
     if tombstones is not None:
         codes = codes.join(tombstones.select("vec_id"), "vec_id", "left_anti")
