@@ -6280,10 +6280,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     template families (novelty ~1) vs near-copies (novelty ~0), and
     the cheap pre-filter that decides which docs even enter near-dup
     candidate generation. Same inverted-index machinery as containment
-    dedup (explode distinct shingles → document frequency → join back)
-    but aggregated to a per-doc score instead of pairs: two shuffles
-    (df groupBy + per-doc agg), both map-side-partial, shuffle volume
-    bounded by vocabulary and corpus size — never pairwise."""
+    dedup, but the document frequency rides a
+    ``count() OVER (PARTITION BY g)`` window in the single pass that
+    already shuffles the exploded shingles (the r18
+    window-instead-of-join-back rewrite proven on
+    ``text_exact_substr_spans``): the exploded volume crosses the
+    network ONCE, where the groupBy+join-back spelling shipped it
+    once for the join side plus the distinct-shingle volume for the
+    frequency side and paid a join. The window's sort is spillable,
+    so hot shingles bound memory by sort, not an aggregation
+    buffer."""
+    from pyspark.sql import Window
+
     from rs_query_engine_spark.functions.text import shingles
     from rs_query_engine_spark.sources.corpus import spread
 
@@ -6295,9 +6303,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("g"),
         )
     )
-    dfc = x.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     return (
-        x.join(dfc, "g")
+        x.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

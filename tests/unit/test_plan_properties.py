@@ -428,6 +428,28 @@ def test_exact_substr_spans_no_pairwise_and_partial_agg(spark):
     assert low.count("window") >= 2
 
 
+def test_ngram_novelty_window_df_no_join_back(spark):
+    """text_ngram_novelty's document frequency must ride a window
+    count over the shingle partition (the r18 rewrite) — never the
+    groupBy+join-back spelling that explodes the corpus twice and
+    ships the exploded volume through a second shuffle plus a join.
+    Exactly two hash exchanges: by shingle (window), by doc (agg);
+    spread()'s round-robin exchange carries no key."""
+    import re as _re
+
+    from rs_query_engine_spark import queries as registry
+
+    df = registry.queries()["text_ngram_novelty"](spark, SF_DIR)
+    plan = explain_str(df)
+    low = plan.lower()
+    assert "sortmergejoin" not in low
+    assert "shuffledhashjoin" not in low
+    assert "broadcasthashjoin" not in low
+    assert low.count("generate") >= 1
+    assert len(_re.findall(r"arguments: hashpartitioning\(", low)) == 2
+    assert "window" in low
+
+
 def test_hybrid_rrf_broadcasts_query_set_no_corpus_pairs(spark):
     """Hybrid RRF's dense leg must broadcast the (tiny) query set —
     a map-only pass over the corpus like similarity_bruteforce_topk —
