@@ -1015,10 +1015,16 @@ def text_collocation_pmi_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     string.
 
     Scale shape: bigram explode feeds a partial-agg count (shuffle =
-    distinct-bigram volume, not token volume), unigram counts
-    likewise; the two enrichment joins are vocabulary-keyed equi-joins
-    and the top-k is one window pass over support-filtered rows. No
-    all-pairs anything."""
+    distinct-bigram volume, not token volume); the unigram-count
+    pipeline is derived ONCE and enriched through a single
+    vocabulary-keyed equi-join against the support-filtered bigrams
+    unpivoted to (bigram, position, word) rows — the r18 rewrite:
+    the original two-join spelling re-derived the full corpus
+    tokenize+aggregate per join side (verified: no runtime exchange
+    reuse, two broadcast builds), where one join on the doubled-but-
+    tiny candidate side costs one re-aggregation of it. The top-k is
+    one window pass over support-filtered rows. No all-pairs
+    anything."""
     from pyspark.sql import Window
 
     from rs_query_engine_spark.functions.text import shingles, tokens
@@ -1037,22 +1043,24 @@ def text_collocation_pmi_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("cnt_w"))
     )
-    parts = F.split(F.col("bg"), " ")
+    up = cab.select(
+        "lang",
+        "bg",
+        "cnt_ab",
+        F.posexplode(F.split(F.col("bg"), " ")).alias("pos", "w"),
+    )
     sc = (
-        cab.withColumn("w1", parts.getItem(0))
-        .withColumn("w2", parts.getItem(1))
-        .join(
-            cw.withColumnRenamed("w", "w1").withColumnRenamed(
-                "cnt_w", "cnt_a"
-            ),
-            ["lang", "w1"],
+        up.join(cw, ["lang", "w"])
+        .groupBy("lang", "bg", "cnt_ab")
+        .agg(
+            F.min(F.when(F.col("pos") == 0, F.col("cnt_w"))).alias("cnt_a"),
+            F.min(F.when(F.col("pos") == 1, F.col("cnt_w"))).alias("cnt_b"),
         )
-        .join(
-            cw.withColumnRenamed("w", "w2").withColumnRenamed(
-                "cnt_w", "cnt_b"
-            ),
-            ["lang", "w2"],
-        )
+        # inner-join semantics of the original two-join spelling: a
+        # bigram whose word is absent from the unigram vocabulary is
+        # dropped, not null-enriched (cannot happen when both explode
+        # from the same token stream, but pin the semantics anyway)
+        .filter(F.col("cnt_a").isNotNull() & F.col("cnt_b").isNotNull())
         .withColumn(
             "score",
             F.col("cnt_ab").cast("double")
