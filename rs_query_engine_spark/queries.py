@@ -135,6 +135,39 @@ def _latest_green_rounds(
 
 _GREEN_ROUND, _ROWS_ONLY_GREEN = _latest_green_rounds()
 
+# Queries whose IMPLEMENTATION was materially rewritten in round N
+# (the optimization rounds' plan-shape rewrites): a driver-green row
+# stamped at or BEFORE round N predates the rewrite, so it verifies
+# the old spelling, not the code that now runs — the query must
+# re-enter the window with the unverified group until a post-rewrite
+# green row lands (VERDICT r18 #1). This is NOT a hand-maintained
+# verified list (the round-3 freeze bug): entries only DEMOTE, are
+# recorded at rewrite time like a changelog, and self-expire the
+# moment the driver stamps a green row in a later round.
+_CODE_CHANGED_ROUND: dict[str, int] = {
+    # round-18 optimization rewrites (OPTIMIZATION_r18.md); the driver's
+    # r18 window re-verified only similarity_pq_index_probe (green r18,
+    # already > 18-entry-free), the other nine still carry pre-rewrite
+    # stamps
+    "text_exact_substr_spans": 18,
+    "text_exact_substr_fraction": 18,
+    "dedup_semantic": 18,
+    "agg_percentiles_distinct": 18,
+    "similarity_ivf_recall_audit": 18,
+    "similarity_hybrid_rrf": 18,
+    "similarity_pq_index_probe": 18,
+    "similarity_pq_refine": 18,
+    "text_ngram_novelty": 18,
+    "text_collocation_pmi_rank": 18,
+    # round-19 optimization rewrites (OPTIMIZATION_r19.md)
+    "stream_stream_join": 19,
+    "stream_late_data_drop": 19,
+    "stream_stream_join_late": 19,
+    "stream_stream_left_outer_late": 19,
+    "stream_stream_full_outer_late": 19,
+    "stream_chained_stateful": 19,
+}
+
 
 # Every holding pen ever created, as (flag name, module name) pairs —
 # the ONE place a new pen is declared. ``_registries()`` merges the
@@ -209,7 +242,13 @@ def _rotation_order(qs: dict[str, QueryFn], osql: dict[str, str]) -> list[str]:
     # (computed at call time: _ORACLE fills after the import-time
     # _GREEN_ROUND computation, and staged oracles merge in lazily).
     def _verified(n: str) -> bool:
-        return n in _GREEN_ROUND and not (n in _ROWS_ONLY_GREEN and n in osql)
+        return (
+            n in _GREEN_ROUND
+            and not (n in _ROWS_ONLY_GREEN and n in osql)
+            # a green stamp from before (or at) the query's last code
+            # rewrite verifies the OLD spelling — demote to unverified
+            and _GREEN_ROUND[n] > _CODE_CHANGED_ROUND.get(n, 0)
+        )
 
     reg_idx = {n: i for i, n in enumerate(qs)}
     unverified = [n for n in qs if not _verified(n)]
@@ -2740,7 +2779,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     out = view_purchase_attribution_stream(ev)
-    return run_stream_to_memory(out, "stream_stream_join_out", output_mode="append")
+    # state_partitions=2 (r19, guide §2.2/§5): per-batch cost is the
+    # 4-stores-per-partition commit machinery, not compute — sized to
+    # the bounded join state, measured over interleaved pairs (median
+    # 0.84, 6/6 wins; rows identical at all three SFs —
+    # plans/r19/stream_pairs.txt)
+    return run_stream_to_memory(
+        out, "stream_stream_join_out", output_mode="append",
+        state_partitions=2,
+    )
 
 
 @register(

@@ -1641,8 +1641,18 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+    # state_partitions=2 (r19, guide §2.2/§5): every state partition
+    # costs a store instance whose per-micro-batch commit + task
+    # machinery is the dominant cost of this bounded replay (state is
+    # a few thousand rows; the 4-file feed fixes the batch count).
+    # Sized to state volume, not the shuffle default: 8→2 measured
+    # faster across interleaved pairs for the whole late-feed family,
+    # rows identical at sf0.001/0.01/0.1 (plans/r19/stream_pairs.txt).
+    # At 100 TB the same principle sizes partitions UP with key
+    # cardinality — the knob stays per-query, which is the point.
     return run_stream_to_memory(
-        agg, "stream_late_data_drop", output_mode="append"
+        agg, "stream_late_data_drop", output_mode="append",
+        state_partitions=2,
     )
 
 
@@ -1962,8 +1972,12 @@ def stream_stream_join_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state-inspection query's 'identical operator' claim is
     # structural, not copy-paste parity
     joined = view_purchase_late_join(stream)
+    # state_partitions=2: join state is ~4k rows/side; 4 stores ×
+    # partitions commit per batch — see the stream_late_data_drop
+    # note (r19 pairs: median ratio 0.78, 6/6 wins)
     return run_stream_to_memory(
-        joined, "stream_stream_join_late", output_mode="append"
+        joined, "stream_stream_join_late", output_mode="append",
+        state_partitions=2,
     )
 
 
@@ -2052,8 +2066,11 @@ def stream_stream_left_outer_late(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")),
         "left_outer",
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    # state_partitions=2 — see the stream_late_data_drop note (r19
+    # pairs: median 0.65, 6/6 ≤1.0)
     return run_stream_to_memory(
-        joined, "stream_stream_left_outer_late", output_mode="append"
+        joined, "stream_stream_left_outer_late", output_mode="append",
+        state_partitions=2,
     )
 
 
@@ -2153,8 +2170,12 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_conversions"))
         .select(F.col("w.start").alias("window_start"), "n_conversions")
     )
+    # state_partitions=2 — TWO stateful operators (join + windowed
+    # agg) double the per-partition store count; see the
+    # stream_late_data_drop note (r19 pairs: median 0.82, 5/6 wins)
     return run_stream_to_memory(
-        agg, "stream_chained_stateful", output_mode="append"
+        agg, "stream_chained_stateful", output_mode="append",
+        state_partitions=2,
     )
 
 
@@ -2241,8 +2262,11 @@ def stream_stream_full_outer_late(spark: SparkSession, sf_dir: str) -> DataFrame
         "view_ts",
         "purchase_ts",
     )
+    # state_partitions=2 — see the stream_late_data_drop note (r19
+    # pairs: median 0.66, 5/6 wins)
     return run_stream_to_memory(
-        joined, "stream_stream_full_outer_late", output_mode="append"
+        joined, "stream_stream_full_outer_late", output_mode="append",
+        state_partitions=2,
     )
 
 

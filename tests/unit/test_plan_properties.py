@@ -421,10 +421,12 @@ def test_exact_substr_spans_no_pairwise_and_partial_agg(spark):
     import re as _re
 
     # formatted mode lists each Exchange's partitioning on its own
-    # "Arguments:" line; exactly two HASH exchanges (gram window, doc
-    # window) — the third Exchange is spread()'s round-robin, which
-    # carries no key and is not a join/aggregation shuffle
-    assert len(_re.findall(r"arguments: hashpartitioning\(", low)) == 2
+    # "Arguments:" line; at most two HASH exchanges (gram window, doc
+    # window) — the join-back spelling needs a third shuffle of the
+    # exploded gram volume, so <=2 plus the no-join asserts above
+    # forbids it without pinning an exact count that a Spark/AQE
+    # version bump could shift (ADVICE r18)
+    assert len(_re.findall(r"arguments: hashpartitioning\(", low)) <= 2
     assert low.count("window") >= 2
 
 
@@ -446,8 +448,38 @@ def test_ngram_novelty_window_df_no_join_back(spark):
     assert "shuffledhashjoin" not in low
     assert "broadcasthashjoin" not in low
     assert low.count("generate") >= 1
-    assert len(_re.findall(r"arguments: hashpartitioning\(", low)) == 2
+    # <=2: the join-back spelling would need a third hash shuffle of
+    # the exploded shingle volume (plus the join the asserts above
+    # already forbid) — relaxed from ==2 per ADVICE r18 so a future
+    # Spark/AQE exchange-placement change can't fail this without a
+    # real regression
+    assert len(_re.findall(r"arguments: hashpartitioning\(", low)) <= 2
     assert "window" in low
+
+
+def test_collocation_pmi_single_unigram_derivation(spark):
+    """text_collocation_pmi_rank's value is its plan shape (r18
+    rewrite): the corpus-proportional tokenize+aggregate unigram
+    pipeline is derived ONCE and joined to the unpivoted
+    (vocabulary-sized) bigram side a single time — never re-derived
+    per enrichment side. Two corpus scans max (bigram pass + unigram
+    pass) and at most one equi-join; the two-join re-derivation
+    spelling carries three scans and two joins (ADVICE r18)."""
+    from rs_query_engine_spark import queries_staged_r15 as r15
+
+    df = r15.text_collocation_pmi_rank(spark, SF_DIR)
+    plan = explain_str(df)
+    # formatted explain names each node twice (tree line + numbered
+    # detail block) → two distinct scans = 4 mentions, one join = 2
+    assert plan.count("Scan parquet") <= 4
+    low = plan.lower()
+    n_joins = sum(
+        low.count(j)
+        for j in ("broadcasthashjoin", "sortmergejoin", "shuffledhashjoin")
+    )
+    assert n_joins <= 2, plan
+    assert "cartesianproduct" not in low
+    assert "broadcastnestedloopjoin" not in low
 
 
 def test_hybrid_rrf_broadcasts_query_set_no_corpus_pairs(spark):

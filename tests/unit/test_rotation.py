@@ -32,6 +32,46 @@ def test_unverified_and_newly_oracled_front_load():
         registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = saved
 
 
+def test_code_changed_round_demotes_stale_green_stamps():
+    # a green stamp at or BEFORE the query's recorded rewrite round
+    # verifies the old spelling → the query front-loads as unverified;
+    # a stamp AFTER the rewrite round re-verifies it (self-expiring).
+    qs = {n: (lambda s, d: None) for n in ["p", "q", "r"]}
+    saved = (
+        registry._GREEN_ROUND,
+        registry._ROWS_ONLY_GREEN,
+        registry._CODE_CHANGED_ROUND,
+    )
+    try:
+        registry._GREEN_ROUND = {"p": 12, "q": 19, "r": 2}
+        registry._ROWS_ONLY_GREEN = set()
+        registry._CODE_CHANGED_ROUND = {"p": 18, "q": 18}
+        # p: stamp 12 <= rewrite 18 → unverified, front-loads
+        # q: stamp 19 > rewrite 18 → verified again
+        # r: untouched, stamp 2 → verified, outranks q by staleness
+        assert registry._rotation_order(qs, {}) == ["p", "r", "q"]
+    finally:
+        (
+            registry._GREEN_ROUND,
+            registry._ROWS_ONLY_GREEN,
+            registry._CODE_CHANGED_ROUND,
+        ) = saved
+
+
+def test_r19_window_front_loads_rewritten_queries():
+    # the live r19 window must contain every r18-rewritten query (the
+    # VERDICT r18 #1 residual) and this round's stream rewrites — the
+    # whole point of _CODE_CHANGED_ROUND. Uses live artifacts (rounds
+    # ≤ 18 green everywhere), but the assertion is stable: any LATER
+    # green row for these names postdates their recorded rewrite
+    # rounds only if the driver actually re-verified them, which is
+    # exactly when the assertion may relax.
+    names = list(registry.queries())[:50]
+    for n, rnd in registry._CODE_CHANGED_ROUND.items():
+        if registry._GREEN_ROUND.get(n, 0) <= rnd:
+            assert n in names, f"{n} (rewritten r{rnd}) missing from window"
+
+
 def test_verified_ordering_is_oldest_green_first_then_registration():
     qs = {n: (lambda s, d: None) for n in ["x", "y", "z"]}
     saved = (registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN)
@@ -76,7 +116,11 @@ def test_live_window_is_unverified_first_then_stalest():
     rows_only = registry._ROWS_ONLY_GREEN
 
     def verified(n):
-        return n in green and not (n in rows_only and n in osql)
+        return (
+            n in green
+            and not (n in rows_only and n in osql)
+            and green[n] > registry._CODE_CHANGED_ROUND.get(n, 0)
+        )
 
     flags = [verified(n) for n in names]
     first_verified = flags.index(True) if True in flags else len(names)
@@ -113,8 +157,15 @@ def test_round6_window_front_loaded_round6_targets_fixture():
     # rounds ≤ 5 (what the driver saw entering round 6): the 4 queries
     # that gained oracles in round 5 plus the staged activations had to
     # sit inside the first 50 rotation slots.
-    saved = (registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN)
+    saved = (
+        registry._GREEN_ROUND,
+        registry._ROWS_ONLY_GREEN,
+        registry._CODE_CHANGED_ROUND,
+    )
     try:
+        # the code-changed demotions are about the CURRENT code; a
+        # historical-window fixture must not apply them
+        registry._CODE_CHANGED_ROUND = {}
         registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = _frozen_fixture(5)
         qs, osql = registry._registries()
         # pens activated after round 6 (r7, r8, ...) did not exist then
@@ -135,7 +186,11 @@ def test_round6_window_front_loaded_round6_targets_fixture():
         ]:
             assert n in names, n
     finally:
-        registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = saved
+        (
+            registry._GREEN_ROUND,
+            registry._ROWS_ONLY_GREEN,
+            registry._CODE_CHANGED_ROUND,
+        ) = saved
 
 
 def test_round7_window_front_loads_staged_r7_fixture():
@@ -147,8 +202,13 @@ def test_round7_window_front_loads_staged_r7_fixture():
     from rs_query_engine_spark import queries_staged_r7 as r7
 
     assert registry.STAGED_R7_ENABLED, "round-7 activation flag must be on"
-    saved = (registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN)
+    saved = (
+        registry._GREEN_ROUND,
+        registry._ROWS_ONLY_GREEN,
+        registry._CODE_CHANGED_ROUND,
+    )
     try:
+        registry._CODE_CHANGED_ROUND = {}
         registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = _frozen_fixture(6)
         green, _ = registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN
         qs, osql = registry._registries()
@@ -162,4 +222,8 @@ def test_round7_window_front_loads_staged_r7_fixture():
         r3_stamped = {n for n, rnd in green.items() if rnd == 3 and n in qs}
         assert r3_stamped <= window, r3_stamped - window
     finally:
-        registry._GREEN_ROUND, registry._ROWS_ONLY_GREEN = saved
+        (
+            registry._GREEN_ROUND,
+            registry._ROWS_ONLY_GREEN,
+            registry._CODE_CHANGED_ROUND,
+        ) = saved
