@@ -166,6 +166,12 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "stream_stream_left_outer_late": 19,
     "stream_stream_full_outer_late": 19,
     "stream_chained_stateful": 19,
+    "stream_sliding_window": 19,
+    "stream_append_finalized": 19,
+    "stream_static_enrich": 19,
+    "stream_window_topk": 19,
+    "source_python_stream_partitioned": 19,
+    "source_python_arrow_stream": 19,
 }
 
 
@@ -3474,7 +3480,12 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    res = run_stream_to_memory(agg, "stream_sliding_window", output_mode="update")
+    # state_partitions=2 (r19): bounded replay, window-agg state only
+    # — see the stream_late_data_drop note; paired median 0.85
+    res = run_stream_to_memory(
+        agg, "stream_sliding_window", output_mode="update",
+        state_partitions=2,
+    )
     return res.groupBy(
         F.col("w.start").alias("window_start"), "event_type"
     ).agg(F.max("n").alias("n_events"))
@@ -4321,8 +4332,11 @@ def stream_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events"
         )
     )
+    # state_partitions=2 (r19) — see the stream_late_data_drop note;
+    # paired median 0.76
     return run_stream_to_memory(
-        agg, "stream_append_finalized", output_mode="append"
+        agg, "stream_append_finalized", output_mode="append",
+        state_partitions=2,
     )
 
 

@@ -1607,6 +1607,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_id").alias("n_events"),
         F.sum(F.col("value").cast(D_PRICE)).cast("double").alias("total_value"),
     )
+    # state_partitions=2 (r19) — see the stream_late_data_drop note in
+    # queries_staged_r10; paired median 0.71
     return run_stream_to_memory(
-        agg, "stream_static_enrich", output_mode="complete"
+        agg, "stream_static_enrich", output_mode="complete",
+        state_partitions=2,
     )

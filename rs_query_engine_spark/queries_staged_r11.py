@@ -1820,6 +1820,9 @@ def source_python_stream_partitioned(
         .cast("double")
         .alias("sum_acctbal"),
     )
+    # state_partitions=2 (r19) — the agg state is nation-cardinality;
+    # see the stream_late_data_drop note; paired median 0.82
     return run_stream_to_memory(
-        agg, "source_python_stream_partitioned", output_mode="complete"
+        agg, "source_python_stream_partitioned", output_mode="complete",
+        state_partitions=2,
     )

@@ -1072,8 +1072,11 @@ def source_python_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_acctbal"),
         F.sum("c_nationkey").cast("bigint").alias("sum_nationkey"),
     )
+    # state_partitions=2 (r19) — 1-row global agg state; see the
+    # stream_late_data_drop note; paired median 0.90
     return run_stream_to_memory(
-        agg, "source_python_arrow_stream", output_mode="complete"
+        agg, "source_python_arrow_stream", output_mode="complete",
+        state_partitions=2,
     )
 
 

@@ -633,7 +633,12 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    res = run_stream_to_memory(agg, "stream_window_topk", output_mode="update")
+    # state_partitions=2 (r19) — see the stream_late_data_drop note in
+    # queries_staged_r10; paired median 0.73
+    res = run_stream_to_memory(
+        agg, "stream_window_topk", output_mode="update",
+        state_partitions=2,
+    )
     counts = res.groupBy(
         F.col("w.start").alias("window_start"), "event_type"
     ).agg(F.max("n").alias("n_events"))
