@@ -693,11 +693,17 @@ def containment_pairs(
         .transform(truncate_lineage)  # consumed 3× (probes, index, verify)
     )
     inv = sh.select(F.col("_id").alias("id_b"), F.explode("_sh").alias("shingle"))
-    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # one (posting, df) join feeds BOTH the probe ranking and the
-    # df-capped index — joining inv with df_counts twice would repeat
-    # the largest shuffle in the pipeline (postings ≈ Σ|sh| rows)
-    inv_df = inv.join(df_counts, "shingle").transform(truncate_lineage)
+    # document frequency as count(1) OVER (PARTITION BY shingle) in
+    # the one pass that already shuffles the postings (r19, guide
+    # §2.4 — the spans/novelty window-instead-of-join-back pattern):
+    # the former groupBy+join-back spelling shuffled the postings
+    # (≈ Σ|sh| rows, the pipeline's largest frame) TWICE — once into
+    # the count aggregate, once into the join. Identical (shingle,
+    # id_b, df) rows by construction; the staged frame still feeds
+    # BOTH the probe ranking and the df-capped index.
+    inv_df = inv.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).transform(truncate_lineage)
     # rank each doc's shingles by (df, shingle): struct array_sort gives
     # the identical order in both engines (BIGINT then ASCII VARCHAR).
     # probe_frac is a SEPARATE literal (not 1.0 - threshold): both
