@@ -172,6 +172,8 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "stream_window_topk": 19,
     "source_python_stream_partitioned": 19,
     "source_python_arrow_stream": 19,
+    "dedup_containment_pairs": 19,
+    "agg_mad_outliers": 19,
 }
 
 
@@ -5299,7 +5301,15 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     value order) rather than interpolated, so both engines select the
     identical stored double and the whole report hash-matches —
     tie-order under duplicates is irrelevant because the selected
-    VALUE at that rank is unique. The per-group window sort
+    VALUE at that rank is unique.
+
+    r19 pass structure (guide §2.4 — windows over one partitioning
+    share one exchange): med and mad are WINDOW EXPRESSIONS over the
+    same event_type partitioning instead of filtered sub-aggregates
+    joined back — ONE events scan and ONE hash exchange where the
+    join spelling paid three scans, two window shuffles and two
+    broadcast joins (paired first-run median 0.70, 4/4 wins; rows
+    bit-identical at all three SFs). The per-group window sort
     distributes across groups (partitionBy event_type); at 100 TB a
     skewed group's exact median upgrades to approx_percentile or a
     two-pass count-bucket median — the 1.5·MAD gate logic is
@@ -5314,24 +5324,34 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_type", F.col("value").cast("double").alias("x"))
     )
+    wc = Window.partitionBy("event_type")
 
-    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    def with_lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        # the lower-median VALUE broadcast to every partition row via
+        # an unordered window over the same key — no join, no second
+        # scan; max(single non-null) selects the rank-ceil(n/2) value
         w = Window.partitionBy("event_type").orderBy(col)
-        wc = Window.partitionBy("event_type")
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .withColumn("_n", F.count(F.lit(1)).over(wc))
-            .filter(F.col("_rn") == F.ceil(F.col("_n") / 2.0).cast("bigint"))
-            .select("event_type", F.col(col).alias(out))
+            .withColumn(
+                out,
+                F.max(
+                    F.when(
+                        F.col("_rn")
+                        == F.ceil(F.col("_n") / 2.0).cast("bigint"),
+                        F.col(col),
+                    )
+                ).over(wc),
+            )
+            .drop("_rn", "_n")
         )
 
-    med = lower_median(v, "x", "med")
-    d = v.join(F.broadcast(med), "event_type").select(
+    d = with_lower_median(v, "x", "med").select(
         "event_type", F.abs(F.col("x") - F.col("med")).alias("dev"), "med"
     )
-    mad = lower_median(d.select("event_type", F.col("dev")), "dev", "mad")
     return (
-        d.join(F.broadcast(mad), "event_type")
+        with_lower_median(d, "dev", "mad")
         .groupBy("event_type", "med", "mad")
         .agg(
             F.count(F.lit(1)).alias("n"),
