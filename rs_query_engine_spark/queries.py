@@ -174,6 +174,7 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "source_python_arrow_stream": 19,
     "dedup_containment_pairs": 19,
     "agg_mad_outliers": 19,
+    "graph_recursive_closure": 19,
 }
 
 
