@@ -175,6 +175,7 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "dedup_containment_pairs": 19,
     "agg_mad_outliers": 19,
     "graph_recursive_closure": 19,
+    "stream_window_approx_distinct": 19,
 }
 
 

@@ -234,44 +234,49 @@ def stream_window_approx_distinct(
 
     # exact twin on the SAME admitted set: replay the feed's admission
     # arithmetic in batch (1-row max aggregates broadcast — no
-    # driver-side collect)
+    # driver-side collect). r19 (guide §2.3): the wa and wf cut
+    # aggregates fuse into ONE conditional-max pass, and the
+    # ontime ∪ late_ok union becomes one OR-filter scan (the two
+    # branches filter DISJOINT ts ranges of the same frame) — 5 feed
+    # scans → 3, two crossJoin arms gone; identical admitted rows by
+    # construction.
     ev = spark.read.parquet(feed).select("ts", "user_id")
     mx = F.broadcast(ev.agg(F.max("ts").alias("mx")))
     j = ev.crossJoin(mx)
     a_lo = F.col("mx") - F.expr("INTERVAL 5 DAYS")
     a_mid = F.col("mx") - F.expr("INTERVAL 3 DAYS")
     a_hi = F.col("mx") - F.expr("INTERVAL 2 DAYS")
-    wa = F.broadcast(
-        j.filter((F.col("ts") > a_lo) & (F.col("ts") <= a_mid)).agg(
-            (
-                F.date_trunc("millisecond", F.max("ts"))
-                - F.expr("INTERVAL 84 HOURS")
-            ).alias("wa")
+    trunc84 = lambda c: F.date_trunc("millisecond", c) - F.expr(  # noqa: E731
+        "INTERVAL 84 HOURS"
+    )
+    cuts = F.broadcast(
+        j.agg(
+            trunc84(
+                F.max(
+                    F.when((F.col("ts") > a_lo) & (F.col("ts") <= a_mid), F.col("ts"))
+                )
+            ).alias("wa"),
+            trunc84(F.max(F.when(F.col("ts") > a_hi, F.col("ts")))).alias("wf"),
         )
     )
-    wf = F.broadcast(
-        j.filter(F.col("ts") > a_hi).agg(
-            (
-                F.date_trunc("millisecond", F.max("ts"))
-                - F.expr("INTERVAL 84 HOURS")
-            ).alias("wf")
-        )
-    )
-    ontime = j.filter(F.col("ts") > a_lo).select("ts", "user_id")
-    late_ok = (
-        j.filter(F.col("ts") <= a_lo)
-        .crossJoin(wa)
+    admitted = (
+        j.crossJoin(cuts)
         .filter(
-            F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
-            > F.col("wa")
+            (F.col("ts") > a_lo)
+            | (
+                F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+                > F.col("wa")
+            )
         )
-        .select("ts", "user_id")
+        # wf rides the admitted rows (constant per row) so the final
+        # window filter needs no second cuts derivation
+        .select("ts", "user_id", "wf")
     )
     exact = (
-        ontime.unionByName(late_ok)
-        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        admitted.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "wf"
+        )
         .agg(F.countDistinct("user_id").alias("n_users_exact"))
-        .crossJoin(wf)
         .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.col("wf"))
         .select("window_start", "n_users_exact")
     )
