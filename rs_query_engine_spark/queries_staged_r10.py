@@ -1837,7 +1837,13 @@ def stream_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overwrite + checkpoint) with the partials reduce as its
     # per-batch transform — one implementation of the exactly-once
     # pattern, not a copy
-    run_stream_to_parquet(stream, out, ckpt, transform_fn=day_partials)
+    # state_partitions=2 (r19, guide §2.2/§5): no stateful operator in
+    # this stream — the knob only scopes the per-batch day_partials
+    # groupBy (≤150 day×type rows/batch) and the partials-store file
+    # fan-out (2 files/batch instead of 8). Identity-checked at 3 SFs.
+    run_stream_to_parquet(
+        stream, out, ckpt, transform_fn=day_partials, state_partitions=2
+    )
     return (
         spark.read.parquet(out)
         .groupBy("day", "event_type")

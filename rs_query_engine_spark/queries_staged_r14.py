@@ -806,6 +806,10 @@ def source_rate_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_rate_micro_batch",
         output_mode="complete",
         available_now=True,
+        # state_partitions=2 (r19, guide §2.2/§5): the complete-mode agg
+        # holds 7 bucket rows — per-batch store-commit cost dominates at
+        # 8 partitions. Identity-checked at 3 SFs.
+        state_partitions=2,
     )
 
 
