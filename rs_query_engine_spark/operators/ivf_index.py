@@ -153,6 +153,30 @@ def probe_ivf_index(
     per-vector independent, so filter-then-score equals a fresh index
     over the surviving corpus; the anti-join side is a tiny takedown
     list AQE broadcasts)."""
+    scored = score_ivf_probe(
+        spark, root, queries, nprobe=nprobe, query_id=query_id,
+        query_vec=query_vec, tombstones=tombstones,
+    )
+    return rank_ivf_topk(scored, k, query_id=query_id)
+
+
+def score_ivf_probe(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """The SCORING prefix of ``probe_ivf_index`` — (query_id, vec_id,
+    cos) for every candidate in the probed lists, before top-k
+    ranking. Exposed so a caller that ranks the SAME probe batch more
+    than once (e.g. the takedown audit's before/after differential)
+    can stage this frame once instead of re-deriving the centroid
+    assignment + list scan + dot products per ranking; because scoring
+    is row-wise, a vec_id filter applied to this frame equals one
+    applied to the index before scoring."""
     cent = read_ivf_centroids(spark, root).select(
         "centroid_id", F.col("cv").alias("centroid_vec")
     )
@@ -167,13 +191,18 @@ def probe_ivf_index(
     assign = read_ivf_assign(spark, root)
     if tombstones is not None:
         assign = assign.join(tombstones.select("vec_id"), "vec_id", "left_anti")
-    scored = assign.join(F.broadcast(q_assigned), "centroid_id").select(
+    return assign.join(F.broadcast(q_assigned), "centroid_id").select(
         query_id,
         "vec_id",
         F.try_divide(dot(F.col("v"), F.col("_qv")), F.col("n") * F.col("_qn")).alias(
             "cos"
         ),
     )
+
+
+def rank_ivf_topk(scored: DataFrame, k: int, query_id: str = "query_id") -> DataFrame:
+    """Top-``k`` ranking over a ``score_ivf_probe`` frame — the suffix
+    of ``probe_ivf_index``, split out for the same staging reason."""
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 

@@ -179,6 +179,7 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "stream_parquet_sink": 19,
     "stream_ivm_maintenance": 19,
     "source_rate_micro_batch": 19,
+    "governance_takedown_audit": 19,
 }
 
 

@@ -389,8 +389,9 @@ def governance_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.operators.ivf_index import (
         ensure_ivf_index,
         ensure_ivf_tombstones,
-        probe_ivf_index,
+        rank_ivf_topk,
         read_ivf_tombstones,
+        score_ivf_probe,
     )
     from rs_query_engine_spark.operators.lsh_index import (
         ensure_compacted_lsh_index,
@@ -399,6 +400,7 @@ def governance_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_index_bands,
         read_tombstones,
     )
+    from rs_query_engine_spark.session import truncate_lineage
 
     zero = F.lit(0).cast("bigint")
 
@@ -432,8 +434,18 @@ def governance_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    res_before = probe_ivf_index(spark, root, q, 10, nprobe=2)
-    res_after = probe_ivf_index(spark, root, q, 10, nprobe=2, tombstones=tombs_v)
+    # r19 (guide §2.4): both probes share the whole scoring prefix —
+    # centroid assignment of the same query batch + probed-list scan +
+    # dot products — and differ only in the tombstone filter, which
+    # commutes with row-wise scoring. Score ONCE, stage the (query,
+    # vec, cos) frame (~queries × probed-list rows), and rank twice;
+    # the after arm anti-joins tombstones on the staged frame.
+    # Identity-checked vs the two-probe spelling at 3 SFs.
+    scored = truncate_lineage(score_ivf_probe(spark, root, q, nprobe=2))
+    res_before = rank_ivf_topk(scored, 10)
+    res_after = rank_ivf_topk(
+        scored.join(tombs_v.select("vec_id"), "vec_id", "left_anti"), 10
+    )
     ann_before = res_before.join(F.broadcast(tombs_v), "vec_id").groupBy(
         "vec_id"
     ).agg(F.count(F.lit(1)).alias("_b"))
