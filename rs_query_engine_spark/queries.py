@@ -180,6 +180,8 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "stream_ivm_maintenance": 19,
     "source_rate_micro_batch": 19,
     "governance_takedown_audit": 19,
+    "text_winnowing_fingerprints": 19,
+    "text_contamination_check": 19,
 }
 
 
@@ -3752,12 +3754,17 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.sources.corpus import spread
 
     d = _t(spark, sf_dir, "documents")
+    # no size-filter before the checkpoint (r19, guide §4.4 analogue):
+    # both consumers explode ``sh`` (empty arrays emit nothing), and
+    # Catalyst pushes a filter(size(sh) > 0) BELOW the projection,
+    # re-evaluating the whole shingle chain inside the Filter during
+    # the checkpoint's one materialization pass — 3× the dominant
+    # compute for rows the Generates drop for free
     grams = (
         spread(d)
         .select(
             "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("sh")
         )
-        .filter(F.size("sh") > 0)
         .transform(truncate_lineage)
     )
     bench = (
@@ -6073,9 +6080,18 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rs_query_engine_spark.functions.text import shingles
 
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", shingles(F.col("text"), 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # r19 (guide §2.4/§4.4 analogue): stage the gram projection. The
+    # posexplode makes Catalyst infer filter(size(sh) > 0 AND
+    # isnotnull(sh)) and push it below this projection, so the un-staged
+    # spelling evaluates the whole shingle chain THREE times per doc
+    # (twice in the inferred Filter, once in the Project) — an explicit
+    # size-filter is equivalent and was dropped with it. Checkpointing
+    # the small (doc_id, grams) frame runs the chain once; the inferred
+    # filter then reads the stored column. Paired runs: median 0.77,
+    # 6/7 wins (plans/r19/winnow_staged_pairs.txt).
+    sh = truncate_lineage(
+        d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    )
     g = sh.select(
         "doc_id",
         F.size("sh").alias("n_grams"),
