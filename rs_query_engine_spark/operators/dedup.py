@@ -604,11 +604,18 @@ def ngram_jaccard_pairs(
     doc pairs sharing their first ``prefix_tokens`` tokens are
     compared — an equi-join on the blocking key instead of a cross
     join (the blocking key can be swapped for any cheap canopy)."""
+    # stage the projection BEFORE the size-filter (r19, guide §2.4):
+    # Catalyst pushes filter(size(_sh) > 0) below this projection, so
+    # the un-staged spelling ran the shingle chain twice per doc (once
+    # in the pushed Filter, once in the Project). With the checkpoint
+    # the chain runs once and the filter reads the stored column.
+    # The filter itself stays: empty docs all share block "" →
+    # degenerate bucket + 0/0 Jaccard.
     t = spread(df).select(
         F.col(id_col).alias("_id"),
         F.array_join(F.slice(tokens(F.col(text_col)), 1, prefix_tokens), " ").alias("_blk"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    ).filter(F.size("_sh") > 0)  # empty docs all share block "" → degenerate bucket + 0/0 Jaccard
+    ).transform(truncate_lineage).filter(F.size("_sh") > 0)
     # bucket by blocking key and pair within buckets (same shape as
     # minhash_lsh_pairs): one shingle pass + one shuffle instead of a
     # self-join that recomputes and reshuffles the shingle projection

@@ -182,6 +182,9 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "governance_takedown_audit": 19,
     "text_winnowing_fingerprints": 19,
     "text_contamination_check": 19,
+    "dedup_ngram_jaccard": 19,
+    "graph_label_propagation": 19,
+    "graph_mass_diffusion": 19,
 }
 
 
