@@ -185,6 +185,7 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "dedup_ngram_jaccard": 19,
     "graph_label_propagation": 19,
     "graph_mass_diffusion": 19,
+    "dedup_minhash_estimate": 19,
 }
 
 

@@ -828,15 +828,20 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     k = MINHASH_NUM_HASHES
+    # size-filter AFTER the checkpoint (r19, guide §2.4): pushed below
+    # the projection it doubled the shingle-chain eval during the one
+    # materialization pass; post-checkpoint it reads the stored column.
+    # Empty-sh docs briefly ride the checkpoint with the sentinel
+    # signature and are dropped before any consumer — same rows out.
     base = (
         spread(d)
         .select(
             F.col("doc_id").alias("_id"),
             F.array_distinct(shingles(F.col("text"), 3)).alias("_sh"),
         )
-        .filter(F.size("_sh") > 0)
         .select("_id", "_sh", _minhash_from_shingles(F.col("_sh"), k).alias("_sig"))
         .transform(truncate_lineage)  # consumed by banding + both audit joins
+        .filter(F.size("_sh") > 0)
     )
     # the candidate set under audit IS the production one: same band
     # keys, same bucket cap, same pairing helpers and constants as
